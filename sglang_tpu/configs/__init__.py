@@ -1,0 +1,3 @@
+from sglang_tpu.configs.model_config import ModelConfig
+
+__all__ = ["ModelConfig"]

@@ -1,0 +1,75 @@
+"""Attention backend interface + shared KV page write.
+
+Parity with reference `layers/attention/base_attn_backend.py:18
+AttentionBackend` (init_forward_metadata / forward_extend / forward_decode).
+TPU design: a backend is a pure function family used inside the jitted model
+step; there is no CUDA-graph capture hook because bucketed `jax.jit` *is*
+the graph capture.
+
+KV page layout (all backends): `[num_pages, page_size, 2 * kv_heads, head_dim]`
+with K at head index 2h and V at 2h+1 — one contiguous page holds K and V for
+all heads so a single DMA streams both (the ragged-paged-attention layout,
+see PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sglang_tpu.model_executor.forward_batch_info import ForwardBatch
+
+
+def write_kv_pages(
+    pages: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    out_cache_loc: jax.Array,
+) -> jax.Array:
+    """Scatter new K/V into the paged pool (in-place when `pages` is donated).
+
+    pages: [num_pages, page_size, 2*kv_heads, head_dim]
+    k_new/v_new: [T, kv_heads, head_dim]; out_cache_loc: [T] flat slot ids.
+    Reference analogue: `memory_pool.py set_kv_buffer`.
+    """
+    num_pages, page_size, two_kvh, d = pages.shape
+    t, kvh, _ = k_new.shape
+    kv = jnp.stack([k_new, v_new], axis=2).reshape(t, two_kvh, d)
+    flat = pages.reshape(num_pages * page_size, two_kvh, d)
+    flat = flat.at[out_cache_loc].set(kv.astype(flat.dtype))
+    return flat.reshape(pages.shape)
+
+
+class AttentionBackend:
+    """Stateless attention compute over the paged KV pool."""
+
+    def forward_extend(
+        self,
+        q: jax.Array,  # [T, q_heads, head_dim] packed ragged tokens
+        pages: jax.Array,  # [num_pages, page_size, 2*kv_heads, head_dim]
+        fb: ForwardBatch,
+        sm_scale: float,
+        sliding_window: int = -1,
+        logit_cap: float = 0.0,
+    ) -> jax.Array:  # [T, q_heads, head_dim]
+        raise NotImplementedError
+
+    def forward_decode(
+        self,
+        q: jax.Array,  # [B, q_heads, head_dim]
+        pages: jax.Array,
+        fb: ForwardBatch,
+        sm_scale: float,
+        sliding_window: int = -1,
+        logit_cap: float = 0.0,
+    ) -> jax.Array:  # [B, q_heads, head_dim]
+        raise NotImplementedError
+
+    def __call__(self, q, k_new, v_new, pages, fb, sm_scale, **kw):
+        """Write new KV then attend. Returns (out, updated_pages)."""
+        pages = write_kv_pages(pages, k_new, v_new, fb.out_cache_loc)
+        if fb.mode.is_decode():
+            out = self.forward_decode(q, pages, fb, sm_scale, **kw)
+        else:
+            out = self.forward_extend(q, pages, fb, sm_scale, **kw)
+        return out, pages

@@ -1,0 +1,86 @@
+"""Reference (pure jnp) paged attention — the correctness oracle.
+
+Role parity with reference `layers/attention/torch_native_backend.py:286`
+(the SDPA oracle every optimized backend is validated against). Gathers KV
+pages densely per sequence; O(B * max_ctx) memory, intended for tests,
+CPU execution, and validating the Pallas backend — not the serving hot path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sglang_tpu.layers.attention.base import AttentionBackend
+from sglang_tpu.model_executor.forward_batch_info import ForwardBatch
+
+_NEG = -1e30
+
+
+def _gather_kv(pages: jax.Array, page_table: jax.Array):
+    """pages [P, ps, 2kvh, d], page_table [B, Pmax] -> k, v: [B, K, kvh, d]."""
+    b, pmax = page_table.shape
+    _, ps, two_kvh, d = pages.shape
+    kv = pages[page_table]  # [B, Pmax, ps, 2kvh, d]
+    kv = kv.reshape(b, pmax * ps, two_kvh, d)
+    k = kv[:, :, 0::2, :]
+    v = kv[:, :, 1::2, :]
+    return k, v
+
+
+def _masked_attention(qg, k, v, mask, sm_scale, logit_cap):
+    """qg [.., kvh, qpk, d]; k/v [.., K, kvh, d]; mask broadcastable to logits."""
+    logits = (
+        jnp.einsum(
+            "...hgd,...khd->...hgk",
+            qg.astype(jnp.float32),
+            k.astype(jnp.float32),
+        )
+        * sm_scale
+    )
+    if logit_cap > 0:
+        logits = logit_cap * jnp.tanh(logits / logit_cap)
+    logits = jnp.where(mask, logits, _NEG)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("...hgk,...khd->...hgd", probs, v.astype(jnp.float32))
+
+
+class ReferenceAttentionBackend(AttentionBackend):
+    def forward_decode(
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
+    ):
+        b, qh, d = q.shape
+        kvh = pages.shape[2] // 2
+        qpk = qh // kvh
+        k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
+        kmax = k.shape[1]
+        kv_idx = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+        mask = kv_idx < fb.seq_lens[:, None]  # [B, K]
+        if sliding_window > 0:
+            mask &= kv_idx >= (fb.seq_lens[:, None] - sliding_window)
+        qg = q.reshape(b, kvh, qpk, d)
+        out = _masked_attention(
+            qg, k, v, mask[:, None, None, :], sm_scale, logit_cap
+        )
+        return out.reshape(b, qh, d).astype(q.dtype)
+
+    def forward_extend(
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
+    ):
+        t, qh, d = q.shape
+        kvh = pages.shape[2] // 2
+        qpk = qh // kvh
+        k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
+        k = k[fb.token_to_seq]  # [T, K, kvh, d]
+        v = v[fb.token_to_seq]
+        kmax = k.shape[1]
+        kv_idx = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+        # causal: token at absolute position p attends to kv slots <= p
+        mask = kv_idx <= fb.positions[:, None]  # [T, K]
+        if sliding_window > 0:
+            mask &= kv_idx > (fb.positions[:, None] - sliding_window)
+        qg = q.reshape(t, kvh, qpk, d)
+        out = _masked_attention(
+            qg, k, v, mask[:, None, None, :], sm_scale, logit_cap
+        )
+        return out.reshape(t, qh, d).astype(q.dtype)

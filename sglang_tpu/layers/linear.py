@@ -1,0 +1,219 @@
+"""Quantization-aware linear layers (functional).
+
+Parity with reference `python/sglang/srt/layers/linear.py`
+(ColumnParallelLinear:292 / RowParallelLinear:1340 / QKVParallelLinear:894)
++ `layers/quantization/` method dispatch.
+
+TPU-native design differences:
+- No parallel-linear *classes*: tensor parallelism is expressed as GSPMD
+  sharding annotations on the weight arrays (`PartitionSpec`), and XLA
+  inserts the all-reduce after the row-parallel matmul automatically.
+- Weights live in the params pytree as plain arrays; the *method* objects
+  here are static (chosen at model build from the quant config) and decide
+  layout + the apply computation, mirroring the reference's
+  `LinearMethodBase.create_weights/apply` split.
+- Weight layout is [in_features, out_features] so `apply` is `x @ w`
+  (row-major streaming into the MXU).
+
+Quant kinds:
+- unquantized: bf16 `w`
+- int8 per-channel (W8A16): int8 `q` + fp32 `s`[1, out]; computed as
+  `(x @ q) * s` — the int8→bf16 convert happens inside the matmul pipeline
+  and the bf16 weight is never materialized in HBM.
+- int4 group-wise (W4A16, AWQ/GPTQ-style group-128): jnp.int4 `q` +
+  `s`[in/g, out] (+ optional zero-points `z`). Naive path dequantizes;
+  the Pallas fused dequant+matmul kernel (ops/quant_matmul.py) replaces it
+  on TPU for the hot path.
+- fp8 (W8A8-ready storage, applied as W8A16 for now): fp8_e4m3 `q` +
+  fp32 `s`[1, out].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LinearMethod:
+    """Static per-layer method: weight layout + apply computation."""
+
+    def weight_shapes(
+        self, in_features: int, out_features: int, dtype
+    ) -> Dict[str, jax.ShapeDtypeStruct]:
+        raise NotImplementedError
+
+    def apply(self, w: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def quantize(self, w_bf16: np.ndarray) -> Dict[str, np.ndarray]:
+        """Quantize a [in, out] float weight into this method's layout."""
+        raise NotImplementedError
+
+
+@dataclass
+class UnquantizedLinear(LinearMethod):
+    bias: bool = False
+
+    def weight_shapes(self, in_features, out_features, dtype):
+        shapes = {"w": jax.ShapeDtypeStruct((in_features, out_features), dtype)}
+        if self.bias:
+            shapes["b"] = jax.ShapeDtypeStruct((out_features,), dtype)
+        return shapes
+
+    def apply(self, w, x):
+        y = jnp.dot(x, w["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+        if "b" in w:
+            y = y + w["b"]
+        return y
+
+    def quantize(self, w_bf16):
+        return {"w": w_bf16}
+
+
+@dataclass
+class Int8Linear(LinearMethod):
+    """Per-output-channel symmetric int8 weight-only (W8A16).
+
+    Reference analogue: weight-only path of `quantization/w8a8_int8.py` /
+    `int8_kernel.py`. `(x @ q) * s` keeps the weight int8 in HBM.
+    """
+
+    bias: bool = False
+
+    def weight_shapes(self, in_features, out_features, dtype):
+        shapes = {
+            "q": jax.ShapeDtypeStruct((in_features, out_features), jnp.int8),
+            "s": jax.ShapeDtypeStruct((1, out_features), jnp.float32),
+        }
+        if self.bias:
+            shapes["b"] = jax.ShapeDtypeStruct((out_features,), dtype)
+        return shapes
+
+    def apply(self, w, x):
+        acc = jnp.dot(
+            x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        y = (acc * w["s"]).astype(x.dtype)
+        if "b" in w:
+            y = y + w["b"]
+        return y
+
+    def quantize(self, w_bf16):
+        wf = np.asarray(w_bf16, dtype=np.float32)
+        amax = np.abs(wf).max(axis=0, keepdims=True)
+        s = (amax / 127.0).clip(min=1e-8)
+        q = np.clip(np.round(wf / s), -128, 127).astype(np.int8)
+        return {"q": q, "s": s.astype(np.float32)}
+
+
+@dataclass
+class Int4Linear(LinearMethod):
+    """Group-wise int4 weight-only (W4A16), AWQ/GPTQ-compatible.
+
+    Stored as jnp.int4 (native XLA TPU packed dtype) with fp32 scales per
+    (group, out_channel) and optional integer zero-points (asymmetric —
+    AWQ/GPTQ checkpoints). Symmetric on-the-fly quantization uses no zeros.
+    """
+
+    group_size: int = 128
+    bias: bool = False
+    has_zeros: bool = False
+
+    def weight_shapes(self, in_features, out_features, dtype):
+        g = max(1, in_features // self.group_size)
+        shapes = {
+            "q": jax.ShapeDtypeStruct((in_features, out_features), jnp.int4),
+            "s": jax.ShapeDtypeStruct((g, out_features), jnp.float32),
+        }
+        if self.has_zeros:
+            shapes["z"] = jax.ShapeDtypeStruct((g, out_features), jnp.int8)
+        if self.bias:
+            shapes["b"] = jax.ShapeDtypeStruct((out_features,), dtype)
+        return shapes
+
+    def apply(self, w, x):
+        in_features = w["q"].shape[0]
+        out_features = w["q"].shape[1]
+        g = w["s"].shape[0]
+        gs = in_features // g
+        qf = w["q"].astype(x.dtype).reshape(g, gs, out_features)
+        if "z" in w:
+            qf = qf - w["z"].astype(x.dtype)[:, None, :]
+        wdeq = (qf * w["s"].astype(x.dtype)[:, None, :]).reshape(
+            in_features, out_features
+        )
+        y = jnp.dot(x, wdeq, preferred_element_type=jnp.float32).astype(x.dtype)
+        if "b" in w:
+            y = y + w["b"]
+        return y
+
+    def quantize(self, w_bf16):
+        wf = np.asarray(w_bf16, dtype=np.float32)
+        in_f, out_f = wf.shape
+        g = max(1, in_f // self.group_size)
+        wg = wf.reshape(g, in_f // g, out_f)
+        amax = np.abs(wg).max(axis=1)  # [g, out]
+        s = (amax / 7.0).clip(min=1e-8)
+        q = np.clip(np.round(wg / s[:, None, :]), -8, 7).astype(np.int8)
+        return {
+            "q": q.reshape(in_f, out_f),  # loader casts to jnp.int4 on device put
+            "s": s.astype(np.float32),
+        }
+
+
+@dataclass
+class Fp8Linear(LinearMethod):
+    """FP8 (e4m3) weight storage with per-channel fp32 scale.
+
+    Reference analogue: `quantization/fp8.py:297 Fp8LinearMethod`
+    (per-channel weight scale path). Applied as W8A16: the fp8→bf16
+    convert rides the matmul; activations stay bf16 (TPU v5e MXU takes
+    bf16 inputs; fp8 activation quant is a later optimization).
+    """
+
+    bias: bool = False
+
+    def weight_shapes(self, in_features, out_features, dtype):
+        shapes = {
+            "q": jax.ShapeDtypeStruct((in_features, out_features), jnp.float8_e4m3fn),
+            "s": jax.ShapeDtypeStruct((1, out_features), jnp.float32),
+        }
+        if self.bias:
+            shapes["b"] = jax.ShapeDtypeStruct((out_features,), dtype)
+        return shapes
+
+    def apply(self, w, x):
+        acc = jnp.dot(
+            x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        y = (acc * w["s"]).astype(x.dtype)
+        if "b" in w:
+            y = y + w["b"]
+        return y
+
+    def quantize(self, w_bf16):
+        wf = np.asarray(w_bf16, dtype=np.float32)
+        amax = np.abs(wf).max(axis=0, keepdims=True)
+        s = (amax / 448.0).clip(min=1e-8)  # e4m3 max normal
+        q = (wf / s).astype(jnp.float8_e4m3fn)
+        return {"q": q, "s": s.astype(np.float32)}
+
+
+def make_linear_method(
+    quantization: Optional[str], bias: bool = False, group_size: int = 128
+) -> LinearMethod:
+    if quantization is None or quantization == "bf16":
+        return UnquantizedLinear(bias=bias)
+    if quantization == "int8":
+        return Int8Linear(bias=bias)
+    if quantization in ("int4", "awq", "gptq"):
+        return Int4Linear(
+            group_size=group_size, bias=bias, has_zeros=quantization in ("awq", "gptq")
+        )
+    if quantization in ("fp8", "w8a8_fp8"):
+        return Fp8Linear(bias=bias)
+    raise ValueError(f"unsupported quantization: {quantization}")

@@ -1,0 +1,148 @@
+"""KV-cache pools.
+
+Parity with reference `srt/mem_cache/memory_pool.py`:
+- `ReqToTokenPool:128` (per-request page table)  -> `ReqToPagePool` here
+  (page-granular: each request slot holds its ordered page-id list, mirrored
+  into a numpy matrix for O(1) device batch assembly).
+- `MHATokenToKVPool:789` (per-layer K/V HBM buffers) -> `KVCachePool` here:
+  one fused array per layer `[num_pages, page_size, 2*kv_heads, head_dim]`
+  living on device, threaded through the jitted step with buffer donation
+  (in-place scatter). FP8 KV stores fp8_e4m3 values (reference stores uint8,
+  `memory_pool.py:710`); TPU XLA has a native fp8 dtype so no bit-packing.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.utils import cdiv, get_logger
+
+logger = get_logger(__name__)
+
+KV_DTYPE_MAP = {
+    "auto": None,  # model dtype
+    "bfloat16": jnp.bfloat16,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "fp8_e5m2": jnp.float8_e5m2,
+}
+
+
+class ReqToPagePool:
+    """Request slot -> ordered page ids (the per-request page table)."""
+
+    def __init__(self, size: int, max_pages_per_req: int):
+        self.size = size
+        self.max_pages_per_req = max_pages_per_req
+        self.page_table = np.zeros((size, max_pages_per_req), dtype=np.int32)
+        self.page_counts = np.zeros(size, dtype=np.int32)
+        self._free_slots: List[int] = list(range(size - 1, -1, -1))
+
+    def alloc(self) -> Optional[int]:
+        if not self._free_slots:
+            return None
+        return self._free_slots.pop()
+
+    def free(self, slot: int) -> None:
+        self.page_table[slot, : self.page_counts[slot]] = 0
+        self.page_counts[slot] = 0
+        self._free_slots.append(slot)
+
+    def available_size(self) -> int:
+        return len(self._free_slots)
+
+    def set_pages(self, slot: int, pages: List[int]) -> None:
+        n = len(pages)
+        assert n <= self.max_pages_per_req
+        self.page_table[slot, :n] = pages
+        self.page_table[slot, n:] = 0
+        self.page_counts[slot] = n
+
+    def append_pages(self, slot: int, pages: List[int]) -> None:
+        n = self.page_counts[slot]
+        self.page_table[slot, n : n + len(pages)] = pages
+        self.page_counts[slot] = n + len(pages)
+
+    def get_pages(self, slot: int) -> np.ndarray:
+        return self.page_table[slot, : self.page_counts[slot]]
+
+
+class KVCachePool:
+    """Device-side paged KV buffers, one per layer.
+
+    The arrays are *owned* by the ModelRunner step loop: each jitted forward
+    donates them and returns the updated arrays, so XLA updates in place.
+    """
+
+    def __init__(
+        self,
+        num_pages: int,
+        page_size: int,
+        num_layers: int,
+        num_kv_heads: int,
+        head_dim: int,
+        dtype,
+        kv_cache_dtype: str = "auto",
+        sharding: Optional[jax.sharding.NamedSharding] = None,
+    ):
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.num_layers = num_layers
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.store_dtype = KV_DTYPE_MAP[kv_cache_dtype] or dtype
+        self.kv_cache_dtype = kv_cache_dtype
+        self.sharding = sharding
+        shape = (num_pages, page_size, 2 * num_kv_heads, head_dim)
+
+        def _make():
+            return [
+                jnp.zeros(shape, dtype=self.store_dtype) for _ in range(num_layers)
+            ]
+
+        if sharding is not None:
+            self.layers = [
+                jax.device_put(jnp.zeros(shape, dtype=self.store_dtype), sharding)
+                for _ in range(num_layers)
+            ]
+        else:
+            self.layers = _make()
+        nbytes = sum(x.nbytes for x in self.layers)
+        logger.info(
+            "KV pool: %d pages x %d tokens, %d layers, %s, %.2f GiB",
+            num_pages,
+            page_size,
+            num_layers,
+            self.store_dtype.__name__ if hasattr(self.store_dtype, "__name__") else self.store_dtype,
+            nbytes / (1 << 30),
+        )
+
+    @property
+    def capacity_tokens(self) -> int:
+        return (self.num_pages - 1) * self.page_size
+
+    def bytes_per_page(self) -> int:
+        return self.layers[0].nbytes // self.num_pages * self.num_layers
+
+
+def compute_num_pages(
+    available_bytes: int,
+    page_size: int,
+    num_layers: int,
+    num_kv_heads: int,
+    head_dim: int,
+    store_dtype,
+    max_total_tokens: Optional[int] = None,
+) -> int:
+    """Size the pool from an HBM byte budget (reference
+    `model_runner_kv_cache_mixin` profile-run equivalent, computed
+    analytically from the device memory stats)."""
+    elem = jnp.dtype(store_dtype).itemsize
+    bytes_per_page = page_size * 2 * num_kv_heads * head_dim * elem * num_layers
+    num_pages = max(2, available_bytes // bytes_per_page)
+    if max_total_tokens is not None:
+        num_pages = min(num_pages, cdiv(max_total_tokens, page_size) + 1)
+    return int(num_pages)

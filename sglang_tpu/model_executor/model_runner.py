@@ -1,0 +1,291 @@
+"""Model runner: owns params, KV pool, and the bucketed jitted step functions.
+
+Parity with reference `srt/model_executor/model_runner.py:326 ModelRunner`
+(init device/model/memory pool, `forward:3300` dispatch, `sample:3493`) plus
+`cuda_graph_runner.py:578` — on TPU, bucketed `jax.jit` with donated KV
+buffers *is* the CUDA-graph mechanism: every (mode, token-bucket, seq-bucket,
+sampling-variant) tuple compiles once and replays from the XLA compilation
+cache afterwards.
+
+Step contract:
+    next_ids, token_logprobs, kv' = step(params, kv, fb, logits_idx, sinfo, rng)
+with kv donated (in-place page scatter) and every shape static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.layers.attention import create_attention_backend
+from sglang_tpu.layers.sampler import sample
+from sglang_tpu.mem_cache.memory_pool import (
+    KV_DTYPE_MAP,
+    KVCachePool,
+    compute_num_pages,
+)
+from sglang_tpu.model_executor.forward_batch_info import (
+    ForwardBatch,
+    ForwardMode,
+    make_decode_batch,
+    make_extend_batch,
+)
+from sglang_tpu.model_loader.loader import load_model_weights
+from sglang_tpu.models.registry import get_model_class
+from sglang_tpu.parallel.mesh import create_mesh, get_device_kind
+from sglang_tpu.sampling.sampling_batch_info import SamplingBatchInfo
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import cdiv, get_logger, pad_to_bucket
+
+logger = get_logger(__name__)
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_config: Optional[ModelConfig] = None,
+        mesh=None,
+    ):
+        self.server_args = server_args
+        self.model_config = model_config or ModelConfig.from_server_args(server_args)
+        self.device_kind = (
+            get_device_kind() if server_args.device == "auto" else server_args.device
+        )
+        if self.device_kind == "tpu":
+            # persistent compilation cache = persistent "CUDA graphs"
+            try:
+                jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass
+        self.mesh = mesh if mesh is not None else create_mesh(
+            tp_size=server_args.tp_size, dp_size=1
+        )
+        self.tp_size = server_args.tp_size
+
+        model_cls = get_model_class(self.model_config)
+        self.model = model_cls(self.model_config)
+        self.attn_backend = create_attention_backend(
+            server_args.attention_backend, on_tpu=self.device_kind == "tpu"
+        )
+        logger.info(
+            "model: %s, %d layers, attn backend: %s",
+            model_cls.__name__,
+            self.model.num_layers,
+            type(self.attn_backend).__name__,
+        )
+
+        self.params = load_model_weights(
+            self.model,
+            self.model_config,
+            self.mesh,
+            load_format=server_args.load_format,
+            seed=server_args.random_seed,
+        )
+        self._init_kv_pool()
+        self.rng_key = jax.random.PRNGKey(server_args.random_seed)
+        self._step_counter = 0
+        self._jit_cache = {}
+
+        # bucket ladders
+        self.decode_bs_buckets = list(server_args.decode_bs_buckets)
+        self.prefill_token_buckets = list(server_args.prefill_token_buckets)
+        self.extend_seq_bucket = min(
+            64, server_args.max_running_requests or 64, self.decode_bs_buckets[-1]
+        )
+        self.max_pages_per_req = cdiv(
+            self.model_config.context_length, server_args.page_size
+        )
+
+    # ---------------------------------------------------------------- pools
+
+    def _available_kv_bytes(self) -> int:
+        sa = self.server_args
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats["bytes_limit"]
+            used = stats["bytes_in_use"]
+            budget = int(limit * sa.mem_fraction_static) - used
+            if budget > 0:
+                return budget
+        except Exception:
+            pass
+        # CPU / unknown: default to a small pool unless max_total_tokens set
+        return 1 << 30
+
+    def _init_kv_pool(self):
+        sa = self.server_args
+        mc = self.model_config
+        store_dtype = KV_DTYPE_MAP[sa.kv_cache_dtype] or mc.dtype
+        kv_heads_local = mc.num_key_value_heads  # sharded over "model" by GSPMD
+        num_pages = compute_num_pages(
+            self._available_kv_bytes(),
+            sa.page_size,
+            mc.num_hidden_layers,
+            kv_heads_local,
+            mc.head_dim,
+            store_dtype,
+            max_total_tokens=sa.max_total_tokens,
+        )
+        kv_sharding = NamedSharding(self.mesh, P(None, None, "model", None))
+        if mc.num_key_value_heads * 2 % max(1, self.tp_size):
+            kv_sharding = NamedSharding(self.mesh, P())
+        self.kv_pool = KVCachePool(
+            num_pages=num_pages,
+            page_size=sa.page_size,
+            num_layers=mc.num_hidden_layers,
+            num_kv_heads=mc.num_key_value_heads,
+            head_dim=mc.head_dim,
+            dtype=mc.dtype,
+            kv_cache_dtype=sa.kv_cache_dtype,
+            sharding=kv_sharding,
+        )
+        self.kv_layers: List[jax.Array] = self.kv_pool.layers
+        self.num_pages = num_pages
+        self.page_size = sa.page_size
+
+    @property
+    def max_total_tokens(self) -> int:
+        return self.kv_pool.capacity_tokens
+
+    # ---------------------------------------------------------------- jit
+
+    def _get_step_fn(self):
+        key = "step"
+        if key not in self._jit_cache:
+
+            def _step(params, kv_layers, fb, logits_indices, sinfo, rng):
+                hidden, new_kv = self.model.forward(
+                    params, kv_layers, fb, self.attn_backend
+                )
+                sel = hidden[logits_indices]
+                logits = self.model.compute_logits(params, sel)
+                next_ids, tok_lp = sample(logits, sinfo, rng)
+                return next_ids, tok_lp, new_kv
+
+            self._jit_cache[key] = jax.jit(_step, donate_argnums=(1,))
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------- forward
+
+    def forward_decode(
+        self,
+        input_ids: np.ndarray,  # [b] actual
+        positions: np.ndarray,
+        out_cache_loc: np.ndarray,
+        page_table: np.ndarray,  # [b, max_pages_per_req]
+        seq_lens: np.ndarray,
+        sampling_info: SamplingBatchInfo,
+    ) -> Tuple[jax.Array, jax.Array]:
+        b = len(input_ids)
+        bb = pad_to_bucket(b, self.decode_bs_buckets)
+        fb = make_decode_batch(
+            _pad(input_ids, bb),
+            _pad(positions, bb),
+            _pad(out_cache_loc, bb),
+            _pad2(page_table, bb, self.max_pages_per_req),
+            _pad(seq_lens, bb),
+        )
+        logits_indices = jnp.arange(bb, dtype=jnp.int32)
+        return self._run(fb, logits_indices, sampling_info)
+
+    def forward_extend(
+        self,
+        input_ids: np.ndarray,  # [t] packed tokens
+        positions: np.ndarray,
+        out_cache_loc: np.ndarray,
+        page_table: np.ndarray,  # [b, max_pages_per_req]
+        seq_lens: np.ndarray,  # [b]
+        extend_lens: np.ndarray,  # [b] query lens
+        sampling_info: SamplingBatchInfo,
+    ) -> Tuple[jax.Array, jax.Array]:
+        t, b = len(input_ids), len(seq_lens)
+        tt = pad_to_bucket(t, self.prefill_token_buckets)
+        bb = pad_to_bucket(b, [self.extend_seq_bucket])
+        cu = np.zeros(bb + 1, dtype=np.int32)
+        cu[1 : b + 1] = np.cumsum(extend_lens)
+        cu[b + 1 :] = cu[b]
+        fb = make_extend_batch(
+            _pad(input_ids, tt),
+            _pad(positions, tt),
+            _pad(out_cache_loc, tt),
+            _pad2(page_table, bb, self.max_pages_per_req),
+            _pad(seq_lens, bb),
+            cu,
+        )
+        # last token of each sequence (pad rows point at token 0)
+        li = np.zeros(bb, dtype=np.int32)
+        li[:b] = cu[1 : b + 1] - 1
+        return self._run(fb, jnp.asarray(li), sampling_info)
+
+    def forward_extend_logits(
+        self,
+        input_ids: np.ndarray,
+        positions: np.ndarray,
+        out_cache_loc: np.ndarray,
+        page_table: np.ndarray,
+        seq_lens: np.ndarray,
+        extend_lens: np.ndarray,
+    ) -> np.ndarray:
+        """All-token logits for an extend batch (HF-parity tests, /v1/score,
+        prompt logprobs — reference LogitsProcessor extend-logprob path)."""
+        t, b = len(input_ids), len(seq_lens)
+        tt = pad_to_bucket(t, self.prefill_token_buckets)
+        bb = pad_to_bucket(b, [self.extend_seq_bucket])
+        cu = np.zeros(bb + 1, dtype=np.int32)
+        cu[1 : b + 1] = np.cumsum(extend_lens)
+        cu[b + 1 :] = cu[b]
+        fb = make_extend_batch(
+            _pad(input_ids, tt),
+            _pad(positions, tt),
+            _pad(out_cache_loc, tt),
+            _pad2(page_table, bb, self.max_pages_per_req),
+            _pad(seq_lens, bb),
+            cu,
+        )
+        if "logits_all" not in self._jit_cache:
+
+            def _fwd(params, kv_layers, fb):
+                hidden, new_kv = self.model.forward(
+                    params, kv_layers, fb, self.attn_backend
+                )
+                return self.model.compute_logits(params, hidden), new_kv
+
+            self._jit_cache["logits_all"] = jax.jit(_fwd, donate_argnums=(1,))
+        logits, new_kv = self._jit_cache["logits_all"](self.params, self.kv_layers, fb)
+        self.kv_layers = new_kv
+        return np.asarray(logits)[:t]
+
+    def _run(self, fb: ForwardBatch, logits_indices, sinfo: SamplingBatchInfo):
+        rng = jax.random.fold_in(self.rng_key, self._step_counter)
+        self._step_counter += 1
+        step = self._get_step_fn()
+        next_ids, tok_lp, new_kv = step(
+            self.params, self.kv_layers, fb, logits_indices, sinfo, rng
+        )
+        self.kv_layers = new_kv
+        return next_ids, tok_lp
+
+
+def _pad(arr: np.ndarray, n: int, fill=0) -> np.ndarray:
+    arr = np.asarray(arr)
+    if len(arr) == n:
+        return arr
+    out = np.full(n, fill, dtype=arr.dtype if arr.dtype != np.float64 else np.float32)
+    out[: len(arr)] = arr
+    return out
+
+
+def _pad2(arr: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    arr = np.asarray(arr)
+    out = np.zeros((rows, cols), dtype=np.int32)
+    r, c = min(arr.shape[0], rows), min(arr.shape[1], cols)
+    out[:r, :c] = arr[:r, :c]
+    return out

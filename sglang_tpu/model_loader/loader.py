@@ -1,0 +1,212 @@
+"""Model weight loaders.
+
+Parity with reference `srt/model_loader/loader.py` (`DefaultModelLoader:326`
+safetensors path, `DummyModelLoader:1294` used for hardware-free tests and
+perf benchmarking without checkpoints). Executes the model's declarative
+`WeightRule`s: read HF safetensors shards lazily, transform ([out,in] ->
+[in,out], fused concats), quantize through the layer's LinearMethod, and
+place on device with the model's GSPMD sharding.
+
+AWQ/GPTQ pre-quantized checkpoint ingestion lives in
+`sglang_tpu/quantization/ingest.py` and is dispatched from here.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.model_loader.weight_mapping import WeightRule, get_in_tree, set_in_tree
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class SafetensorsIndex:
+    """Lazy tensor-name -> shard-file resolution over an HF checkpoint dir."""
+
+    def __init__(self, model_path: str):
+        self.model_path = model_path
+        self.name_to_file: Dict[str, str] = {}
+        idx = os.path.join(model_path, "model.safetensors.index.json")
+        if os.path.isfile(idx):
+            with open(idx) as f:
+                weight_map = json.load(f)["weight_map"]
+            for name, fname in weight_map.items():
+                self.name_to_file[name] = os.path.join(model_path, fname)
+        else:
+            files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+            if not files:
+                raise FileNotFoundError(f"no safetensors in {model_path}")
+            from safetensors import safe_open
+
+            for fname in files:
+                with safe_open(fname, framework="numpy") as f:
+                    for name in f.keys():
+                        self.name_to_file[name] = fname
+        self._open_files: Dict[str, object] = {}
+
+    def has(self, name: str) -> bool:
+        return name in self.name_to_file
+
+    def get(self, name: str) -> np.ndarray:
+        from safetensors import safe_open
+
+        fname = self.name_to_file[name]
+        if fname not in self._open_files:
+            self._open_files[fname] = safe_open(fname, framework="numpy")
+        return self._open_files[fname].get_tensor(name)
+
+    def close(self):
+        self._open_files.clear()
+
+
+def _device_put_leafdict(
+    leaf: dict | np.ndarray,
+    spec_tree,
+    shape_tree,
+    mesh: Optional[Mesh],
+):
+    """Place a weight (array or dict-of-arrays) on device with sharding."""
+
+    def put(arr, spec, sds):
+        arr = np.asarray(arr)
+        target_dtype = sds.dtype
+        if target_dtype == jnp.int4:
+            out = jnp.asarray(arr, dtype=jnp.int4)
+        else:
+            out = jnp.asarray(arr, dtype=target_dtype)
+        assert out.shape == sds.shape, f"shape {out.shape} != spec {sds.shape}"
+        if mesh is not None:
+            out = jax.device_put(out, NamedSharding(mesh, spec))
+        return out
+
+    if isinstance(leaf, dict):
+        return {
+            k: put(v, spec_tree.get(k, PartitionSpec()), shape_tree[k])
+            for k, v in leaf.items()
+        }
+    return put(leaf, spec_tree, shape_tree)
+
+
+def load_model_weights(
+    model,
+    model_config: ModelConfig,
+    mesh: Optional[Mesh],
+    load_format: str = "auto",
+    seed: int = 0,
+) -> dict:
+    """Build the params pytree for `model` (a registry model instance)."""
+    if load_format == "dummy":
+        return load_dummy_weights(model, mesh, seed)
+    if model_config.quantization in ("awq", "gptq") and model_config.quant_config:
+        from sglang_tpu.quantization.ingest import load_prequantized_weights
+
+        return load_prequantized_weights(model, model_config, mesh)
+    return load_safetensors_weights(model, model_config, mesh)
+
+
+def load_safetensors_weights(
+    model, model_config: ModelConfig, mesh: Optional[Mesh]
+) -> dict:
+    index = SafetensorsIndex(model_config.model_path)
+    specs = model.param_specs()
+    shardings = model.param_shardings()
+    params: dict = {"layers": [dict() for _ in range(model.num_layers)]}
+    n_loaded = 0
+    for rule in model.weight_rules():
+        value = _execute_rule(model, rule, index)
+        if value is None:
+            continue
+        spec = get_in_tree(shardings, rule.target)
+        sds = get_in_tree(specs, rule.target)
+        set_in_tree(
+            params, rule.target, _device_put_leafdict(value, spec, sds, mesh)
+        )
+        n_loaded += 1
+    index.close()
+    logger.info("loaded %d weight groups from %s", n_loaded, model_config.model_path)
+    return params
+
+
+def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
+    kind = rule.kind
+    if kind == "linear":
+        ws = [np.asarray(index.get(s), dtype=np.float32).T for s in rule.sources]
+        w = ws[0] if len(ws) == 1 else np.concatenate(ws, axis=1)
+        method = model.get_method(rule.method_key)
+        return method.quantize(w)
+    if kind == "linear_bias":
+        bs = [np.asarray(index.get(s), dtype=np.float32) for s in rule.sources]
+        b = bs[0] if len(bs) == 1 else np.concatenate(bs, axis=0)
+        return {"b": b}
+    if kind == "embed" or kind == "norm" or kind == "raw":
+        if not index.has(rule.sources[0]):
+            return None
+        return index.get(rule.sources[0])
+    if kind == "lm_head":
+        if not index.has(rule.sources[0]):
+            return None
+        return np.asarray(index.get(rule.sources[0])).T
+    raise ValueError(kind)
+
+
+def load_dummy_weights(model, mesh: Optional[Mesh], seed: int = 0) -> dict:
+    """Deterministic random weights matching param_specs (reference
+    DummyModelLoader — enables engine tests and perf runs without a
+    checkpoint)."""
+    specs = model.param_specs()
+    shardings = model.param_shardings()
+    rng = np.random.default_rng(seed)
+
+    def init_leaf(sds: jax.ShapeDtypeStruct):
+        dt = sds.dtype
+        if dt == jnp.int4:
+            arr = rng.integers(-8, 8, size=sds.shape, dtype=np.int32)
+            return jnp.asarray(arr, dtype=jnp.int4)
+        if dt == jnp.int8:
+            return rng.integers(-127, 128, size=sds.shape, dtype=np.int64).astype(
+                np.int8
+            )
+        if jnp.dtype(dt) in (jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2)):
+            return (rng.standard_normal(sds.shape) * 0.05).astype(np.float32)
+        if np.issubdtype(np.dtype("float32"), np.floating) and "float" in str(dt):
+            scale = 0.02 if len(sds.shape) >= 2 else 1.0
+            if sds.shape and sds.shape[-1] == 1:
+                scale = 0.001
+            arr = rng.standard_normal(sds.shape) * scale
+            if len(sds.shape) == 1:
+                arr = np.ones(sds.shape)  # norm weights
+            return arr.astype(np.float32)
+        return np.zeros(sds.shape, dtype=np.float32)
+
+    # dict leaves (quantized weights) need their spec dict passed whole
+    def walk_top(spec_node, shard_node, path=()):
+        if isinstance(spec_node, dict) and all(
+            isinstance(v, jax.ShapeDtypeStruct) for v in spec_node.values()
+        ):
+            # a linear weight dict leaf
+            raw = {}
+            for k, sds in spec_node.items():
+                arr = init_leaf(sds)
+                if k == "s":
+                    arr = np.full(sds.shape, 0.01, dtype=np.float32)
+                raw[k] = arr
+            return _device_put_leafdict(raw, shard_node, spec_node, mesh)
+        if isinstance(spec_node, jax.ShapeDtypeStruct):
+            return _device_put_leafdict(init_leaf(spec_node), shard_node, spec_node, mesh)
+        if isinstance(spec_node, dict):
+            return {k: walk_top(v, shard_node[k], path + (k,)) for k, v in spec_node.items()}
+        if isinstance(spec_node, list):
+            return [walk_top(v, shard_node[i], path + (i,)) for i, v in enumerate(spec_node)]
+        raise TypeError(type(spec_node))
+
+    return walk_top(specs, shardings)

@@ -1,0 +1,48 @@
+"""Declarative HF-checkpoint -> params-pytree weight mapping.
+
+Role parity with the reference's per-model `load_weights` methods (e.g.
+`models/llama.py` stacked_params_mapping) — but declarative: each model
+returns a list of `WeightRule`s and the loader executes them, so quantization
+/ sharding / dummy-init are handled uniformly in one place.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+# How the HF tensor(s) are turned into the target leaf dict / array:
+#   "linear"      : sources are HF [out, in] weights -> transpose each to
+#                   [in, out], concat on the out axis, then quantize with the
+#                   layer's LinearMethod.
+#   "linear_bias" : sources are HF [out] biases -> concat -> the "b" entry.
+#   "embed"       : single [vocab, hidden] table, kept as-is.
+#   "lm_head"     : HF [vocab, hidden] -> transpose to [hidden, vocab].
+#   "norm"        : single [hidden] vector.
+#   "raw"         : single tensor stored untransformed.
+KINDS = ("linear", "linear_bias", "embed", "lm_head", "norm", "raw")
+
+
+@dataclass
+class WeightRule:
+    target: Tuple  # path into the params pytree, e.g. ("layers", 3, "qkv")
+    sources: List[str]  # HF safetensors tensor names, concat order
+    kind: str = "linear"
+    method_key: Optional[str] = None  # linear-method registry key (see model)
+
+    def __post_init__(self):
+        assert self.kind in KINDS, self.kind
+
+
+def set_in_tree(tree: dict, path: Sequence, value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {}) if isinstance(node, dict) else node[p]
+    node[path[-1]] = value
+
+
+def get_in_tree(tree, path: Sequence):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node

@@ -1,0 +1,276 @@
+"""Llama-family decoder (functional, TPU-first).
+
+Parity with reference `python/sglang/srt/models/llama.py:448 LlamaForCausalLM`
+(-> LlamaModel:333 -> LlamaDecoderLayer:252 -> LlamaAttention:126). Also
+covers Qwen2 (qkv bias) and Qwen3 (per-head q/k RMSNorm) via subclassing,
+like the reference's qwen2.py/qwen3.py reuse of the llama skeleton.
+
+TPU-native design:
+- Pure functions over a params pytree; no modules. The decoder loop is an
+  unrolled Python loop over per-layer dicts so each layer's KV pool array is
+  donated and updated in place (lists are pytrees; XLA sees one big graph).
+- QKV and gate/up are fused into single matmuls (MXU-friendly wide GEMMs),
+  matching reference QKVParallelLinear / MergedColumnParallelLinear.
+- Tensor parallelism is GSPMD: `param_shardings()` returns PartitionSpecs
+  (column-parallel = shard out axis on "model", row-parallel = shard in
+  axis; XLA inserts the per-layer all-reduces that the reference issues
+  manually via `tensor_model_parallel_all_reduce`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.layers.activation import silu_and_mul
+from sglang_tpu.layers.linear import LinearMethod, make_linear_method
+from sglang_tpu.layers.norms import rms_norm
+from sglang_tpu.layers.rotary import apply_rope, compute_inv_freq
+from sglang_tpu.model_executor.forward_batch_info import ForwardBatch
+from sglang_tpu.model_loader.weight_mapping import WeightRule
+
+
+def _linear_sharding(method: LinearMethod, col_parallel: bool) -> Dict[str, P]:
+    """PartitionSpecs for one linear's weight dict ([in, out] layout)."""
+    w_spec = P(None, "model") if col_parallel else P("model", None)
+    specs = {}
+    from sglang_tpu.layers.linear import (
+        Fp8Linear,
+        Int4Linear,
+        Int8Linear,
+        UnquantizedLinear,
+    )
+
+    if isinstance(method, UnquantizedLinear):
+        specs["w"] = w_spec
+    else:
+        specs["q"] = w_spec
+        if isinstance(method, Int4Linear):
+            # scales [in/g, out]: group axis follows the in axis
+            specs["s"] = P(None, "model") if col_parallel else P("model", None)
+            if method.has_zeros:
+                specs["z"] = specs["s"]
+        else:
+            specs["s"] = P(None, "model") if col_parallel else P(None, None)
+    if getattr(method, "bias", False):
+        specs["b"] = P("model") if col_parallel else P(None)
+    return specs
+
+
+class LlamaForCausalLM:
+    architectures = ["LlamaForCausalLM", "MistralForCausalLM"]
+    qkv_bias = False
+    o_bias = False
+    qk_norm = False
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        c = config
+        self.num_layers = c.num_hidden_layers
+        self.num_q_heads = c.num_attention_heads
+        self.num_kv_heads = c.num_key_value_heads
+        self.head_dim = c.head_dim
+        self.hidden_size = c.hidden_size
+        self.q_size = self.num_q_heads * self.head_dim
+        self.kv_size = self.num_kv_heads * self.head_dim
+        self.sm_scale = 1.0 / math.sqrt(self.head_dim)
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(c.head_dim, c.rope_theta, c.rope_scaling)
+        )
+        group = 128
+        if c.quant_config:
+            group = c.quant_config.get("group_size", 128)
+        self.methods: Dict[str, LinearMethod] = {
+            "qkv": make_linear_method(c.quantization, bias=self.qkv_bias, group_size=group),
+            "o": make_linear_method(c.quantization, bias=self.o_bias, group_size=group),
+            "gate_up": make_linear_method(c.quantization, group_size=group),
+            "down": make_linear_method(c.quantization, group_size=group),
+        }
+        self.sliding_window = -1  # full attention (Mistral SWA set by subclass)
+
+    # ------------------------------------------------------------- specs
+
+    def _layer_specs(self) -> Tuple[dict, dict]:
+        c = self.config
+        dt = c.dtype
+        h, inter = self.hidden_size, c.intermediate_size
+        shapes = {
+            "input_norm": jax.ShapeDtypeStruct((h,), dt),
+            "post_norm": jax.ShapeDtypeStruct((h,), dt),
+            "qkv": self.methods["qkv"].weight_shapes(h, self.q_size + 2 * self.kv_size, dt),
+            "o": self.methods["o"].weight_shapes(self.q_size, h, dt),
+            "gate_up": self.methods["gate_up"].weight_shapes(h, 2 * inter, dt),
+            "down": self.methods["down"].weight_shapes(inter, h, dt),
+        }
+        specs = {
+            "input_norm": P(None),
+            "post_norm": P(None),
+            "qkv": _linear_sharding(self.methods["qkv"], col_parallel=True),
+            "o": _linear_sharding(self.methods["o"], col_parallel=False),
+            "gate_up": _linear_sharding(self.methods["gate_up"], col_parallel=True),
+            "down": _linear_sharding(self.methods["down"], col_parallel=False),
+        }
+        if self.qk_norm:
+            shapes["q_norm"] = jax.ShapeDtypeStruct((self.head_dim,), dt)
+            shapes["k_norm"] = jax.ShapeDtypeStruct((self.head_dim,), dt)
+            specs["q_norm"] = P(None)
+            specs["k_norm"] = P(None)
+        return shapes, specs
+
+    def param_specs(self) -> dict:
+        c = self.config
+        dt = c.dtype
+        layer_shapes, _ = self._layer_specs()
+        tree = {
+            "embed": jax.ShapeDtypeStruct((c.vocab_size, c.hidden_size), dt),
+            "layers": [dict(layer_shapes) for _ in range(self.num_layers)],
+            "final_norm": jax.ShapeDtypeStruct((c.hidden_size,), dt),
+        }
+        if not c.tie_word_embeddings:
+            tree["lm_head"] = jax.ShapeDtypeStruct((c.hidden_size, c.vocab_size), dt)
+        return tree
+
+    def param_shardings(self) -> dict:
+        _, layer_specs = self._layer_specs()
+        tree = {
+            "embed": P(None, "model"),
+            "layers": [dict(layer_specs) for _ in range(self.num_layers)],
+            "final_norm": P(None),
+        }
+        if not self.config.tie_word_embeddings:
+            tree["lm_head"] = P(None, "model")
+        return tree
+
+    # ------------------------------------------------------------- loading
+
+    hf_prefix = "model"
+
+    def weight_rules(self) -> List[WeightRule]:
+        pre = self.hf_prefix
+        rules = [
+            WeightRule(("embed",), [f"{pre}.embed_tokens.weight"], kind="embed"),
+            WeightRule(("final_norm",), [f"{pre}.norm.weight"], kind="norm"),
+        ]
+        if not self.config.tie_word_embeddings:
+            rules.append(WeightRule(("lm_head",), ["lm_head.weight"], kind="lm_head"))
+        for i in range(self.num_layers):
+            lp = f"{pre}.layers.{i}"
+            L = ("layers", i)
+            rules += [
+                WeightRule(L + ("input_norm",), [f"{lp}.input_layernorm.weight"], kind="norm"),
+                WeightRule(L + ("post_norm",), [f"{lp}.post_attention_layernorm.weight"], kind="norm"),
+                WeightRule(
+                    L + ("qkv",),
+                    [
+                        f"{lp}.self_attn.q_proj.weight",
+                        f"{lp}.self_attn.k_proj.weight",
+                        f"{lp}.self_attn.v_proj.weight",
+                    ],
+                    kind="linear",
+                    method_key="qkv",
+                ),
+                WeightRule(L + ("o",), [f"{lp}.self_attn.o_proj.weight"], kind="linear", method_key="o"),
+                WeightRule(
+                    L + ("gate_up",),
+                    [f"{lp}.mlp.gate_proj.weight", f"{lp}.mlp.up_proj.weight"],
+                    kind="linear",
+                    method_key="gate_up",
+                ),
+                WeightRule(L + ("down",), [f"{lp}.mlp.down_proj.weight"], kind="linear", method_key="down"),
+            ]
+            if self.qkv_bias:
+                rules.append(
+                    WeightRule(
+                        L + ("qkv", "b"),
+                        [
+                            f"{lp}.self_attn.q_proj.bias",
+                            f"{lp}.self_attn.k_proj.bias",
+                            f"{lp}.self_attn.v_proj.bias",
+                        ],
+                        kind="linear_bias",
+                    )
+                )
+            if self.qk_norm:
+                rules += [
+                    WeightRule(L + ("q_norm",), [f"{lp}.self_attn.q_norm.weight"], kind="norm"),
+                    WeightRule(L + ("k_norm",), [f"{lp}.self_attn.k_norm.weight"], kind="norm"),
+                ]
+        return rules
+
+    def get_method(self, key: str) -> LinearMethod:
+        return self.methods[key]
+
+    # ------------------------------------------------------------- forward
+
+    def forward(
+        self,
+        params: dict,
+        kv_layers: List[jax.Array],
+        fb: ForwardBatch,
+        attn_backend,
+    ) -> Tuple[jax.Array, List[jax.Array]]:
+        c = self.config
+        t = fb.input_ids.shape[0]
+        h = params["embed"][fb.input_ids]  # [T, H]
+        new_kv: List[jax.Array] = []
+        for i in range(self.num_layers):
+            lp = params["layers"][i]
+            # --- attention block ---
+            normed = rms_norm(h, lp["input_norm"], c.rms_norm_eps)
+            qkv = self.methods["qkv"].apply(lp["qkv"], normed)
+            q = qkv[:, : self.q_size].reshape(t, self.num_q_heads, self.head_dim)
+            k = qkv[:, self.q_size : self.q_size + self.kv_size].reshape(
+                t, self.num_kv_heads, self.head_dim
+            )
+            v = qkv[:, self.q_size + self.kv_size :].reshape(
+                t, self.num_kv_heads, self.head_dim
+            )
+            if self.qk_norm:
+                q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
+            q = apply_rope(q, fb.positions, self.inv_freq)
+            k = apply_rope(k, fb.positions, self.inv_freq)
+            attn_out, kv_i = attn_backend(
+                q,
+                k,
+                v,
+                kv_layers[i],
+                fb,
+                self.sm_scale,
+                sliding_window=self.sliding_window,
+            )
+            new_kv.append(kv_i)
+            attn_out = attn_out.reshape(t, self.q_size)
+            h = h + self.methods["o"].apply(lp["o"], attn_out)
+            # --- MLP block ---
+            normed = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
+            gate_up = self.methods["gate_up"].apply(lp["gate_up"], normed)
+            h = h + self.methods["down"].apply(lp["down"], silu_and_mul(gate_up))
+        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        return h, new_kv
+
+    def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
+        """hidden [N, H] -> logits [N, vocab] in fp32 (reference
+        `layers/logits_processor.py:241` — last-token pruning happens in the
+        runner by selecting `hidden` rows before calling this)."""
+        if self.config.tie_word_embeddings:
+            w = params["embed"].T
+        else:
+            w = params["lm_head"]
+        return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+
+
+class Qwen2ForCausalLM(LlamaForCausalLM):
+    architectures = ["Qwen2ForCausalLM"]
+    qkv_bias = True
+
+
+class Qwen3ForCausalLM(LlamaForCausalLM):
+    architectures = ["Qwen3ForCausalLM"]
+    qkv_bias = False
+    qk_norm = True

@@ -1,0 +1,64 @@
+"""Model registry.
+
+Parity with reference `srt/models/registry.py:95 import_model_classes`
+(EntryClass auto-discovery). Explicit registration here — model classes
+declare `architectures` and are resolved from the HF config.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Type
+
+from sglang_tpu.configs.model_config import ModelConfig
+
+_REGISTRY: Dict[str, type] = {}
+
+
+def register_model(cls) -> type:
+    for arch in cls.architectures:
+        _REGISTRY[arch] = cls
+    return cls
+
+
+def _populate():
+    if _REGISTRY:
+        return
+    from sglang_tpu.models.llama import (
+        LlamaForCausalLM,
+        Qwen2ForCausalLM,
+        Qwen3ForCausalLM,
+    )
+
+    for cls in (LlamaForCausalLM, Qwen2ForCausalLM, Qwen3ForCausalLM):
+        register_model(cls)
+    try:
+        from sglang_tpu.models.mixtral import MixtralForCausalLM
+        from sglang_tpu.models.qwen2_moe import Qwen2MoeForCausalLM, Qwen3MoeForCausalLM
+
+        register_model(MixtralForCausalLM)
+        register_model(Qwen2MoeForCausalLM)
+        register_model(Qwen3MoeForCausalLM)
+    except ImportError:
+        pass
+    try:
+        from sglang_tpu.models.gemma2 import Gemma2ForCausalLM
+
+        register_model(Gemma2ForCausalLM)
+    except ImportError:
+        pass
+
+
+def get_model_class(config: ModelConfig) -> type:
+    _populate()
+    for arch in config.architectures:
+        if arch in _REGISTRY:
+            return _REGISTRY[arch]
+    raise ValueError(
+        f"no registered model for architectures {config.architectures}; "
+        f"known: {sorted(_REGISTRY)}"
+    )
+
+
+def list_architectures():
+    _populate()
+    return sorted(_REGISTRY)

@@ -1,0 +1,224 @@
+"""Server/engine configuration.
+
+Parity with the reference's `python/sglang/srt/server_args.py:357 ServerArgs`
+(an ~8k-LoC dataclass); this is the same idea redesigned for a TPU-native
+engine: one typed dataclass carrying every knob, a CLI binding, and a
+`__post_init__` that derives defaults (bucket ladders, memory budgets, mesh
+shape) from the model + hardware instead of CUDA-specific backends.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import random
+import tempfile
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from sglang_tpu.utils import get_logger, next_power_of_2, round_up
+
+logger = get_logger(__name__)
+
+SCHEDULE_POLICIES = ["lpm", "fcfs", "lof", "random", "dfs-weight", "priority"]
+LOAD_FORMATS = ["auto", "safetensors", "dummy"]
+QUANT_METHODS = [None, "int8", "int4", "awq", "gptq", "fp8", "w8a8_int8", "w8a8_fp8"]
+KV_CACHE_DTYPES = ["auto", "bfloat16", "fp8_e4m3", "fp8_e5m2"]
+ATTENTION_BACKENDS = ["auto", "pallas", "reference"]
+GRAMMAR_BACKENDS = ["native", "none"]
+SPEC_ALGORITHMS = [None, "NGRAM", "EAGLE"]
+
+
+@dataclass
+class ServerArgs:
+    # --- Model & tokenizer ---
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None
+    trust_remote_code: bool = False
+    context_length: Optional[int] = None  # override model max len
+    dtype: str = "bfloat16"
+    load_format: str = "auto"
+    model_override_args: Optional[str] = None  # JSON dict merged into HF config
+    revision: Optional[str] = None
+    served_model_name: Optional[str] = None
+
+    # --- Quantization ---
+    quantization: Optional[str] = None
+    kv_cache_dtype: str = "auto"
+
+    # --- Memory / KV cache ---
+    mem_fraction_static: Optional[float] = None
+    max_total_tokens: Optional[int] = None  # KV pool capacity in tokens
+    page_size: int = 64  # tokens per KV page (TPU: multiple of 8 sublanes)
+    max_num_reqs: Optional[int] = None
+
+    # --- Scheduling ---
+    schedule_policy: str = "lpm"
+    schedule_conservativeness: float = 1.0
+    chunked_prefill_size: int = 2048
+    max_prefill_tokens: int = 8192
+    max_running_requests: Optional[int] = None
+    stream_interval: int = 8
+    disable_radix_cache: bool = False
+    enable_overlap_schedule: bool = True
+    retract_decode_steps: int = 20
+    max_queued_requests: Optional[int] = None
+
+    # --- Shape bucketing (the TPU "CUDA graph" equivalent) ---
+    decode_bs_buckets: Optional[List[int]] = None
+    prefill_token_buckets: Optional[List[int]] = None
+
+    # --- Parallelism ---
+    tp_size: int = 1
+    dp_size: int = 1
+    nnodes: int = 1
+    node_rank: int = 0
+    dist_init_addr: Optional[str] = None
+
+    # --- Attention / kernels ---
+    attention_backend: str = "auto"
+
+    # --- Sampling / constrained decoding ---
+    grammar_backend: str = "native"
+    constrained_json_whitespace_pattern: Optional[str] = None
+
+    # --- Speculative decoding ---
+    speculative_algorithm: Optional[str] = None
+    speculative_num_draft_tokens: int = 4
+    speculative_ngram_min_match: int = 1
+    speculative_ngram_max_match: int = 4
+    speculative_draft_model_path: Optional[str] = None
+    speculative_eagle_topk: int = 4
+    speculative_num_steps: int = 3
+
+    # --- LoRA ---
+    lora_paths: Optional[List[str]] = None
+    max_loras_per_batch: int = 4
+    max_lora_rank: Optional[int] = None
+
+    # --- Server ---
+    host: str = "127.0.0.1"
+    port: int = 30000
+    api_key: Optional[str] = None
+    log_level: str = "info"
+    log_requests: bool = False
+    show_time_cost: bool = False
+    enable_metrics: bool = False
+
+    # --- Misc ---
+    random_seed: Optional[int] = None
+    skip_tokenizer_init: bool = False
+    watchdog_timeout: float = 300.0
+    device: str = "auto"  # auto | tpu | cpu
+
+    def __post_init__(self):
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
+        if self.random_seed is None:
+            self.random_seed = random.randint(0, 2**31 - 1)
+        if self.quantization == "awq" or self.quantization == "gptq":
+            pass  # group-wise int4; resolved by checkpoint config at load
+        if self.kv_cache_dtype not in KV_CACHE_DTYPES:
+            raise ValueError(f"bad kv_cache_dtype {self.kv_cache_dtype}")
+        if self.schedule_policy not in SCHEDULE_POLICIES:
+            raise ValueError(f"bad schedule_policy {self.schedule_policy}")
+        if self.page_size % 8 != 0:
+            raise ValueError("page_size must be a multiple of 8 (TPU sublanes)")
+        if self.decode_bs_buckets is None:
+            self.decode_bs_buckets = [8, 16, 32, 64, 128, 256]
+        if self.prefill_token_buckets is None:
+            cap = max(512, next_power_of_2(self.chunked_prefill_size))
+            b, buckets = 512, []
+            while b <= cap:
+                buckets.append(b)
+                b *= 2
+            if buckets[-1] < cap:
+                buckets.append(cap)
+            self.prefill_token_buckets = buckets
+        self.decode_bs_buckets = sorted(set(self.decode_bs_buckets))
+        self.prefill_token_buckets = sorted(set(self.prefill_token_buckets))
+        if self.mem_fraction_static is None:
+            self.mem_fraction_static = 0.85
+        if self.chunked_prefill_size % self.page_size != 0:
+            self.chunked_prefill_size = round_up(
+                self.chunked_prefill_size, self.page_size
+            )
+        if self.speculative_algorithm is not None:
+            self.speculative_algorithm = self.speculative_algorithm.upper()
+            if self.speculative_algorithm not in ("NGRAM", "EAGLE"):
+                raise ValueError(
+                    f"bad speculative_algorithm {self.speculative_algorithm}"
+                )
+            # Overlap scheduling and spec decoding both reorder the sample
+            # feedback path; run spec decoding in the simple loop first.
+            self.enable_overlap_schedule = False
+
+    # ------------------------------------------------------------------ CLI
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> None:
+        defaults = ServerArgs(model_path="-")
+        for f in dataclasses.fields(ServerArgs):
+            name = "--" + f.name.replace("_", "-")
+            default = getattr(defaults, f.name)
+            if f.type == "bool" or isinstance(default, bool):
+                parser.add_argument(
+                    name,
+                    action="store_true" if not default else "store_false",
+                    default=default,
+                )
+            elif f.name in ("decode_bs_buckets", "prefill_token_buckets", "lora_paths"):
+                parser.add_argument(name, nargs="*", default=None)
+            else:
+                typ = type(default) if default is not None else str
+                if typ not in (int, float, str):
+                    typ = str
+                parser.add_argument(name, type=typ, default=default)
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        kwargs = {
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(cls)
+            if hasattr(args, f.name)
+        }
+        if kwargs.get("decode_bs_buckets"):
+            kwargs["decode_bs_buckets"] = [int(x) for x in kwargs["decode_bs_buckets"]]
+        if kwargs.get("prefill_token_buckets"):
+            kwargs["prefill_token_buckets"] = [
+                int(x) for x in kwargs["prefill_token_buckets"]
+            ]
+        return cls(**kwargs)
+
+    def model_override(self) -> dict:
+        if not self.model_override_args:
+            return {}
+        return json.loads(self.model_override_args)
+
+
+@dataclass
+class PortArgs:
+    """In-process queue names / socket addrs (reference `server_args.py:7805`).
+
+    The reference allocates ZMQ IPC endpoints between its tokenizer /
+    scheduler / detokenizer subprocesses. On TPU hosts the engine is a
+    single process (JAX is multi-controller across hosts), so these are
+    only used by the HTTP server and multi-host control channel.
+    """
+
+    scheduler_input_ipc: str = ""
+    detokenizer_ipc: str = ""
+    http_port: int = 30000
+
+    @classmethod
+    def init_new(cls, server_args: ServerArgs) -> "PortArgs":
+        base = tempfile.mkdtemp(prefix="sglang_tpu_")
+        return cls(
+            scheduler_input_ipc=os.path.join(base, "scheduler"),
+            detokenizer_ipc=os.path.join(base, "detokenizer"),
+            http_port=server_args.port,
+        )
