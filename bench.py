@@ -1,0 +1,172 @@
+"""Offline throughput benchmark — prints ONE JSON line.
+
+Methodology parity with reference `python/sglang/bench_serving.py` offline
+mode (`--dataset-name random`, infinite request rate; output throughput =
+generated tokens / wall time) against the in-repo baseline
+`BASELINE.md`: Llama-3.1-8B offline output throughput > 3800 tok/s on the
+reference's 1-GPU CI runner (test_bench_serving_1gpu_part1.py:43).
+
+Runs the real engine (scheduler + radix cache + paged KV + bucketed jit)
+with dummy weights in Llama-3.1-8B geometry on whatever single chip is
+available. Set BENCH_TINY=1 for a CPU smoke run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TOKS = 3800.0  # reference CI floor, 1 GPU
+
+
+def llama8b_cfg():
+    return dict(
+        architectures=["LlamaForCausalLM"],
+        model_type="llama",
+        hidden_size=4096,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        intermediate_size=14336,
+        vocab_size=128256,
+        max_position_embeddings=8192,
+        rms_norm_eps=1e-5,
+        rope_theta=500000.0,
+        tie_word_embeddings=False,
+        bos_token_id=128000,
+        eos_token_id=128001,
+    )
+
+
+def tiny_cfg():
+    return dict(
+        architectures=["LlamaForCausalLM"],
+        model_type="llama",
+        hidden_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        intermediate_size=512,
+        vocab_size=1024,
+        max_position_embeddings=2048,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+
+
+def main():
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    quant = os.environ.get("BENCH_QUANT")  # e.g. "int8"
+    num_prompts = int(os.environ.get("BENCH_NUM_PROMPTS", "16" if tiny else "100"))
+
+    if tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from sglang_tpu.managers.scheduler import Scheduler
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    hf = tiny_cfg() if tiny else llama8b_cfg()
+    sa = ServerArgs(
+        model_path="bench-llama-8b" if not tiny else "bench-tiny",
+        load_format="dummy",
+        quantization=quant,
+        skip_tokenizer_init=True,
+        random_seed=0,
+        log_level="warning",
+        context_length=2048,
+        max_total_tokens=4096 if tiny else None,
+        mem_fraction_static=0.85,
+        page_size=64 if not tiny else 16,
+        max_prefill_tokens=4096,
+        chunked_prefill_size=4096,
+        decode_bs_buckets=[8, 16, 32, 64, 128, 256],
+        prefill_token_buckets=[512, 1024, 2048, 4096],
+        max_running_requests=256,
+        device="cpu" if tiny else "auto",
+    )
+    mc = ModelConfig.from_hf_dict(
+        hf,
+        model_path=sa.model_path,
+        dtype=sa.dtype,
+        context_length=sa.context_length,
+        quantization=sa.quantization,
+        kv_cache_dtype=sa.kv_cache_dtype,
+    )
+    t0 = time.perf_counter()
+    runner = ModelRunner(sa, mc)
+    sched = Scheduler(sa, runner)
+    print(f"# engine up in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # random-dataset workload (reference blog_v0_2 methodology, scaled to
+    # one round): input 128..512, output 64..256, infinite request rate
+    rng = np.random.default_rng(0)
+    in_lens = rng.integers(128, 512, size=num_prompts)
+    out_lens = rng.integers(64, 256, size=num_prompts)
+    if tiny:
+        in_lens, out_lens = in_lens // 8, out_lens // 8
+
+    # warmup: compile extend + decode buckets
+    warm = TokenizedGenerateReqInput(
+        rid="warmup",
+        input_ids=rng.integers(3, mc.vocab_size - 1, size=int(in_lens[0])).tolist(),
+        sampling_params=SamplingParams(
+            max_new_tokens=8, ignore_eos=True, temperature=0.0
+        ),
+    )
+    sched.add_request(warm)
+    while sched.has_work():
+        sched.step()
+    print(f"# warmup done at {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    for i in range(num_prompts):
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid=f"r{i}",
+                input_ids=rng.integers(
+                    3, mc.vocab_size - 1, size=int(in_lens[i])
+                ).tolist(),
+                sampling_params=SamplingParams(
+                    max_new_tokens=int(out_lens[i]),
+                    ignore_eos=True,
+                    temperature=0.0,
+                ),
+            )
+        )
+    t1 = time.perf_counter()
+    done = 0
+    gen_tokens = 0
+    while sched.has_work():
+        for out in sched.step():
+            if out.finished:
+                done += 1
+                gen_tokens += out.completion_tokens
+    elapsed = time.perf_counter() - t1
+    assert done == num_prompts, f"{done}/{num_prompts} finished"
+    toks_per_s = gen_tokens / elapsed
+
+    result = {
+        "metric": "offline_output_throughput_llama8b_bf16"
+        if not tiny
+        else "offline_output_throughput_tiny_cpu",
+        "value": round(toks_per_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(toks_per_s / BASELINE_TOKS, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

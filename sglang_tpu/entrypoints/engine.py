@@ -1,0 +1,194 @@
+"""Offline Python engine API.
+
+Parity with reference `srt/entrypoints/engine.py:178 class Engine`
+(`generate:314` building a `GenerateReqInput` and driving the tokenizer
+manager). TPU-native difference: no subprocess tree (`_launch_subprocesses`
+`:740`) — the engine, scheduler, and model live in ONE process per host
+because JAX is multi-controller; `Engine.generate` pumps `Scheduler.step()`
+directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+import uuid
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+from sglang_tpu.managers.io_struct import (
+    GenerateReqInput,
+    ReqStrOutput,
+    TokenizedGenerateReqInput,
+)
+from sglang_tpu.managers.scheduler import Scheduler
+from sglang_tpu.model_executor.model_runner import ModelRunner
+from sglang_tpu.sampling.sampling_params import SamplingParams
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import configure_logger, get_logger
+
+logger = get_logger(__name__)
+
+
+def _load_tokenizer(server_args: ServerArgs):
+    if server_args.skip_tokenizer_init:
+        return None
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(
+        server_args.tokenizer_path,
+        trust_remote_code=server_args.trust_remote_code,
+        revision=server_args.revision,
+    )
+
+
+class Engine:
+    """In-process serving engine: tokenize -> schedule -> detokenize."""
+
+    def __init__(self, server_args: Optional[ServerArgs] = None, **kwargs):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        configure_logger(server_args.log_level.upper())
+        self.server_args = server_args
+        self.tokenizer = _load_tokenizer(server_args)
+        self.runner = ModelRunner(server_args)
+        self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)
+        logger.info(
+            "engine ready: %s, kv capacity %d tokens",
+            server_args.model_path,
+            self.runner.max_total_tokens,
+        )
+
+    # ------------------------------------------------------------ generate
+
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        return_logprob: bool = False,
+        top_logprobs_num: int = 0,
+        stream: bool = False,
+        rid: Optional[Union[str, List[str]]] = None,
+    ) -> Union[Dict, List[Dict], Iterator[Dict]]:
+        """Synchronous generation (batch or single). With `stream=True` and a
+        single prompt, returns an iterator of incremental dicts."""
+        gri = GenerateReqInput(
+            text=prompt,
+            input_ids=input_ids,
+            sampling_params=sampling_params,
+            rid=rid,
+            return_logprob=return_logprob,
+            top_logprobs_num=top_logprobs_num,
+            stream=stream,
+        )
+        was_batch = gri.is_batch()
+        singles = gri.unbatch()
+        treqs = [self._tokenize_one(g) for g in singles]
+        if stream and not was_batch:
+            return self._stream_one(treqs[0])
+        results = self._run_to_completion(treqs)
+        outs = [self._to_dict(results[t.rid]) for t in treqs]
+        return outs if was_batch else outs[0]
+
+    def _tokenize_one(self, g: GenerateReqInput) -> TokenizedGenerateReqInput:
+        if g.input_ids is not None:
+            ids = list(g.input_ids)
+        else:
+            if self.tokenizer is None:
+                raise ValueError("text input requires a tokenizer")
+            ids = self.tokenizer.encode(g.text)
+        sp = (
+            g.sampling_params
+            if isinstance(g.sampling_params, SamplingParams)
+            else SamplingParams.from_dict(g.sampling_params)
+        )
+        return TokenizedGenerateReqInput(
+            rid=g.rid or uuid.uuid4().hex,
+            input_ids=ids,
+            sampling_params=sp,
+            return_logprob=g.return_logprob,
+            top_logprobs_num=g.top_logprobs_num,
+            stream=g.stream,
+            arrival_time=time.monotonic(),
+        )
+
+    def _run_to_completion(
+        self, treqs: List[TokenizedGenerateReqInput]
+    ) -> Dict[str, ReqStrOutput]:
+        pending = set()
+        for t in treqs:
+            self.scheduler.add_request(t)
+            pending.add(t.rid)
+        results: Dict[str, ReqStrOutput] = {}
+        while pending and self.scheduler.has_work():
+            for out in self.scheduler.step():
+                if out.finished:
+                    results[out.rid] = out
+                    pending.discard(out.rid)
+        return results
+
+    def _stream_one(self, treq: TokenizedGenerateReqInput) -> Iterator[Dict]:
+        self.scheduler.add_request(treq)
+        done = False
+        while not done and self.scheduler.has_work():
+            for out in self.scheduler.step():
+                if out.rid != treq.rid:
+                    continue
+                yield self._to_dict(out)
+                if out.finished:
+                    done = True
+
+    def _to_dict(self, out: ReqStrOutput) -> Dict[str, Any]:
+        d = {
+            "text": out.output_str,
+            "output_ids": out.output_ids,
+            "meta_info": {
+                "id": out.rid,
+                "finish_reason": out.finish_reason.to_json()
+                if out.finish_reason
+                else None,
+                "prompt_tokens": out.prompt_tokens,
+                "completion_tokens": out.completion_tokens,
+                "cached_tokens": out.cached_tokens,
+            },
+        }
+        if out.ttft is not None:
+            d["meta_info"]["ttft"] = out.ttft
+        if out.output_token_logprobs is not None:
+            d["meta_info"]["output_token_logprobs"] = out.output_token_logprobs
+        return d
+
+    # ------------------------------------------------------------- control
+
+    def flush_cache(self) -> bool:
+        return self.scheduler.flush_cache()
+
+    def abort_request(self, rid: str) -> bool:
+        return self.scheduler.abort_request(rid)
+
+    def get_server_info(self) -> Dict[str, Any]:
+        s = self.scheduler.stats
+        return {
+            "model_path": self.server_args.model_path,
+            "max_total_tokens": self.runner.max_total_tokens,
+            "page_size": self.server_args.page_size,
+            "tp_size": self.server_args.tp_size,
+            "version": _version(),
+            "stats": {
+                "prefill_tokens": s.num_prefill_tokens,
+                "decode_tokens": s.num_decode_tokens,
+                "cached_tokens": s.num_cached_tokens,
+                "cache_hit_rate": s.cache_hit_rate(),
+                "finished": s.num_finished,
+                "retractions": s.num_retractions,
+            },
+        }
+
+    def shutdown(self):
+        pass  # single-process: nothing to tear down
+
+
+def _version() -> str:
+    from sglang_tpu.version import __version__
+
+    return __version__

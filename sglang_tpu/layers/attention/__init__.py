@@ -9,9 +9,19 @@ def create_attention_backend(name: str, on_tpu: bool):
     if name == "reference":
         return ReferenceAttentionBackend()
     if name == "pallas":
-        from sglang_tpu.layers.attention.pallas_backend import PallasAttentionBackend
+        try:
+            from sglang_tpu.layers.attention.pallas_backend import (
+                PallasAttentionBackend,
+            )
 
-        return PallasAttentionBackend()
+            return PallasAttentionBackend()
+        except ImportError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pallas backend unavailable; falling back to reference"
+            )
+            return ReferenceAttentionBackend()
     raise ValueError(f"unknown attention backend: {name}")
 
 

@@ -7,9 +7,10 @@ step; there is no CUDA-graph capture hook because bucketed `jax.jit` *is*
 the graph capture.
 
 KV page layout (all backends): `[num_pages, page_size, 2 * kv_heads, head_dim]`
-with K at head index 2h and V at 2h+1 — one contiguous page holds K and V for
-all heads so a single DMA streams both (the ragged-paged-attention layout,
-see PAPERS.md).
+with K heads first (indices 0..kvh-1) and V heads second (kvh..2kvh-1) — one
+contiguous page holds K and V for all heads so a single DMA streams both,
+and K/V are contiguous sub-blocks (unit-stride slices inside a Pallas
+kernel's VMEM buffer).
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def write_kv_pages(
     """
     num_pages, page_size, two_kvh, d = pages.shape
     t, kvh, _ = k_new.shape
-    kv = jnp.stack([k_new, v_new], axis=2).reshape(t, two_kvh, d)
+    kv = jnp.concatenate([k_new, v_new], axis=1)  # [T, 2kvh, d], K block first
     flat = pages.reshape(num_pages * page_size, two_kvh, d)
     flat = flat.at[out_cache_loc].set(kv.astype(flat.dtype))
     return flat.reshape(pages.shape)

@@ -23,8 +23,9 @@ def _gather_kv(pages: jax.Array, page_table: jax.Array):
     _, ps, two_kvh, d = pages.shape
     kv = pages[page_table]  # [B, Pmax, ps, 2kvh, d]
     kv = kv.reshape(b, pmax * ps, two_kvh, d)
-    k = kv[:, :, 0::2, :]
-    v = kv[:, :, 1::2, :]
+    kvh = two_kvh // 2
+    k = kv[:, :, :kvh, :]
+    v = kv[:, :, kvh:, :]
     return k, v
 
 

@@ -1,0 +1,444 @@
+"""Continuous-batching scheduler.
+
+Parity with reference `srt/managers/scheduler.py:332 Scheduler`
+(`event_loop_normal:1586`, `get_next_batch_to_run:2534`,
+`get_new_batch_prefill:2660`, `update_running_batch:2952`, `run_batch:3050`,
+`process_batch_result:3224`) redesigned for a single-process TPU host:
+
+- The scheduler is *pulled* (`step()`), not an event loop — the Engine (or
+  the HTTP server's pump thread) drives it, which keeps the whole engine in
+  one process per host (JAX is multi-controller; every host runs the same
+  schedule, see SURVEY §7.6).
+- Prefill-priority policy identical to the reference: each step runs either
+  one extend (prefill/chunked-prefill) batch or one decode round.
+- Page + radix bookkeeping uses the fused ref-counting protocol documented
+  in `schedule_batch.py`.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+from typing import Deque, Dict, List, Optional
+
+import numpy as np
+
+from sglang_tpu.managers.detokenizer import IncrementalDecoder
+from sglang_tpu.managers.io_struct import (
+    FinishReason,
+    ReqStrOutput,
+    TokenizedGenerateReqInput,
+)
+from sglang_tpu.managers.schedule_batch import Req, ReqStatus, ScheduleBatch
+from sglang_tpu.managers.schedule_policy import (
+    AddReqResult,
+    PrefillAdder,
+    SchedulePolicy,
+)
+from sglang_tpu.mem_cache.allocator import PageAllocator
+from sglang_tpu.mem_cache.radix_cache import RadixCache
+from sglang_tpu.model_executor.model_runner import ModelRunner
+from sglang_tpu.sampling.sampling_batch_info import SamplingBatchInfo
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import get_logger, round_down
+
+logger = get_logger(__name__)
+
+
+class SchedulerStats:
+    """Counters surfaced at /metrics (reference
+    `observability/metrics_collector.py:186 SchedulerMetricsCollector`)."""
+
+    def __init__(self):
+        self.num_prefill_tokens = 0
+        self.num_decode_tokens = 0
+        self.num_cached_tokens = 0
+        self.num_finished = 0
+        self.num_retractions = 0
+        self.num_prefill_steps = 0
+        self.num_decode_steps = 0
+
+    def cache_hit_rate(self) -> float:
+        total = self.num_prefill_tokens + self.num_cached_tokens
+        return self.num_cached_tokens / total if total else 0.0
+
+
+class Scheduler:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_runner: Optional[ModelRunner] = None,
+        tokenizer=None,
+    ):
+        self.server_args = server_args
+        self.tokenizer = tokenizer
+        self.runner = model_runner or ModelRunner(server_args)
+        self.page_size = server_args.page_size
+
+        self.allocator = PageAllocator(self.runner.num_pages, self.page_size)
+        self.radix_cache = RadixCache(
+            self.allocator,
+            self.page_size,
+            disable=server_args.disable_radix_cache,
+        )
+        self.allocator.evict_callback = self.radix_cache.evict
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.radix_cache)
+
+        self.waiting_queue: List[Req] = []
+        self.running_batch = ScheduleBatch(
+            [], self.allocator, self.radix_cache, self.runner.max_pages_per_req
+        )
+        self.chunked_req: Optional[Req] = None
+        self.max_running_requests = min(
+            server_args.max_running_requests or 1 << 30,
+            self.runner.decode_bs_buckets[-1],
+        )
+        self.max_extend_reqs = self.runner.extend_seq_bucket
+        self.max_queued_requests = server_args.max_queued_requests
+        self.max_context_len = self.runner.model_config.context_length
+
+        self.reqs: Dict[str, Req] = {}  # rid -> live req
+        self.stats = SchedulerStats()
+        self._step_i = 0
+
+    # ----------------------------------------------------------- admission
+
+    def add_request(self, treq: TokenizedGenerateReqInput) -> Req:
+        if (
+            self.max_queued_requests is not None
+            and len(self.waiting_queue) >= self.max_queued_requests
+        ):
+            raise RuntimeError("request queue is full")
+        if len(treq.input_ids) >= self.max_context_len:
+            raise ValueError(
+                f"prompt ({len(treq.input_ids)} tokens) exceeds context length "
+                f"{self.max_context_len}"
+            )
+        req = Req(
+            rid=treq.rid,
+            input_ids=treq.input_ids,
+            sampling_params=treq.sampling_params,
+            eos_token_ids=self.runner.model_config.eos_token_ids,
+            return_logprob=treq.return_logprob,
+            top_logprobs_num=treq.top_logprobs_num,
+            stream=treq.stream,
+            arrival_time=treq.arrival_time or time.monotonic(),
+            priority=treq.priority,
+        )
+        req.max_context_len = self.max_context_len
+        # clamp generation to the KV context budget
+        sp = req.sampling_params
+        sp.max_new_tokens = min(
+            sp.max_new_tokens, self.max_context_len - len(req.input_ids)
+        )
+        req.detok = IncrementalDecoder(
+            self.tokenizer,
+            skip_special_tokens=sp.skip_special_tokens,
+            spaces_between_special_tokens=sp.spaces_between_special_tokens,
+        )
+        self.waiting_queue.append(req)
+        self.reqs[req.rid] = req
+        return req
+
+    def abort_request(self, rid: str) -> bool:
+        req = self.reqs.get(rid)
+        if req is None:
+            return False
+        if req.status == ReqStatus.WAITING:
+            self.waiting_queue.remove(req)
+            req.abort()
+            self.reqs.pop(rid, None)
+        else:
+            req.abort()  # released + emitted at the next step boundary
+        return True
+
+    # ----------------------------------------------------------- main step
+
+    def has_work(self) -> bool:
+        return bool(
+            self.waiting_queue or self.running_batch.reqs or self.chunked_req
+        )
+
+    def step(self) -> List[ReqStrOutput]:
+        """Run one scheduling iteration. Returns incremental outputs."""
+        self._step_i += 1
+        batch = self._get_new_batch_prefill()
+        if batch is not None:
+            return self._forward_extend(batch)
+        if self.running_batch.reqs:
+            return self._forward_decode()
+        return []
+
+    # ------------------------------------------------------------- prefill
+
+    def _get_new_batch_prefill(self) -> Optional[ScheduleBatch]:
+        if not self.waiting_queue and self.chunked_req is None:
+            return None
+        running = len(self.running_batch.reqs)
+        if self.chunked_req is None and running >= self.max_running_requests:
+            return None
+
+        adder = PrefillAdder(
+            self.allocator,
+            self.radix_cache,
+            self.running_batch.reqs,
+            max_prefill_tokens=self.server_args.max_prefill_tokens,
+            chunked_prefill_size=self.server_args.chunked_prefill_size,
+            max_batch_tokens=self.runner.prefill_token_buckets[-1],
+            conservativeness=self.server_args.schedule_conservativeness,
+            page_size=self.page_size,
+        )
+        if self.chunked_req is not None:
+            still_chunked = adder.add_chunked_req(self.chunked_req)
+            if not still_chunked:
+                self.chunked_req = None
+        if adder.rem_input_tokens > 0 and adder.rem_chunk_tokens > 0:
+            self.policy.calc_priority(self.waiting_queue)
+            headroom = self.max_running_requests - running
+            n_new = 0
+            for req in list(self.waiting_queue):
+                if n_new >= headroom or len(adder.can_run_list) >= self.max_extend_reqs:
+                    break
+                res = adder.add_one_req(req)
+                if res == AddReqResult.NO_TOKEN:
+                    break
+                n_new += 1
+                if res == AddReqResult.OTHER:  # became the new chunked req
+                    break
+        if not adder.can_run_list:
+            return None
+
+        admitted = [r for r in adder.can_run_list if r is not self.chunked_req]
+        for r in admitted:
+            if r in self.waiting_queue:
+                self.waiting_queue.remove(r)
+        if adder.new_chunked_req is not None:
+            self.chunked_req = adder.new_chunked_req
+
+        batch = ScheduleBatch(
+            adder.can_run_list,
+            self.allocator,
+            self.radix_cache,
+            self.runner.max_pages_per_req,
+        )
+        # page allocation (evict hook pulls from the radix LRU when short)
+        ok_reqs = []
+        for r in batch.reqs:
+            if batch.alloc_for_extend(r, r._extend_len):
+                ok_reqs.append(r)
+            else:
+                # pool exhausted despite budgets (locked pages): bounce back
+                self._release_req(r, insert=False)
+                r.reset_for_retract()
+                self.waiting_queue.insert(0, r)
+                if r is self.chunked_req:
+                    self.chunked_req = None
+        batch.reqs = ok_reqs
+        if not batch.reqs:
+            return None
+        self.stats.num_cached_tokens += adder.log_hit_tokens
+        return batch
+
+    def _forward_extend(self, batch: ScheduleBatch) -> List[ReqStrOutput]:
+        arrays = batch.prepare_for_extend()
+        sinfo = SamplingBatchInfo.from_reqs(
+            [r.sampling_params for r in batch.reqs],
+            padded_bs=self.runner.extend_seq_bucket,
+        )
+        next_ids, tok_lp = self.runner.forward_extend(
+            arrays["input_ids"],
+            arrays["positions"],
+            arrays["out_cache_loc"],
+            arrays["page_table"],
+            arrays["seq_lens"],
+            arrays["extend_lens"],
+            sinfo,
+        )
+        next_ids = np.asarray(next_ids)
+        tok_lp = np.asarray(tok_lp)
+        batch.commit_extend()
+        self.stats.num_prefill_tokens += int(arrays["extend_lens"].sum())
+        self.stats.num_prefill_steps += 1
+
+        outputs: List[ReqStrOutput] = []
+        to_run: List[Req] = []
+        now = time.monotonic()
+        for i, r in enumerate(batch.reqs):
+            if r.is_chunked:
+                continue  # mid-prompt logits are meaningless; keep prefilling
+            r.status = ReqStatus.RUNNING
+            r.prefill_finished_time = now
+            self._append_token(r, int(next_ids[i]), float(tok_lp[i]))
+            # publish the finished prefix so concurrent requests share it
+            self._cache_unfinished(r)
+            if r.finished():
+                outputs.append(self._finish_req(r))
+            else:
+                to_run.append(r)
+                if r.stream:
+                    out = self._emit_stream(r)
+                    if out:
+                        outputs.append(out)
+        self.running_batch.reqs.extend(to_run)
+        return outputs
+
+    # -------------------------------------------------------------- decode
+
+    def _forward_decode(self) -> List[ReqStrOutput]:
+        batch = self.running_batch
+        arrays = batch.prepare_for_decode()
+        if arrays is None:
+            # OOM: retract newest requests back to the queue
+            retracted = batch.retract_decode(
+                lambda r: self._release_req(r, insert=False)
+            )
+            self.stats.num_retractions += len(retracted)
+            for r in reversed(retracted):
+                self.waiting_queue.insert(0, r)
+            logger.warning(
+                "decode OOM: retracted %d reqs (running=%d)",
+                len(retracted),
+                len(batch.reqs),
+            )
+            if not batch.reqs:
+                return []
+            arrays = batch.prepare_for_decode()
+            if arrays is None:
+                return []
+        sinfo = SamplingBatchInfo.from_reqs(
+            [r.sampling_params for r in batch.reqs],
+            padded_bs=_bucket(len(batch.reqs), self.runner.decode_bs_buckets),
+        )
+        next_ids, tok_lp = self.runner.forward_decode(
+            arrays["input_ids"],
+            arrays["positions"],
+            arrays["out_cache_loc"],
+            arrays["page_table"],
+            arrays["seq_lens"],
+            sinfo,
+        )
+        next_ids = np.asarray(next_ids)
+        tok_lp = np.asarray(tok_lp)
+        batch.commit_decode()
+        self.stats.num_decode_tokens += len(batch.reqs)
+        self.stats.num_decode_steps += 1
+
+        outputs: List[ReqStrOutput] = []
+        for i, r in enumerate(batch.reqs):
+            self._append_token(r, int(next_ids[i]), float(tok_lp[i]))
+            if r.finished():
+                outputs.append(self._finish_req(r))
+            elif r.stream and len(r.output_ids) % self.server_args.stream_interval == 0:
+                out = self._emit_stream(r)
+                if out:
+                    outputs.append(out)
+        batch.filter_finished()
+        return outputs
+
+    # -------------------------------------------------------- bookkeeping
+
+    def _append_token(self, r: Req, token_id: int, logprob: float) -> None:
+        r.output_ids.append(token_id)
+        if r.return_logprob:
+            r.output_token_logprobs.append(logprob)
+        stop_hit = None
+        if self.tokenizer is not None:
+            r.detok.step(r.output_ids)
+            sp = r.sampling_params
+            if sp.stop_strs:
+                hit = r.detok.find_stop(sp.stop_strs, sp.stop_str_max_len)
+                if hit is not None:
+                    stop_hit, idx = hit
+                    if not sp.no_stop_trim:
+                        r.detok.decoded_text = r.detok.decoded_text[:idx]
+        if r.status == ReqStatus.ABORTED:
+            return
+        r.check_finished(stop_str_hit=stop_hit)
+
+    def _cache_unfinished(self, r: Req) -> None:
+        """Insert the page-aligned computed prefix into the radix tree
+        (reference `cache_unfinished_req`, `radix_cache.py:490`)."""
+        if self.radix_cache.disable:
+            return
+        aligned = round_down(r.kv_len, self.page_size)
+        if aligned > 0:
+            self.radix_cache.insert(
+                r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
+            )
+
+    def _release_req(self, r: Req, insert: bool) -> None:
+        """Return a request's KV to the pool; optionally publish its prefix
+        to the radix tree first (reference `cache_finished_req`)."""
+        if insert and not self.radix_cache.disable:
+            aligned = round_down(r.kv_len, self.page_size)
+            if aligned > 0:
+                self.radix_cache.insert(
+                    r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
+                )
+        if r.last_node is not None:
+            self.radix_cache.unlock(r.last_node)
+            r.last_node = None
+        self.allocator.free(r.pages)
+        r.pages = []
+
+    def _finish_req(self, r: Req) -> ReqStrOutput:
+        self._release_req(r, insert=True)
+        self.reqs.pop(r.rid, None)
+        self.stats.num_finished += 1
+        return self._make_output(r, finished=True)
+
+    def _emit_stream(self, r: Req) -> Optional[ReqStrOutput]:
+        return self._make_output(r, finished=False)
+
+    def _make_output(self, r: Req, finished: bool) -> ReqStrOutput:
+        if self.tokenizer is not None:
+            new_text = r.detok.emit()
+            full = r.detok.decoded_text[: r.detok.sent_offset]
+        else:
+            new_text = ""
+            full = ""
+        ttft = (
+            r.prefill_finished_time - r.arrival_time
+            if r.prefill_finished_time
+            else None
+        )
+        return ReqStrOutput(
+            rid=r.rid,
+            output_str=full,
+            new_text=new_text,
+            finished=finished,
+            finish_reason=r.finished_reason if finished else None,
+            prompt_tokens=len(r.input_ids),
+            completion_tokens=len(r.output_ids),
+            cached_tokens=r.cached_tokens,
+            output_ids=list(r.output_ids),
+            output_token_logprobs=(
+                list(r.output_token_logprobs) if r.return_logprob else None
+            ),
+            ttft=ttft,
+        )
+
+    # ------------------------------------------------------------ control
+
+    def flush_cache(self) -> bool:
+        """Drop the radix tree (only when idle) — reference `/flush_cache`."""
+        if self.running_batch.reqs or self.waiting_queue or self.chunked_req:
+            return False
+        freed = self.radix_cache.evict(1 << 60)
+        self.radix_cache.reset()
+        logger.info("flushed radix cache: %d pages freed", freed)
+        return True
+
+    def check_memory(self) -> int:
+        """Leaked pages when fully idle (reference `scheduler.py:3349
+        is_fully_idle` runtime check). Tree-held pages are not leaks."""
+        held = self.allocator.check_leaks()
+        return held - self.radix_cache.total_pages
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]

@@ -27,6 +27,10 @@ class PageAllocator:
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
         self._ref = np.zeros(num_pages, dtype=np.int32)
         self._ref[0] = 1  # garbage page permanently held
+        # Optional eviction hook: called with the page shortfall before an
+        # alloc fails, so the radix cache can LRU-evict into the free list
+        # (reference interleaves this in `PrefillAdder` / `evict` calls).
+        self.evict_callback = None
 
     # ------------------------------------------------------------ queries
 
@@ -43,6 +47,8 @@ class PageAllocator:
     # ------------------------------------------------------------ alloc/free
 
     def alloc(self, n_pages: int) -> Optional[List[int]]:
+        if n_pages > len(self._free) and self.evict_callback is not None:
+            self.evict_callback(n_pages - len(self._free))
         if n_pages > len(self._free):
             return None
         if n_pages == 0:

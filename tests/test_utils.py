@@ -35,6 +35,20 @@ def tiny_model_config(**over) -> ModelConfig:
     return ModelConfig.from_hf_dict(hf, model_path="tiny-test", **over)
 
 
+def tiny_runner(sa: ServerArgs, **cfg_over):
+    """ModelRunner over the in-memory tiny config (no network/hub access)."""
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    mc = tiny_model_config(
+        dtype=sa.dtype,
+        context_length=sa.context_length,
+        quantization=sa.quantization,
+        kv_cache_dtype=sa.kv_cache_dtype,
+        **cfg_over,
+    )
+    return ModelRunner(sa, mc)
+
+
 def tiny_server_args(**over) -> ServerArgs:
     kw = dict(
         model_path="tiny-test",
