@@ -1,0 +1,477 @@
+"""HTTP serving layer (aiohttp).
+
+Parity with reference `srt/entrypoints/http_server.py:2337 launch_server`
+(FastAPI + uvicorn; ~75 routes). The TPU engine keeps everything in one
+process: routes here talk to the `TokenizerManager` facade, whose pump
+thread drives the scheduler.
+
+Routes: /generate (native, SSE streaming), /v1/completions,
+/v1/chat/completions, /v1/models, /health, /health_generate,
+/get_server_info, /get_model_info, /flush_cache, /abort_request, /metrics.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from sglang_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    chat_id,
+    completion_id,
+    now,
+    usage_dict,
+)
+from sglang_tpu.managers.io_struct import GenerateReqInput
+from sglang_tpu.managers.scheduler import Scheduler
+from sglang_tpu.managers.tokenizer_manager import TokenizerManager
+from sglang_tpu.model_executor.model_runner import ModelRunner
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import configure_logger, get_logger
+from sglang_tpu.version import __version__
+
+logger = get_logger(__name__)
+
+
+class ServerState:
+    def __init__(self, server_args: ServerArgs):
+        self.server_args = server_args
+        from sglang_tpu.entrypoints.engine import _load_tokenizer
+
+        self.tokenizer = _load_tokenizer(server_args)
+        self.runner = ModelRunner(server_args)
+        self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)
+        self.tm = TokenizerManager(server_args, self.scheduler, self.tokenizer)
+        self.start_time = time.time()
+
+    def apply_chat_template(self, messages) -> str:
+        hf_messages = [
+            {"role": m.role, "content": m.text()} for m in messages
+        ]
+        return self.tokenizer.apply_chat_template(
+            hf_messages, tokenize=False, add_generation_prompt=True
+        )
+
+
+def _auth_ok(state: ServerState, request: web.Request) -> bool:
+    key = state.server_args.api_key
+    if not key:
+        return True
+    auth = request.headers.get("Authorization", "")
+    return auth == f"Bearer {key}"
+
+
+def _sse(data: dict | str) -> bytes:
+    if isinstance(data, dict):
+        data = json.dumps(data)
+    return f"data: {data}\n\n".encode()
+
+
+def build_app(state: ServerState) -> web.Application:
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    r = app.router
+
+    # ------------------------------------------------------------ health
+
+    async def health(request):
+        return web.Response(text="")
+
+    async def health_generate(request):
+        """Run a real 1-token generation (reference `/health_generate`)."""
+        treq = state.tm.tokenize(
+            GenerateReqInput(
+                input_ids=[1, 2, 3],
+                sampling_params={"max_new_tokens": 1, "ignore_eos": True},
+            )
+        )
+        try:
+            async with asyncio.timeout(state.server_args.watchdog_timeout):
+                async for _ in state.tm.generate_request(treq):
+                    pass
+            return web.Response(text="")
+        except TimeoutError:
+            return web.Response(status=503, text="generation timed out")
+
+    async def get_model_info(request):
+        return web.json_response(
+            {
+                "model_path": state.server_args.model_path,
+                "served_model_name": state.server_args.served_model_name,
+                "tokenizer_path": state.server_args.tokenizer_path,
+                "is_generation": True,
+            }
+        )
+
+    async def get_server_info(request):
+        s = state.scheduler.stats
+        return web.json_response(
+            {
+                "version": __version__,
+                "model_path": state.server_args.model_path,
+                "max_total_tokens": state.runner.max_total_tokens,
+                "page_size": state.server_args.page_size,
+                "tp_size": state.server_args.tp_size,
+                "uptime": time.time() - state.start_time,
+                "running_requests": len(state.scheduler.running_batch.reqs),
+                "waiting_requests": len(state.scheduler.waiting_queue),
+                "prefill_tokens": s.num_prefill_tokens,
+                "decode_tokens": s.num_decode_tokens,
+                "cache_hit_rate": s.cache_hit_rate(),
+                "retractions": s.num_retractions,
+                "finished": s.num_finished,
+            }
+        )
+
+    async def metrics(request):
+        s = state.scheduler.stats
+        lines = [
+            "# TYPE sglang_tpu_prefill_tokens_total counter",
+            f"sglang_tpu_prefill_tokens_total {s.num_prefill_tokens}",
+            "# TYPE sglang_tpu_decode_tokens_total counter",
+            f"sglang_tpu_decode_tokens_total {s.num_decode_tokens}",
+            "# TYPE sglang_tpu_cached_tokens_total counter",
+            f"sglang_tpu_cached_tokens_total {s.num_cached_tokens}",
+            "# TYPE sglang_tpu_finished_requests_total counter",
+            f"sglang_tpu_finished_requests_total {s.num_finished}",
+            "# TYPE sglang_tpu_retractions_total counter",
+            f"sglang_tpu_retractions_total {s.num_retractions}",
+            "# TYPE sglang_tpu_running_requests gauge",
+            f"sglang_tpu_running_requests {len(state.scheduler.running_batch.reqs)}",
+            "# TYPE sglang_tpu_waiting_requests gauge",
+            f"sglang_tpu_waiting_requests {len(state.scheduler.waiting_queue)}",
+            "# TYPE sglang_tpu_cache_hit_rate gauge",
+            f"sglang_tpu_cache_hit_rate {s.cache_hit_rate():.6f}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n")
+
+    async def flush_cache(request):
+        ok = state.scheduler.flush_cache()
+        return web.json_response({"success": ok}, status=200 if ok else 409)
+
+    async def abort_request(request):
+        body = await request.json()
+        state.tm.abort_request(body.get("rid", ""))
+        return web.json_response({"success": True})
+
+    # ---------------------------------------------------------- generate
+
+    async def generate(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid JSON"}, status=400)
+        gri = GenerateReqInput(
+            text=body.get("text"),
+            input_ids=body.get("input_ids"),
+            sampling_params=body.get("sampling_params"),
+            rid=body.get("rid"),
+            return_logprob=body.get("return_logprob", False),
+            top_logprobs_num=body.get("top_logprobs_num", 0),
+            stream=body.get("stream", False),
+        )
+        try:
+            if gri.is_batch():
+                singles = gri.unbatch()
+                if gri.stream:
+                    return web.json_response(
+                        {"error": "batch streaming not supported"}, status=400
+                    )
+                results = await asyncio.gather(
+                    *(_collect(state, state.tm.tokenize(g)) for g in singles)
+                )
+                return web.json_response(results)
+            treq = state.tm.tokenize(gri)
+        except (ValueError, RuntimeError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+        if gri.stream:
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                }
+            )
+            await resp.prepare(request)
+            async for out in state.tm.generate_request(treq):
+                await resp.write(_sse(_native_dict(out)))
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+        result = await _collect(state, treq)
+        if result.get("meta_info", {}).get("finish_reason", {}).get("type") == "abort":
+            return web.json_response(result, status=400)
+        return web.json_response(result)
+
+    # ------------------------------------------------------------ OpenAI
+
+    async def v1_models(request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": state.server_args.served_model_name,
+                        "object": "model",
+                        "created": now(),
+                        "owned_by": "sglang_tpu",
+                    }
+                ],
+            }
+        )
+
+    async def v1_completions(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        req = CompletionRequest(**await request.json())
+        prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
+        if prompts and isinstance(prompts[0], int):
+            prompts = [prompts]  # token-id prompt
+        cid = completion_id()
+        created = now()
+
+        def make_gri(p, idx):
+            if isinstance(p, str):
+                return GenerateReqInput(
+                    text=p, sampling_params=req.to_sampling_dict(), stream=req.stream
+                )
+            return GenerateReqInput(
+                input_ids=p, sampling_params=req.to_sampling_dict(), stream=req.stream
+            )
+
+        if req.stream:
+            if len(prompts) != 1:
+                return web.json_response(
+                    {"error": "stream supports a single prompt"}, status=400
+                )
+            treq = state.tm.tokenize(make_gri(prompts[0], 0))
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+            usage = None
+            async for out in state.tm.generate_request(treq):
+                chunk = {
+                    "id": cid,
+                    "object": "text_completion",
+                    "created": created,
+                    "model": req.model or state.server_args.served_model_name,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "text": out.new_text,
+                            "finish_reason": _oai_finish(out),
+                            "logprobs": None,
+                        }
+                    ],
+                }
+                usage = usage_dict(out.prompt_tokens, out.completion_tokens, out.cached_tokens)
+                await resp.write(_sse(chunk))
+            if req.stream_options_include_usage():
+                await resp.write(_sse({"id": cid, "object": "text_completion", "created": created, "model": req.model, "choices": [], "usage": usage}))
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        outs = await asyncio.gather(
+            *(
+                _collect_raw(state, state.tm.tokenize(make_gri(p, i)))
+                for i, p in enumerate(prompts)
+            )
+        )
+        choices = []
+        pt = ct = cached = 0
+        for i, out in enumerate(outs):
+            text = out.output_str
+            if req.echo and isinstance(prompts[i], str):
+                text = prompts[i] + text
+            choices.append(
+                {
+                    "index": i,
+                    "text": text,
+                    "finish_reason": _oai_finish(out) or "stop",
+                    "logprobs": None,
+                }
+            )
+            pt += out.prompt_tokens
+            ct += out.completion_tokens
+            cached += out.cached_tokens
+        return web.json_response(
+            {
+                "id": cid,
+                "object": "text_completion",
+                "created": created,
+                "model": req.model or state.server_args.served_model_name,
+                "choices": choices,
+                "usage": usage_dict(pt, ct, cached),
+            }
+        )
+
+    async def v1_chat_completions(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        req = ChatCompletionRequest(**await request.json())
+        try:
+            prompt = state.apply_chat_template(req.messages)
+        except Exception as e:
+            return web.json_response({"error": f"chat template: {e}"}, status=400)
+        cid = chat_id()
+        created = now()
+        gri = GenerateReqInput(
+            text=prompt, sampling_params=req.to_sampling_dict(), stream=req.stream
+        )
+        treq = state.tm.tokenize(gri)
+        model = req.model or state.server_args.served_model_name
+
+        if req.stream:
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+            first = True
+            usage = None
+            async for out in state.tm.generate_request(treq):
+                delta = {}
+                if first:
+                    delta["role"] = "assistant"
+                    first = False
+                if out.new_text:
+                    delta["content"] = out.new_text
+                chunk = {
+                    "id": cid,
+                    "object": "chat.completion.chunk",
+                    "created": created,
+                    "model": model,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "delta": delta,
+                            "finish_reason": _oai_finish(out),
+                        }
+                    ],
+                }
+                usage = usage_dict(out.prompt_tokens, out.completion_tokens, out.cached_tokens)
+                await resp.write(_sse(chunk))
+            if req.stream_options and req.stream_options.get("include_usage"):
+                await resp.write(
+                    _sse(
+                        {
+                            "id": cid,
+                            "object": "chat.completion.chunk",
+                            "created": created,
+                            "model": model,
+                            "choices": [],
+                            "usage": usage,
+                        }
+                    )
+                )
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        out = await _collect_raw(state, treq)
+        return web.json_response(
+            {
+                "id": cid,
+                "object": "chat.completion",
+                "created": created,
+                "model": model,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": out.output_str},
+                        "finish_reason": _oai_finish(out) or "stop",
+                    }
+                ],
+                "usage": usage_dict(
+                    out.prompt_tokens, out.completion_tokens, out.cached_tokens
+                ),
+            }
+        )
+
+    r.add_get("/health", health)
+    r.add_get("/health_generate", health_generate)
+    r.add_get("/get_model_info", get_model_info)
+    r.add_get("/get_server_info", get_server_info)
+    r.add_get("/metrics", metrics)
+    r.add_post("/flush_cache", flush_cache)
+    r.add_post("/abort_request", abort_request)
+    r.add_post("/generate", generate)
+    r.add_get("/v1/models", v1_models)
+    r.add_post("/v1/completions", v1_completions)
+    r.add_post("/v1/chat/completions", v1_chat_completions)
+    return app
+
+
+def _native_dict(out) -> dict:
+    return {
+        "text": out.output_str,
+        "output_ids": out.output_ids,
+        "meta_info": {
+            "id": out.rid,
+            "finish_reason": out.finish_reason.to_json() if out.finish_reason else None,
+            "prompt_tokens": out.prompt_tokens,
+            "completion_tokens": out.completion_tokens,
+            "cached_tokens": out.cached_tokens,
+            **(
+                {"output_token_logprobs": out.output_token_logprobs}
+                if out.output_token_logprobs is not None
+                else {}
+            ),
+        },
+    }
+
+
+async def _collect_raw(state: ServerState, treq):
+    last = None
+    async for out in state.tm.generate_request(treq):
+        last = out
+    return last
+
+
+async def _collect(state: ServerState, treq) -> dict:
+    return _native_dict(await _collect_raw(state, treq))
+
+
+def _oai_finish(out) -> Optional[str]:
+    if not out.finished or out.finish_reason is None:
+        return None
+    kind = out.finish_reason.kind
+    return {"stop": "stop", "length": "length", "abort": "abort"}.get(kind, "stop")
+
+
+# patch helper used above (CompletionRequest has no stream_options field)
+def _include_usage(self) -> bool:
+    return False
+
+
+CompletionRequest.stream_options_include_usage = _include_usage
+
+
+def launch_server(server_args: ServerArgs):
+    configure_logger(server_args.log_level.upper())
+    state = ServerState(server_args)
+    app = build_app(state)
+    logger.info(
+        "server listening on %s:%d", server_args.host, server_args.port
+    )
+    web.run_app(
+        app, host=server_args.host, port=server_args.port, print=None
+    )
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(description="sglang_tpu HTTP server")
+    ServerArgs.add_cli_args(parser)
+    args = parser.parse_args()
+    launch_server(ServerArgs.from_cli_args(args))
+
+
+if __name__ == "__main__":
+    main()

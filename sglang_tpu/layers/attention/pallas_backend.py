@@ -1,0 +1,60 @@
+"""Pallas TPU attention backend over the paged KV pool.
+
+Role parity with reference `layers/attention/flashinfer_backend.py` (the
+default production backend on NVIDIA) — here one unified ragged-paged-
+attention Pallas kernel serves both extend and decode
+(`ops/ragged_paged_attention.py`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sglang_tpu.layers.attention.base import AttentionBackend
+from sglang_tpu.model_executor.forward_batch_info import (
+    DECODE_QBLK,
+    EXTEND_QBLK,
+    ForwardBatch,
+)
+from sglang_tpu.ops.ragged_paged_attention import ragged_paged_attention
+
+
+class PallasAttentionBackend(AttentionBackend):
+    def __init__(self, interpret: bool = False):
+        # interpret=True runs the kernel in the Pallas interpreter (CPU CI —
+        # the reference's "CPU suite runs the whole engine" seam).
+        self.interpret = interpret
+
+    def _attend(self, q, pages, fb: ForwardBatch, qblk, sm_scale, window, logit_cap):
+        t = q.shape[0]
+        q_pad = jnp.pad(q, ((0, qblk), (0, 0), (0, 0)))
+        out = ragged_paged_attention(
+            q_pad,
+            pages,
+            fb.blk_seq,
+            fb.blk_qoff,
+            fb.blk_nrows,
+            fb.blk_pos0,
+            fb.page_table,
+            qblk=qblk,
+            sm_scale=float(sm_scale),
+            logit_cap=float(logit_cap),
+            window=int(window),
+            interpret=self.interpret,
+        )
+        return out[:t]
+
+    def forward_decode(
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
+    ):
+        return self._attend(
+            q, pages, fb, DECODE_QBLK, sm_scale, sliding_window, logit_cap
+        )
+
+    def forward_extend(
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
+    ):
+        return self._attend(
+            q, pages, fb, EXTEND_QBLK, sm_scale, sliding_window, logit_cap
+        )

@@ -62,6 +62,13 @@ class ForwardBatch:
     # since their seq_len is 0); used by extend attention to map token->seq.
     token_to_seq: jax.Array  # [T] int32
 
+    # Ragged-attention block map (host-built; consumed by the Pallas kernel
+    # as scalar-prefetch metadata — one entry per (seq, q-block) work unit).
+    blk_seq: jax.Array = None  # [NB] i32 seq index
+    blk_qoff: jax.Array = None  # [NB] i32 packed q row offset
+    blk_nrows: jax.Array = None  # [NB] i32 valid rows (0 = padding block)
+    blk_pos0: jax.Array = None  # [NB] i32 absolute position of first row
+
     # Static (hashable) metadata
     mode: ForwardMode = field(metadata=dict(static=True), default=ForwardMode.DECODE)
 
@@ -74,6 +81,40 @@ class ForwardBatch:
         return self.seq_lens.shape[0]
 
 
+# Q-block row counts for the ragged paged attention kernel. Extend blocks are
+# MXU-sized; decode blocks are 1 valid row each so stay small to bound the
+# wasted compute on padded rows.
+EXTEND_QBLK = 128
+DECODE_QBLK = 8
+
+
+def build_attn_blocks(
+    cu_q_lens: np.ndarray, seq_lens: np.ndarray, qblk: int, nb: int
+):
+    """Flatten (seq, q-block) work units for the ragged kernel grid.
+
+    Blocks are emitted in ascending packed-q order — the kernel relies on
+    this so each block's tail-row garbage is overwritten by the next block.
+    """
+    b = len(seq_lens)
+    blk_seq = np.zeros(nb, dtype=np.int32)
+    blk_qoff = np.zeros(nb, dtype=np.int32)
+    blk_nrows = np.zeros(nb, dtype=np.int32)
+    blk_pos0 = np.zeros(nb, dtype=np.int32)
+    n = 0
+    for i in range(b):
+        ql = int(cu_q_lens[i + 1] - cu_q_lens[i])
+        pos_start = int(seq_lens[i]) - ql
+        for j in range(0, ql, qblk):
+            assert n < nb, f"attn block overflow: nb={nb}"
+            blk_seq[n] = i
+            blk_qoff[n] = int(cu_q_lens[i]) + j
+            blk_nrows[n] = min(qblk, ql - j)
+            blk_pos0[n] = pos_start + j
+            n += 1
+    return blk_seq, blk_qoff, blk_nrows, blk_pos0
+
+
 def make_decode_batch(
     input_ids: np.ndarray,
     positions: np.ndarray,
@@ -82,14 +123,25 @@ def make_decode_batch(
     seq_lens: np.ndarray,
 ) -> ForwardBatch:
     b = len(input_ids)
+    cu = np.arange(b + 1, dtype=np.int32)
+    # decode: one block per sequence (nrows=1); padded rows have seq_len 0
+    # so their kv loop is empty
+    blk_seq = np.arange(b, dtype=np.int32)
+    blk_qoff = np.arange(b, dtype=np.int32)
+    blk_nrows = np.ones(b, dtype=np.int32)
+    blk_pos0 = np.asarray(seq_lens, dtype=np.int32) - 1
     return ForwardBatch(
         input_ids=jnp.asarray(input_ids, jnp.int32),
         positions=jnp.asarray(positions, jnp.int32),
         out_cache_loc=jnp.asarray(out_cache_loc, jnp.int32),
         page_table=jnp.asarray(page_table, jnp.int32),
         seq_lens=jnp.asarray(seq_lens, jnp.int32),
-        cu_q_lens=jnp.arange(b + 1, dtype=jnp.int32),
+        cu_q_lens=jnp.asarray(cu),
         token_to_seq=jnp.arange(b, dtype=jnp.int32),
+        blk_seq=jnp.asarray(blk_seq),
+        blk_qoff=jnp.asarray(blk_qoff),
+        blk_nrows=jnp.asarray(blk_nrows),
+        blk_pos0=jnp.asarray(blk_pos0),
         mode=ForwardMode.DECODE,
     )
 
@@ -110,6 +162,10 @@ def make_extend_batch(
         np.searchsorted(np.asarray(cu_q_lens), np.arange(t), side="right") - 1
     )
     token_to_seq = np.clip(token_to_seq, 0, b - 1)
+    nb = t // EXTEND_QBLK + b  # worst-case block count (all seqs unaligned)
+    blk_seq, blk_qoff, blk_nrows, blk_pos0 = build_attn_blocks(
+        cu_q_lens, seq_lens, EXTEND_QBLK, nb
+    )
     return ForwardBatch(
         input_ids=jnp.asarray(input_ids, jnp.int32),
         positions=jnp.asarray(positions, jnp.int32),
@@ -118,5 +174,9 @@ def make_extend_batch(
         seq_lens=jnp.asarray(seq_lens, jnp.int32),
         cu_q_lens=jnp.asarray(cu_q_lens, jnp.int32),
         token_to_seq=jnp.asarray(token_to_seq, jnp.int32),
+        blk_seq=jnp.asarray(blk_seq),
+        blk_qoff=jnp.asarray(blk_qoff),
+        blk_nrows=jnp.asarray(blk_nrows),
+        blk_pos0=jnp.asarray(blk_pos0),
         mode=mode,
     )

@@ -41,7 +41,7 @@ from sglang_tpu.models.registry import get_model_class
 from sglang_tpu.parallel.mesh import create_mesh, get_device_kind
 from sglang_tpu.sampling.sampling_batch_info import SamplingBatchInfo
 from sglang_tpu.server_args import ServerArgs
-from sglang_tpu.utils import cdiv, get_logger, pad_to_bucket
+from sglang_tpu.utils import cdiv, get_logger, pad_to_bucket, round_up
 
 logger = get_logger(__name__)
 
@@ -100,8 +100,10 @@ class ModelRunner:
         self.extend_seq_bucket = min(
             64, server_args.max_running_requests or 64, self.decode_bs_buckets[-1]
         )
-        self.max_pages_per_req = cdiv(
-            self.model_config.context_length, server_args.page_size
+        # rounded up to a multiple of 16 so the attention kernel's page-block
+        # DMA loop (pblk pages per chunk) never indexes past the table edge
+        self.max_pages_per_req = round_up(
+            cdiv(self.model_config.context_length, server_args.page_size), 16
         )
 
     # ---------------------------------------------------------------- pools

@@ -1,0 +1,260 @@
+"""Ragged paged attention — the engine's hot attention kernel.
+
+Role parity with the reference's paged-attention kernel family
+(`sgl-kernel` flashinfer/fa3 backends + `layers/attention/triton_ops/`
+{extend,decode}_attention.py), redesigned as ONE unified Pallas TPU kernel
+(the "Ragged Paged Attention" design, PAPERS.md): prefill-extend and decode
+are both expressed as a flat list of (sequence, q-block) work units over a
+shared paged KV pool, so a single kernel + compiled shape serves both modes.
+
+Design:
+- Grid: one step per q-block. Scalar-prefetched block metadata
+  (`blk_seq/qoff/nrows/pos0`, built host-side by `build_attn_blocks`)
+  locates each block's q rows and its sequence's page list.
+- q and KV pages live in HBM (`pl.ANY`); the kernel DMAs q once per block
+  and streams KV pages through a double-buffered VMEM window, overlapping
+  DMA with the flash-attention accumulation (online softmax in f32).
+- GQA: scores are computed per KV head over the flattened (row, q-head-in-
+  group) axis, transposed layout [kv_chunk, qg] so the running max/sum
+  reductions are along the sublane axis and m/l live as [1, qg] rows.
+- Tail rows of a block (beyond `nrows`) compute garbage that the NEXT block
+  overwrites (blocks are emitted in ascending packed-q order and the grid
+  runs sequentially); the final block's tail lands in the caller's padding.
+- FP8 KV: pages are stored fp8_e4m3/e5m2 and upcast to bf16 in VMEM right
+  after the DMA (dequant rides the kernel, reference `memory_pool.py:710`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _rpa_kernel(
+    # scalar prefetch
+    blk_seq_ref,
+    blk_qoff_ref,
+    blk_nrows_ref,
+    blk_pos0_ref,
+    page_table_ref,
+    # inputs (HBM)
+    q_hbm,
+    pages_hbm,
+    # output (HBM)
+    out_hbm,
+    # scratch
+    q_v,
+    kv_v,
+    o_v,
+    m_scr,
+    l_scr,
+    acc_scr,
+    q_sem,
+    kv_sems,
+    o_sem,
+    *,
+    qblk: int,
+    ps: int,
+    pblk: int,
+    kvh: int,
+    g: int,
+    d: int,
+    sm_scale: float,
+    logit_cap: float,
+    window: int,
+):
+    b = pl.program_id(0)
+    nrows = blk_nrows_ref[b]
+    kvblk = pblk * ps
+    qg = qblk * g
+
+    @pl.when(nrows > 0)
+    def _run():
+        i = blk_seq_ref[b]
+        qoff = blk_qoff_ref[b]
+        pos0 = blk_pos0_ref[b]
+        kv_hi = pos0 + nrows  # kv tokens needed (causal upper bound)
+        kv_lo_blk = 0
+        if window > 0:
+            # sliding window: first kv chunk that any row still attends to
+            kv_lo_blk = jnp.maximum(pos0 - window + 1, 0) // kvblk
+        n_kv = pl.cdiv(kv_hi, kvblk)
+
+        q_dma = pltpu.make_async_copy(
+            q_hbm.at[pl.ds(qoff, qblk)], q_v, q_sem
+        )
+        q_dma.start()
+
+        def kv_dma(chunk, slot, p):
+            page_id = page_table_ref[i, chunk * pblk + p]
+            return pltpu.make_async_copy(
+                pages_hbm.at[page_id],
+                kv_v.at[slot, pl.ds(p * ps, ps)],
+                kv_sems.at[slot, p],
+            )
+
+        def start_chunk(chunk, slot):
+            for p in range(pblk):
+                kv_dma(chunk, slot, p).start()
+
+        start_chunk(kv_lo_blk, jax.lax.rem(kv_lo_blk, 2))
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        q_dma.wait()
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_kv)
+            def _():
+                start_chunk(c + 1, jax.lax.rem(c + 1, 2))
+
+            for p in range(pblk):
+                kv_dma(c, slot, p).wait()
+
+            # positions of this chunk's kv tokens / this block's q rows
+            kv_pos = pl.multiple_of(c * kvblk, kvblk)
+            kv_ids = kv_pos + jax.lax.broadcasted_iota(
+                jnp.int32, (kvblk, qg), 0
+            )
+            q_ids = pos0 + jax.lax.broadcasted_iota(
+                jnp.int32, (kvblk, qg), 1
+            ) // g
+            mask = kv_ids <= q_ids
+            if window > 0:
+                mask &= kv_ids > q_ids - window
+
+            for h in range(kvh):
+                # compute dtype follows q (f32 in parity tests, bf16 serving);
+                # fp8-stored KV upcasts here — dequant rides the kernel
+                k_h = kv_v[slot, :, h, :].astype(q_v.dtype)  # [kvblk, d]
+                v_h = kv_v[slot, :, kvh + h, :].astype(q_v.dtype)
+                qf = q_v[:, h * g : (h + 1) * g, :].reshape(qg, d)
+                s = jax.lax.dot_general(
+                    k_h,
+                    qf,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [kvblk, qg]
+                s = s * sm_scale
+                if logit_cap > 0:
+                    s = logit_cap * jnp.tanh(s / logit_cap)
+                s = jnp.where(mask, s, NEG_INF)
+                m_prev = m_scr[h]  # [1, qg]
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+                p_ = jnp.exp(s - m_new)
+                corr = jnp.exp(m_prev - m_new)
+                l_scr[h] = l_scr[h] * corr + jnp.sum(p_, axis=0, keepdims=True)
+                acc_scr[h] = acc_scr[h] * corr + jax.lax.dot_general(
+                    v_h,
+                    p_.astype(q_v.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [d, qg]
+                m_scr[h] = m_new
+
+        jax.lax.fori_loop(kv_lo_blk, n_kv, body, None)
+
+        for h in range(kvh):
+            l = jnp.maximum(l_scr[h], 1e-10)  # [1, qg]
+            out_t = acc_scr[h] / l  # [d, qg]
+            o_v[:, h * g : (h + 1) * g, :] = (
+                out_t.T.reshape(qblk, g, d).astype(o_v.dtype)
+            )
+        o_dma = pltpu.make_async_copy(
+            o_v, out_hbm.at[pl.ds(qoff, qblk)], o_sem
+        )
+        o_dma.start()
+        o_dma.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qblk",
+        "sm_scale",
+        "logit_cap",
+        "window",
+        "interpret",
+    ),
+)
+def ragged_paged_attention(
+    q: jax.Array,  # [Tp, qh, d] — caller MUST pad rows so qoff+qblk <= Tp
+    pages: jax.Array,  # [P, ps, 2*kvh, d]
+    blk_seq: jax.Array,  # [NB]
+    blk_qoff: jax.Array,
+    blk_nrows: jax.Array,
+    blk_pos0: jax.Array,
+    page_table: jax.Array,  # [B, Pmax]
+    *,
+    qblk: int,
+    sm_scale: float,
+    logit_cap: float = 0.0,
+    window: int = -1,
+    interpret: bool = False,
+) -> jax.Array:
+    tp, qh, d = q.shape
+    num_pages, ps, two_kvh, _ = pages.shape
+    kvh = two_kvh // 2
+    g = qh // kvh
+    nb = blk_seq.shape[0]
+    pblk = max(1, 128 // ps)
+    assert page_table.shape[1] % pblk == 0, (
+        f"page_table cols {page_table.shape[1]} not a multiple of pblk {pblk}"
+    )
+    kvblk = pblk * ps
+    qg = qblk * g
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((qblk, qh, d), q.dtype),  # q_v
+            pltpu.VMEM((2, kvblk, two_kvh, d), pages.dtype),  # kv_v
+            pltpu.VMEM((qblk, qh, d), q.dtype),  # o_v
+            pltpu.VMEM((kvh, 1, qg), jnp.float32),  # m
+            pltpu.VMEM((kvh, 1, qg), jnp.float32),  # l
+            pltpu.VMEM((kvh, d, qg), jnp.float32),  # acc
+            pltpu.SemaphoreType.DMA(()),  # q
+            pltpu.SemaphoreType.DMA((2, pblk)),  # kv double buffer
+            pltpu.SemaphoreType.DMA(()),  # out
+        ],
+    )
+    kernel = functools.partial(
+        _rpa_kernel,
+        qblk=qblk,
+        ps=ps,
+        pblk=pblk,
+        kvh=kvh,
+        g=g,
+        d=d,
+        sm_scale=sm_scale,
+        logit_cap=logit_cap,
+        window=window,
+    )
+    flops = 4 * int(jnp.size(q)) * 2048  # rough; helps the scheduler
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, qh, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=int(pages.nbytes), transcendentals=0
+        ),
+        interpret=interpret,
+    )(blk_seq, blk_qoff, blk_nrows, blk_pos0, page_table, q, pages)

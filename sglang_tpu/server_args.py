@@ -161,10 +161,17 @@ class ServerArgs:
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser) -> None:
-        defaults = ServerArgs(model_path="-")
+        # raw field defaults (NOT a constructed instance — __post_init__
+        # derives fields like tokenizer_path from model_path, which must
+        # stay None on the CLI so the real model_path flows through)
         for f in dataclasses.fields(ServerArgs):
             name = "--" + f.name.replace("_", "-")
-            default = getattr(defaults, f.name)
+            if f.default is not dataclasses.MISSING:
+                default = f.default
+            elif f.default_factory is not dataclasses.MISSING:
+                default = f.default_factory()
+            else:
+                default = None
             if f.type == "bool" or isinstance(default, bool):
                 parser.add_argument(
                     name,
@@ -174,7 +181,15 @@ class ServerArgs:
             elif f.name in ("decode_bs_buckets", "prefill_token_buckets", "lora_paths"):
                 parser.add_argument(name, nargs="*", default=None)
             else:
-                typ = type(default) if default is not None else str
+                ann = str(f.type)
+                if default is not None:
+                    typ = type(default)
+                elif "int" in ann:
+                    typ = int
+                elif "float" in ann:
+                    typ = float
+                else:
+                    typ = str
                 if typ not in (int, float, str):
                     typ = str
                 parser.add_argument(name, type=typ, default=default)

@@ -1,0 +1,203 @@
+"""Live HTTP server tests (reference `popen_launch_server` pattern,
+`python/sglang/test/test_utils.py:824`): launch a real server subprocess on
+a free port, wait for /health, drive the API with aiohttp."""
+
+import asyncio
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+torch = pytest.importorskip("torch")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import LlamaConfig, LlamaForCausalLM, PreTrainedTokenizerFast
+
+    path = tmp_path_factory.mktemp("srv_model")
+    vocab = {f"w{i}": i for i in range(250)}
+    vocab.update({"<unk>": 250, "<s>": 251, "</s>": 252})
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>", eos_token="</s>",
+        chat_template=(
+            "{% for m in messages %}{{ m['role'] }} {{ m['content'] }} {% endfor %}"
+            "assistant"
+        ),
+    )
+    fast.save_pretrained(path)
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=512, tie_word_embeddings=True,
+        bos_token_id=251, eos_token_id=252,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).eval().save_pretrained(path)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        HF_HUB_OFFLINE="1",
+        TRANSFORMERS_OFFLINE="1",
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU plugin out
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "sglang_tpu.launch_server",
+            "--model-path", str(path),
+            "--host", "127.0.0.1", "--port", str(port),
+            "--device", "cpu", "--page-size", "16",
+            "--max-total-tokens", "4096", "--context-length", "512",
+            "--chunked-prefill-size", "128",
+            "--decode-bs-buckets", "4", "8",
+            "--prefill-token-buckets", "64", "128",
+            "--max-running-requests", "8",
+            "--random-seed", "0", "--log-level", "warning",
+        ],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 120
+    import urllib.request
+
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode()
+            raise RuntimeError(f"server died:\n{out[-3000:]}")
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.5)
+    else:
+        proc.kill()
+        raise TimeoutError("server did not become healthy")
+    yield base
+    proc.terminate()
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+
+
+def _post(base, route, payload):
+    import urllib.request
+
+    req = urllib.request.Request(
+        base + route,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_generate(server):
+    out = _post(
+        server,
+        "/generate",
+        {
+            "text": "w1 w2 w3",
+            "sampling_params": {"max_new_tokens": 5, "temperature": 0.0},
+        },
+    )
+    assert out["meta_info"]["completion_tokens"] == 5
+    assert out["meta_info"]["prompt_tokens"] == 3
+
+
+def test_generate_batch(server):
+    outs = _post(
+        server,
+        "/generate",
+        {
+            "text": ["w1 w2", "w3 w4 w5"],
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
+        },
+    )
+    assert len(outs) == 2
+    assert all(o["meta_info"]["completion_tokens"] == 3 for o in outs)
+
+
+def test_v1_completions(server):
+    out = _post(
+        server,
+        "/v1/completions",
+        {"model": "m", "prompt": "w1 w2 w3", "max_tokens": 4, "temperature": 0.0},
+    )
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] == 4
+    assert out["choices"][0]["finish_reason"] == "length"
+
+
+def test_v1_chat_completions(server):
+    out = _post(
+        server,
+        "/v1/chat/completions",
+        {
+            "model": "m",
+            "messages": [{"role": "user", "content": "w1 w2"}],
+            "max_tokens": 4,
+            "temperature": 0.0,
+        },
+    )
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    assert out["usage"]["completion_tokens"] == 4
+
+
+def test_streaming_sse(server):
+    import urllib.request
+
+    req = urllib.request.Request(
+        server + "/generate",
+        data=json.dumps(
+            {
+                "text": "w1 w2 w3 w4",
+                "stream": True,
+                "sampling_params": {"max_new_tokens": 10, "temperature": 0.0},
+            }
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+    assert len(chunks) >= 2
+    assert chunks[-1]["meta_info"]["finish_reason"]["type"] == "length"
+
+
+def test_models_health_info_metrics(server):
+    import urllib.request
+
+    models = json.loads(urllib.request.urlopen(server + "/v1/models").read())
+    assert models["data"][0]["object"] == "model"
+    info = json.loads(urllib.request.urlopen(server + "/get_server_info").read())
+    assert info["max_total_tokens"] > 0
+    urllib.request.urlopen(server + "/health_generate", timeout=60)
+    metrics = urllib.request.urlopen(server + "/metrics").read().decode()
+    assert "sglang_tpu_decode_tokens_total" in metrics

@@ -1,0 +1,153 @@
+"""Pallas ragged-paged-attention vs the jnp reference backend.
+
+Parity with the reference's kernel-vs-torch tests (`sgl-kernel/tests/`,
+SURVEY §4): every optimized kernel is validated against the oracle backend
+(A5 role). Runs the kernel in interpreter mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sglang_tpu.layers.attention.pallas_backend import PallasAttentionBackend
+from sglang_tpu.layers.attention.reference_backend import ReferenceAttentionBackend
+from sglang_tpu.model_executor.forward_batch_info import (
+    make_decode_batch,
+    make_extend_batch,
+)
+
+PS = 16  # page size
+D = 64
+
+
+def _setup(seq_lens, q_lens, qh=4, kvh=2, num_pages=64, dtype=jnp.float32, seed=0):
+    """Build random paged KV state + a batch; returns (q, pages, fb_kwargs)."""
+    rng = np.random.default_rng(seed)
+    b = len(seq_lens)
+    pmax = 16  # multiple of pblk (128//16=8)
+    pages = rng.standard_normal((num_pages, PS, 2 * kvh, D)) * 0.5
+    page_table = np.zeros((b, pmax), dtype=np.int32)
+    next_page = 1
+    for i, sl in enumerate(seq_lens):
+        n = -(-sl // PS)
+        page_table[i, :n] = range(next_page, next_page + n)
+        next_page += n
+    t = sum(q_lens)
+    q = rng.standard_normal((t, qh, D)) * 0.5
+    cu = np.zeros(b + 1, dtype=np.int32)
+    cu[1:] = np.cumsum(q_lens)
+    positions = np.concatenate(
+        [np.arange(sl - ql, sl) for sl, ql in zip(seq_lens, q_lens)]
+    ).astype(np.int32)
+    return (
+        jnp.asarray(q, dtype),
+        jnp.asarray(pages, dtype),
+        dict(
+            page_table=page_table,
+            seq_lens=np.asarray(seq_lens, np.int32),
+            cu=cu,
+            positions=positions,
+        ),
+    )
+
+
+def _run_both(q, pages, meta, mode, sm_scale=0.25, window=-1):
+    ref = ReferenceAttentionBackend()
+    pal = PallasAttentionBackend(interpret=True)
+    if mode == "decode":
+        fb = make_decode_batch(
+            np.zeros(len(meta["seq_lens"]), np.int32),
+            meta["positions"],
+            np.zeros(len(meta["seq_lens"]), np.int32),
+            meta["page_table"],
+            meta["seq_lens"],
+        )
+        o_ref = ref.forward_decode(q, pages, fb, sm_scale, sliding_window=window)
+        o_pal = pal.forward_decode(q, pages, fb, sm_scale, sliding_window=window)
+    else:
+        t = q.shape[0]
+        fb = make_extend_batch(
+            np.zeros(t, np.int32),
+            meta["positions"],
+            np.zeros(t, np.int32),
+            meta["page_table"],
+            meta["seq_lens"],
+            meta["cu"],
+        )
+        o_ref = ref.forward_extend(q, pages, fb, sm_scale, sliding_window=window)
+        o_pal = pal.forward_extend(q, pages, fb, sm_scale, sliding_window=window)
+    return np.asarray(o_ref), np.asarray(o_pal)
+
+
+def test_decode_matches_reference():
+    seq_lens = [1, 17, 33, 48]
+    q, pages, meta = _setup(seq_lens, [1] * 4)
+    o_ref, o_pal = _run_both(q, pages, meta, "decode")
+    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_decode_gqa_heads():
+    seq_lens = [25, 40]
+    q, pages, meta = _setup(seq_lens, [1, 1], qh=8, kvh=2)
+    o_ref, o_pal = _run_both(q, pages, meta, "decode")
+    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_extend_fresh_prefill():
+    # no cached prefix: q_len == seq_len
+    seq_lens = [13, 64, 7]
+    q, pages, meta = _setup(seq_lens, seq_lens)
+    o_ref, o_pal = _run_both(q, pages, meta, "extend")
+    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_extend_with_prefix():
+    # cached prefix: q_len < seq_len (radix hit / chunked continuation)
+    seq_lens = [48, 40]
+    q_lens = [16, 25]
+    q, pages, meta = _setup(seq_lens, q_lens)
+    o_ref, o_pal = _run_both(q, pages, meta, "extend")
+    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_extend_long_multiblock():
+    # q longer than one 128-row block
+    seq_lens = [200, 150]
+    q_lens = [200, 100]
+    q, pages, meta = _setup(seq_lens, q_lens, num_pages=64)
+    o_ref, o_pal = _run_both(q, pages, meta, "extend")
+    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_decode_padded_batch():
+    # trailing padding rows (seq_len 0) must not poison real rows
+    seq_lens = [20, 35, 0, 0]
+    q, pages, meta = _setup(seq_lens, [1] * 4)
+    o_ref, o_pal = _run_both(q, pages, meta, "decode")
+    np.testing.assert_allclose(o_pal[:2], o_ref[:2], atol=2e-5, rtol=2e-5)
+
+
+def test_sliding_window_decode():
+    seq_lens = [40, 60]
+    q, pages, meta = _setup(seq_lens, [1, 1])
+    o_ref, o_pal = _run_both(q, pages, meta, "decode", window=24)
+    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_logit_cap():
+    seq_lens = [30]
+    q, pages, meta = _setup(seq_lens, [1])
+    ref = ReferenceAttentionBackend()
+    pal = PallasAttentionBackend(interpret=True)
+    fb = make_decode_batch(
+        np.zeros(1, np.int32),
+        meta["positions"],
+        np.zeros(1, np.int32),
+        meta["page_table"],
+        meta["seq_lens"],
+    )
+    o_ref = ref.forward_decode(q, pages, fb, 0.25, logit_cap=30.0)
+    o_pal = pal.forward_decode(q, pages, fb, 0.25, logit_cap=30.0)
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref), atol=2e-5, rtol=2e-5)
