@@ -32,12 +32,76 @@ def apply_logit_bias(logits: jax.Array, bias: jax.Array) -> jax.Array:
     return logits + bias
 
 
+def apply_penalties(
+    logits: jax.Array,  # [B, V] f32
+    counts: jax.Array,  # [S+1, V] i32 (slot-indexed token counts)
+    info: SamplingBatchInfo,
+) -> jax.Array:
+    """Frequency / presence / repetition penalties (reference
+    `sampling/penaltylib/orchestrator.py` + `layers/sampler.py:93`)."""
+    cnt = counts[info.slot_ids].astype(jnp.float32)  # [B, V]
+    seen = cnt > 0
+    logits = logits - info.freq_pen[:, None] * cnt
+    logits = logits - info.pres_pen[:, None] * seen.astype(jnp.float32)
+    rep = info.rep_pen[:, None]
+    scaled = jnp.where(logits > 0, logits / rep, logits * rep)
+    return jnp.where(seen, scaled, logits)
+
+
+def apply_sparse_bias(logits: jax.Array, info: SamplingBatchInfo) -> jax.Array:
+    """Per-request logit_bias + min_new_tokens EOS blocking, applied from
+    padded sparse (id, value) pairs (reference dense vocab-bias tensors,
+    `sampling_batch_info.py apply_logits_bias:252`)."""
+    b = logits.shape[0]
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    logits = logits.at[rows, info.bias_ids].add(info.bias_vals)
+    # blocked ids get -inf weight (pad entries have mask 0)
+    logits = logits.at[rows, info.block_ids].add(info.block_mask * NEG_INF)
+    return logits
+
+
+def update_counts_extend(
+    counts: jax.Array,  # [S+1, V]
+    input_ids: jax.Array,  # [T]
+    token_slot_ids: jax.Array,  # [T] slot per packed token (pad -> S)
+    token_kind: jax.Array,  # [T] 0 pad / 1 prompt / 2 output
+    slot_ids: jax.Array,  # [B]
+    fresh_mask: jax.Array,  # [B]
+) -> jax.Array:
+    """Zero fresh slots, then scatter-add *output* tokens re-entering via
+    extend (retraction re-prefill). Prompt tokens are not counted —
+    freq/presence/repetition apply to generated text (vLLM/OpenAI
+    semantics; the reference counts prompt only for repetition)."""
+    keep = jnp.where(fresh_mask, 0, 1).astype(counts.dtype)
+    counts = counts.at[slot_ids].multiply(keep[:, None])
+    inc = (token_kind == 2).astype(counts.dtype)
+    return counts.at[token_slot_ids, input_ids].add(inc)
+
+
+def update_counts_sampled(
+    counts: jax.Array,
+    next_ids: jax.Array,  # [B]
+    info: SamplingBatchInfo,
+) -> jax.Array:
+    return counts.at[info.slot_ids, next_ids].add(
+        info.count_mask.astype(counts.dtype)
+    )
+
+
 def sample(
     logits: jax.Array,  # [B, V] f32
     info: SamplingBatchInfo,
     rng_key: jax.Array,
+    counts: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (next_token_ids [B] i32, token_logprobs [B] f32)."""
+    """Returns (next_token_ids [B] i32, token_logprobs [B] f32).
+
+    Order (reference `layers/sampler.py:57`): penalties -> logit bias /
+    grammar mask -> temperature -> top-k/top-p/min-p -> draw."""
+    if info.need_penalties and counts is not None:
+        logits = apply_penalties(logits, counts, info)
+    if info.need_bias:
+        logits = apply_sparse_bias(logits, info)
     if info.is_all_greedy:
         next_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         logprobs = jax.nn.log_softmax(logits, axis=-1)

@@ -88,6 +88,10 @@ class Req:
         # --- chunked prefill ---
         self.is_chunked = False
 
+        # --- penalty state slot (stable device-side row index) ---
+        self.slot: Optional[int] = None
+        self._counts_inited = False
+
         # --- logprobs ---
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List = []
@@ -174,6 +178,7 @@ class Req:
         self.prefix_len = 0
         self.last_node = None
         self.is_chunked = False
+        self._counts_inited = False  # counts rebuilt on re-prefill
         self.retract_count += 1
 
     def __repr__(self):

@@ -102,6 +102,11 @@ class Scheduler:
         self.stats = SchedulerStats()
         self._step_i = 0
 
+        # penalty-state slots: stable device-side row per live request
+        self.max_slots = self.max_running_requests + self.max_extend_reqs
+        self._slot_pool: List[int] = list(range(self.max_slots - 1, -1, -1))
+        self.runner.set_max_slots(self.max_slots)
+
     # ----------------------------------------------------------- admission
 
     def add_request(self, treq: TokenizedGenerateReqInput) -> Req:
@@ -240,11 +245,39 @@ class Scheduler:
         self.stats.num_cached_tokens += adder.log_hit_tokens
         return batch
 
+    def _make_sinfo(
+        self,
+        reqs: List[Req],
+        padded_bs: int,
+        count_sample: Optional[List[bool]] = None,
+        fresh: Optional[List[bool]] = None,
+    ) -> SamplingBatchInfo:
+        eos_blocked = [
+            sorted(r.eos_token_ids)[:8]
+            if len(r.output_ids) < r.sampling_params.min_new_tokens
+            else []
+            for r in reqs
+        ]
+        return SamplingBatchInfo.from_reqs(
+            [r.sampling_params for r in reqs],
+            padded_bs=padded_bs,
+            slots=[r.slot if r.slot is not None else self.max_slots for r in reqs],
+            fresh=fresh,
+            count_sample=count_sample,
+            eos_blocked=eos_blocked,
+            max_slots=self.max_slots,
+        )
+
     def _forward_extend(self, batch: ScheduleBatch) -> List[ReqStrOutput]:
+        for r in batch.reqs:
+            if r.slot is None and self._slot_pool:
+                r.slot = self._slot_pool.pop()
         arrays = batch.prepare_for_extend()
-        sinfo = SamplingBatchInfo.from_reqs(
-            [r.sampling_params for r in batch.reqs],
+        sinfo = self._make_sinfo(
+            batch.reqs,
             padded_bs=self.runner.extend_seq_bucket,
+            count_sample=[not r.is_chunked for r in batch.reqs],
+            fresh=[not r._counts_inited for r in batch.reqs],
         )
         next_ids, tok_lp = self.runner.forward_extend(
             arrays["input_ids"],
@@ -254,7 +287,12 @@ class Scheduler:
             arrays["seq_lens"],
             arrays["extend_lens"],
             sinfo,
+            output_start=np.asarray(
+                [len(r.input_ids) for r in batch.reqs], dtype=np.int32
+            ),
         )
+        for r in batch.reqs:
+            r._counts_inited = True
         next_ids = np.asarray(next_ids)
         tok_lp = np.asarray(tok_lp)
         batch.commit_extend()
@@ -306,8 +344,8 @@ class Scheduler:
             arrays = batch.prepare_for_decode()
             if arrays is None:
                 return []
-        sinfo = SamplingBatchInfo.from_reqs(
-            [r.sampling_params for r in batch.reqs],
+        sinfo = self._make_sinfo(
+            batch.reqs,
             padded_bs=_bucket(len(batch.reqs), self.runner.decode_bs_buckets),
         )
         next_ids, tok_lp = self.runner.forward_decode(
@@ -381,6 +419,9 @@ class Scheduler:
             r.last_node = None
         self.allocator.free(r.pages)
         r.pages = []
+        if r.slot is not None:
+            self._slot_pool.append(r.slot)
+            r.slot = None
 
     def _finish_req(self, r: Req) -> ReqStrOutput:
         self._release_req(r, insert=True)

@@ -61,6 +61,9 @@ class ForwardBatch:
     # seq index for every packed token (padding tokens -> B-1 slot is fine
     # since their seq_len is 0); used by extend attention to map token->seq.
     token_to_seq: jax.Array  # [T] int32
+    # 0 = padding, 1 = prompt token, 2 = output token re-entering via extend
+    # (retraction re-prefill) — drives penalty-count accumulation.
+    token_kind: jax.Array = None  # [T] int32
 
     # Ragged-attention block map (host-built; consumed by the Pallas kernel
     # as scalar-prefetch metadata — one entry per (seq, q-block) work unit).
@@ -138,6 +141,9 @@ def make_decode_batch(
         seq_lens=jnp.asarray(seq_lens, jnp.int32),
         cu_q_lens=jnp.asarray(cu),
         token_to_seq=jnp.arange(b, dtype=jnp.int32),
+        token_kind=jnp.asarray(
+            np.where(np.asarray(seq_lens) > 0, 2, 0).astype(np.int32)
+        ),
         blk_seq=jnp.asarray(blk_seq),
         blk_qoff=jnp.asarray(blk_qoff),
         blk_nrows=jnp.asarray(blk_nrows),
@@ -154,6 +160,7 @@ def make_extend_batch(
     seq_lens: np.ndarray,
     cu_q_lens: np.ndarray,
     mode: ForwardMode = ForwardMode.EXTEND,
+    output_start: Optional[np.ndarray] = None,  # [B] prompt length per seq
 ) -> ForwardBatch:
     t = len(input_ids)
     b = len(seq_lens)
@@ -162,6 +169,13 @@ def make_extend_batch(
         np.searchsorted(np.asarray(cu_q_lens), np.arange(t), side="right") - 1
     )
     token_to_seq = np.clip(token_to_seq, 0, b - 1)
+    total = int(np.asarray(cu_q_lens)[-1])
+    valid = np.arange(t) < total
+    if output_start is not None:
+        is_out = np.asarray(positions) >= np.asarray(output_start)[token_to_seq]
+    else:
+        is_out = np.zeros(t, dtype=bool)
+    token_kind = np.where(valid, np.where(is_out, 2, 1), 0).astype(np.int32)
     nb = t // EXTEND_QBLK + b  # worst-case block count (all seqs unaligned)
     blk_seq, blk_qoff, blk_nrows, blk_pos0 = build_attn_blocks(
         cu_q_lens, seq_lens, EXTEND_QBLK, nb
@@ -174,6 +188,7 @@ def make_extend_batch(
         seq_lens=jnp.asarray(seq_lens, jnp.int32),
         cu_q_lens=jnp.asarray(cu_q_lens, jnp.int32),
         token_to_seq=jnp.asarray(token_to_seq, jnp.int32),
+        token_kind=jnp.asarray(token_kind),
         blk_seq=jnp.asarray(blk_seq),
         blk_qoff=jnp.asarray(blk_qoff),
         blk_nrows=jnp.asarray(blk_nrows),

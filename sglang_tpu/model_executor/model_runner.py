@@ -24,7 +24,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sglang_tpu.configs.model_config import ModelConfig
 from sglang_tpu.layers.attention import create_attention_backend
-from sglang_tpu.layers.sampler import sample
+from sglang_tpu.layers.sampler import (
+    sample,
+    update_counts_extend,
+    update_counts_sampled,
+)
 from sglang_tpu.mem_cache.memory_pool import (
     KV_DTYPE_MAP,
     KVCachePool,
@@ -163,17 +167,68 @@ class ModelRunner:
         key = "step"
         if key not in self._jit_cache:
 
-            def _step(params, kv_layers, fb, logits_indices, sinfo, rng):
+            def _step(params, kv_layers, counts, fb, logits_indices, sinfo, rng):
                 hidden, new_kv = self.model.forward(
                     params, kv_layers, fb, self.attn_backend
                 )
+                if sinfo.need_penalties and fb.mode.is_extend():
+                    # fresh-slot reset + re-count outputs on retraction
+                    sentinel = counts.shape[0] - 1
+                    tslots = jnp.where(
+                        fb.token_kind > 0,
+                        sinfo.slot_ids[
+                            jnp.clip(fb.token_to_seq, 0, sinfo.slot_ids.shape[0] - 1)
+                        ],
+                        sentinel,
+                    )
+                    counts = update_counts_extend(
+                        counts,
+                        fb.input_ids,
+                        tslots,
+                        fb.token_kind,
+                        sinfo.slot_ids,
+                        sinfo.fresh_mask,
+                    )
                 sel = hidden[logits_indices]
                 logits = self.model.compute_logits(params, sel)
-                next_ids, tok_lp = sample(logits, sinfo, rng)
-                return next_ids, tok_lp, new_kv
+                next_ids, tok_lp = sample(logits, sinfo, rng, counts)
+                if sinfo.need_penalties:
+                    counts = update_counts_sampled(counts, next_ids, sinfo)
+                return next_ids, tok_lp, new_kv, counts
 
-            self._jit_cache[key] = jax.jit(_step, donate_argnums=(1,))
+            self._jit_cache[key] = jax.jit(_step, donate_argnums=(1, 2))
         return self._jit_cache[key]
+
+    # --------------------------------------------------------- penalty state
+
+    def set_max_slots(self, n: int) -> None:
+        self._max_slots = n
+
+    def _get_counts(self, need: bool) -> jax.Array:
+        """Slot-indexed output-token count matrix (lazy; row S = sentinel
+        absorbing padding writes)."""
+        if not need:
+            if getattr(self, "_dummy_counts", None) is None:
+                self._dummy_counts = jnp.zeros((1, 1), dtype=jnp.int32)
+            return self._dummy_counts
+        if getattr(self, "_penalty_counts", None) is None:
+            slots = getattr(self, "_max_slots", 256)
+            self._penalty_counts = jnp.zeros(
+                (slots + 1, self.model_config.vocab_size), dtype=jnp.int32
+            )
+            logger.info(
+                "penalty count state: %d slots x %d vocab (%.1f MiB)",
+                slots,
+                self.model_config.vocab_size,
+                self._penalty_counts.nbytes / (1 << 20),
+            )
+        return self._penalty_counts
+
+    def _put_counts(self, need: bool, counts: jax.Array) -> None:
+        if need:
+            self._penalty_counts = counts
+        else:
+            self._dummy_counts = counts
 
     # ------------------------------------------------------------- forward
 
@@ -207,6 +262,7 @@ class ModelRunner:
         seq_lens: np.ndarray,  # [b]
         extend_lens: np.ndarray,  # [b] query lens
         sampling_info: SamplingBatchInfo,
+        output_start: Optional[np.ndarray] = None,  # [b] prompt lengths
     ) -> Tuple[jax.Array, jax.Array]:
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
@@ -221,6 +277,9 @@ class ModelRunner:
             _pad2(page_table, bb, self.max_pages_per_req),
             _pad(seq_lens, bb),
             cu,
+            output_start=_pad(output_start, bb, fill=1 << 30)
+            if output_start is not None
+            else None,
         )
         # last token of each sequence (pad rows point at token 0)
         li = np.zeros(bb, dtype=np.int32)
@@ -269,10 +328,12 @@ class ModelRunner:
         rng = jax.random.fold_in(self.rng_key, self._step_counter)
         self._step_counter += 1
         step = self._get_step_fn()
-        next_ids, tok_lp, new_kv = step(
-            self.params, self.kv_layers, fb, logits_indices, sinfo, rng
+        counts = self._get_counts(sinfo.need_penalties)
+        next_ids, tok_lp, new_kv, counts = step(
+            self.params, self.kv_layers, counts, fb, logits_indices, sinfo, rng
         )
         self.kv_layers = new_kv
+        self._put_counts(sinfo.need_penalties, counts)
         return next_ids, tok_lp
 
 
