@@ -28,6 +28,16 @@ def apply_vocab_mask(logits: jax.Array, vocab_mask: jax.Array) -> jax.Array:
     return jnp.where(vocab_mask, logits, NEG_INF)
 
 
+def apply_packed_vocab_mask(logits: jax.Array, packed: jax.Array) -> jax.Array:
+    """Unpack a big-endian bitmask [B, ceil(V/8)] uint8 on device and mask
+    logits — 8x smaller host->HBM transfer than a bool [B, V]."""
+    b, v = logits.shape
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # big-endian bit order
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & 1
+    mask = bits.reshape(b, -1)[:, :v].astype(bool)
+    return jnp.where(mask, logits, NEG_INF)
+
+
 def apply_logit_bias(logits: jax.Array, bias: jax.Array) -> jax.Array:
     return logits + bias
 
@@ -102,6 +112,8 @@ def sample(
         logits = apply_penalties(logits, counts, info)
     if info.need_bias:
         logits = apply_sparse_bias(logits, info)
+    if info.need_grammar:
+        logits = apply_packed_vocab_mask(logits, info.vocab_mask_packed)
     if info.is_all_greedy:
         next_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         logprobs = jax.nn.log_softmax(logits, axis=-1)

@@ -84,6 +84,9 @@ class Scheduler:
         )
         self.allocator.evict_callback = self.radix_cache.evict
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix_cache)
+        from sglang_tpu.constrained import create_grammar_backend
+
+        self.grammar_backend = create_grammar_backend(server_args, tokenizer)
 
         self.waiting_queue: List[Req] = []
         self.running_batch = ScheduleBatch(
@@ -142,6 +145,19 @@ class Scheduler:
             skip_special_tokens=sp.skip_special_tokens,
             spaces_between_special_tokens=sp.spaces_between_special_tokens,
         )
+        if sp.needs_grammar:
+            if self.grammar_backend is None:
+                raise ValueError(
+                    "structured output requested but no grammar backend"
+                )
+            if sp.regex is not None:
+                req.grammar = self.grammar_backend.get("regex", sp.regex)
+            elif sp.json_schema is not None:
+                req.grammar = self.grammar_backend.get("json_schema", sp.json_schema)
+            elif sp.ebnf is not None:
+                req.grammar = self.grammar_backend.get("ebnf", sp.ebnf)
+            else:
+                raise ValueError("structural_tag is not supported yet")
         self.waiting_queue.append(req)
         self.reqs[req.rid] = req
         return req
@@ -258,6 +274,16 @@ class Scheduler:
             else []
             for r in reqs
         ]
+        grammar_masks = None
+        if any(r.grammar is not None for r in reqs):
+            vocab = self.runner.model_config.vocab_size
+            grammar_masks = np.ones((len(reqs), vocab), dtype=bool)
+            for i, r in enumerate(reqs):
+                if r.grammar is not None and not r.grammar.finished:
+                    m = r.grammar.vocab_mask()
+                    grammar_masks[i, : len(m)] = m[:vocab]
+                    if len(m) < vocab:
+                        grammar_masks[i, len(m):] = False
         return SamplingBatchInfo.from_reqs(
             [r.sampling_params for r in reqs],
             padded_bs=padded_bs,
@@ -266,6 +292,7 @@ class Scheduler:
             count_sample=count_sample,
             eos_blocked=eos_blocked,
             max_slots=self.max_slots,
+            grammar_masks=grammar_masks,
         )
 
     def _forward_extend(self, batch: ScheduleBatch) -> List[ReqStrOutput]:
@@ -380,6 +407,14 @@ class Scheduler:
         r.output_ids.append(token_id)
         if r.return_logprob:
             r.output_token_logprobs.append(logprob)
+        if r.grammar is not None and not r.finished():
+            ok = r.grammar.accept_token(token_id)
+            if not ok:
+                # defensive: the vocab mask makes dead states unreachable,
+                # but never let an invalid constrained stream keep going
+                r.finished_reason = FinishReason("stop", matched="grammar-dead")
+                r.status = ReqStatus.FINISHED
+                return
         stop_hit = None
         if self.tokenizer is not None:
             r.detok.step(r.output_ids)

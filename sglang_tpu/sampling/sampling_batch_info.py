@@ -50,12 +50,16 @@ class SamplingBatchInfo:
     # min_new_tokens EOS blocking (pad = 0 with weight 0)
     block_ids: jax.Array  # [B, MAX_STOP_TOKENS] i32
     block_mask: jax.Array  # [B, MAX_STOP_TOKENS] f32 (1 = block this id)
+    # grammar vocab bitmask, big-endian packed (reference sgl-kernel
+    # apply_token_bitmask; [B, 1] dummy when unused)
+    vocab_mask_packed: jax.Array = None  # [B, ceil(V/8)] uint8
     # static flags (select the jit variant)
     is_all_greedy: bool = field(metadata=dict(static=True), default=False)
     need_top_p: bool = field(metadata=dict(static=True), default=False)
     need_min_p: bool = field(metadata=dict(static=True), default=False)
     need_penalties: bool = field(metadata=dict(static=True), default=False)
     need_bias: bool = field(metadata=dict(static=True), default=False)
+    need_grammar: bool = field(metadata=dict(static=True), default=False)
 
     @classmethod
     def from_reqs(
@@ -67,6 +71,7 @@ class SamplingBatchInfo:
         count_sample: Optional[List[bool]] = None,
         eos_blocked: Optional[List[List[int]]] = None,
         max_slots: int = 0,
+        grammar_masks: Optional[np.ndarray] = None,  # [n, V] bool or None
     ) -> "SamplingBatchInfo":
         n = len(params_list)
         temperature = np.ones(padded_bs, dtype=np.float32)
@@ -118,6 +123,13 @@ class SamplingBatchInfo:
                 for j, tid in enumerate(eos_blocked[i][:MAX_STOP_TOKENS]):
                     block_ids[i, j] = tid
                     block_mask[i, j] = 1.0
+        need_grammar = grammar_masks is not None
+        if need_grammar:
+            full = np.ones((padded_bs, grammar_masks.shape[1]), dtype=bool)
+            full[: len(grammar_masks)] = grammar_masks
+            packed = np.packbits(full, axis=1)
+        else:
+            packed = np.zeros((padded_bs, 1), dtype=np.uint8)
         return cls(
             temperature=jnp.asarray(temperature),
             top_k=jnp.asarray(top_k),
@@ -133,9 +145,11 @@ class SamplingBatchInfo:
             bias_vals=jnp.asarray(bias_vals),
             block_ids=jnp.asarray(block_ids),
             block_mask=jnp.asarray(block_mask),
+            vocab_mask_packed=jnp.asarray(packed),
             is_all_greedy=all(sp.is_greedy for sp in params_list),
             need_top_p=any(sp.top_p < 1.0 for sp in params_list),
             need_min_p=any(sp.min_p > 0.0 for sp in params_list),
             need_penalties=need_penalties,
             need_bias=need_bias,
+            need_grammar=need_grammar,
         )
