@@ -156,6 +156,20 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
         if not index.has(rule.sources[0]):
             return None
         return np.asarray(index.get(rule.sources[0])).T
+    if kind == "router":
+        return np.asarray(index.get(rule.sources[0]), dtype=np.float32).T
+    if kind == "moe_w1":
+        # sources ordered (e0.gate, e0.up, e1.gate, e1.up, ...) -> [E, H, 2M]
+        per_expert = []
+        for i in range(0, len(rule.sources), 2):
+            gate = np.asarray(index.get(rule.sources[i]), dtype=np.float32).T
+            up = np.asarray(index.get(rule.sources[i + 1]), dtype=np.float32).T
+            per_expert.append(np.concatenate([gate, up], axis=1))
+        return np.stack(per_expert)
+    if kind == "moe_w2":
+        return np.stack(
+            [np.asarray(index.get(s), dtype=np.float32).T for s in rule.sources]
+        )
     raise ValueError(kind)
 
 

@@ -20,7 +20,20 @@ from typing import List, Optional, Sequence, Tuple
 #   "lm_head"     : HF [vocab, hidden] -> transpose to [hidden, vocab].
 #   "norm"        : single [hidden] vector.
 #   "raw"         : single tensor stored untransformed.
-KINDS = ("linear", "linear_bias", "embed", "lm_head", "norm", "raw")
+#   "router"      : MoE gate [E, hidden] -> [hidden, E] f32.
+#   "moe_w1"      : per-expert (gate, up) pairs -> stacked [E, hidden, 2M].
+#   "moe_w2"      : per-expert down projections -> stacked [E, M, hidden].
+KINDS = (
+    "linear",
+    "linear_bias",
+    "embed",
+    "lm_head",
+    "norm",
+    "raw",
+    "router",
+    "moe_w1",
+    "moe_w2",
+)
 
 
 @dataclass

@@ -95,25 +95,55 @@ class LlamaForCausalLM:
 
     # ------------------------------------------------------------- specs
 
+    def mlp_shapes(self) -> dict:
+        c = self.config
+        h, inter = self.hidden_size, c.intermediate_size
+        return {
+            "gate_up": self.methods["gate_up"].weight_shapes(h, 2 * inter, c.dtype),
+            "down": self.methods["down"].weight_shapes(inter, h, c.dtype),
+        }
+
+    def mlp_specs(self) -> dict:
+        return {
+            "gate_up": _linear_sharding(self.methods["gate_up"], col_parallel=True),
+            "down": _linear_sharding(self.methods["down"], col_parallel=False),
+        }
+
+    def mlp_forward(self, lp: dict, x: jax.Array) -> jax.Array:
+        gate_up = self.methods["gate_up"].apply(lp["gate_up"], x)
+        return self.methods["down"].apply(lp["down"], silu_and_mul(gate_up))
+
+    def mlp_weight_rules(self, lp: str, L: tuple) -> List[WeightRule]:
+        return [
+            WeightRule(
+                L + ("gate_up",),
+                [f"{lp}.mlp.gate_proj.weight", f"{lp}.mlp.up_proj.weight"],
+                kind="linear",
+                method_key="gate_up",
+            ),
+            WeightRule(
+                L + ("down",), [f"{lp}.mlp.down_proj.weight"], kind="linear",
+                method_key="down",
+            ),
+        ]
+
     def _layer_specs(self) -> Tuple[dict, dict]:
         c = self.config
         dt = c.dtype
-        h, inter = self.hidden_size, c.intermediate_size
+        h = self.hidden_size
         shapes = {
             "input_norm": jax.ShapeDtypeStruct((h,), dt),
             "post_norm": jax.ShapeDtypeStruct((h,), dt),
             "qkv": self.methods["qkv"].weight_shapes(h, self.q_size + 2 * self.kv_size, dt),
             "o": self.methods["o"].weight_shapes(self.q_size, h, dt),
-            "gate_up": self.methods["gate_up"].weight_shapes(h, 2 * inter, dt),
-            "down": self.methods["down"].weight_shapes(inter, h, dt),
+            **self.mlp_shapes(),
         }
         specs = {
             "input_norm": P(None),
             "post_norm": P(None),
             "qkv": _linear_sharding(self.methods["qkv"], col_parallel=True),
             "o": _linear_sharding(self.methods["o"], col_parallel=False),
-            "gate_up": _linear_sharding(self.methods["gate_up"], col_parallel=True),
-            "down": _linear_sharding(self.methods["down"], col_parallel=False),
+            **self.mlp_specs(),
         }
         if self.qk_norm:
             shapes["q_norm"] = jax.ShapeDtypeStruct((self.head_dim,), dt)
@@ -175,13 +205,7 @@ class LlamaForCausalLM:
                     method_key="qkv",
                 ),
                 WeightRule(L + ("o",), [f"{lp}.self_attn.o_proj.weight"], kind="linear", method_key="o"),
-                WeightRule(
-                    L + ("gate_up",),
-                    [f"{lp}.mlp.gate_proj.weight", f"{lp}.mlp.up_proj.weight"],
-                    kind="linear",
-                    method_key="gate_up",
-                ),
-                WeightRule(L + ("down",), [f"{lp}.mlp.down_proj.weight"], kind="linear", method_key="down"),
+                *self.mlp_weight_rules(lp, L),
             ]
             if self.qkv_bias:
                 rules.append(
@@ -247,10 +271,9 @@ class LlamaForCausalLM:
             new_kv.append(kv_i)
             attn_out = attn_out.reshape(t, self.q_size)
             h = h + self.methods["o"].apply(lp["o"], attn_out)
-            # --- MLP block ---
+            # --- MLP block (dense or MoE, see mlp_forward overrides) ---
             normed = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
-            gate_up = self.methods["gate_up"].apply(lp["gate_up"], normed)
-            h = h + self.methods["down"].apply(lp["down"], silu_and_mul(gate_up))
+            h = h + self.mlp_forward(lp, normed)
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
         return h, new_kv
 
