@@ -63,7 +63,9 @@ def tiny_cfg():
 
 def main():
     tiny = os.environ.get("BENCH_TINY") == "1"
-    quant = os.environ.get("BENCH_QUANT")  # e.g. "int8"
+    # v5e has 16 GiB HBM: 8B bf16 does not fit — weight-only INT8 is the
+    # single-chip serving config (reference W8A16 path)
+    quant = os.environ.get("BENCH_QUANT", None if tiny else "int8")
     num_prompts = int(os.environ.get("BENCH_NUM_PROMPTS", "16" if tiny else "100"))
 
     if tiny:
@@ -81,7 +83,7 @@ def main():
     hf = tiny_cfg() if tiny else llama8b_cfg()
     sa = ServerArgs(
         model_path="bench-llama-8b" if not tiny else "bench-tiny",
-        load_format="dummy",
+        load_format="zeros",
         quantization=quant,
         skip_tokenizer_init=True,
         random_seed=0,
@@ -158,7 +160,7 @@ def main():
     toks_per_s = gen_tokens / elapsed
 
     result = {
-        "metric": "offline_output_throughput_llama8b_bf16"
+        "metric": f"offline_output_throughput_llama8b_{quant or 'bf16'}"
         if not tiny
         else "offline_output_throughput_tiny_cpu",
         "value": round(toks_per_s, 1),

@@ -55,6 +55,9 @@ class PallasAttentionBackend(AttentionBackend):
     def forward_extend(
         self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
     ):
+        from sglang_tpu.model_executor.forward_batch_info import ForwardMode
+
+        qblk = DECODE_QBLK if fb.mode == ForwardMode.TARGET_VERIFY else EXTEND_QBLK
         return self._attend(
-            q, pages, fb, EXTEND_QBLK, sm_scale, sliding_window, logit_cap
+            q, pages, fb, qblk, sm_scale, sliding_window, logit_cap
         )

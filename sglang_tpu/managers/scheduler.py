@@ -88,6 +88,16 @@ class Scheduler:
 
         self.grammar_backend = create_grammar_backend(server_args, tokenizer)
 
+        self.spec = None
+        if server_args.speculative_algorithm == "NGRAM":
+            from sglang_tpu.speculative.ngram_worker import NgramProposer
+
+            self.spec = NgramProposer(
+                min_match=server_args.speculative_ngram_min_match,
+                max_match=server_args.speculative_ngram_max_match,
+                num_draft_tokens=min(server_args.speculative_num_draft_tokens, 7),
+            )
+
         self.waiting_queue: List[Req] = []
         self.running_batch = ScheduleBatch(
             [], self.allocator, self.radix_cache, self.runner.max_pages_per_req
@@ -350,7 +360,110 @@ class Scheduler:
 
     # -------------------------------------------------------------- decode
 
+    def _spec_eligible(self) -> bool:
+        """Greedy self-speculation is output-identical only when every
+        request is greedy with no penalties/grammar/logprobs."""
+        if self.spec is None:
+            return False
+        for r in self.running_batch.reqs:
+            sp = r.sampling_params
+            if (
+                not sp.is_greedy
+                or r.grammar is not None
+                or r.return_logprob
+                or sp.frequency_penalty != 0.0
+                or sp.presence_penalty != 0.0
+                or sp.repetition_penalty != 1.0
+                or sp.min_new_tokens > len(r.output_ids)
+            ):
+                return False
+        return True
+
+    def _forward_spec_decode(self) -> List[ReqStrOutput]:
+        """NGRAM speculative round: one ragged TARGET_VERIFY forward decodes
+        up to 1+k tokens per request (reference
+        `event_loop` spec path via EAGLEWorker/NgramWorker)."""
+        batch = self.running_batch
+        ps = self.page_size
+        reqs = batch.reqs
+        drafts: List[List[int]] = []
+        for r in reqs:
+            k_cap = min(
+                self.spec.num_draft,
+                self.max_context_len - r.seqlen - 1,
+                r.sampling_params.max_new_tokens - len(r.output_ids) - 1,
+            )
+            d = self.spec.propose(r.fill_ids)[: max(0, k_cap)] if k_cap > 0 else []
+            drafts.append(d)
+        # page allocation for 1 + k tokens per req (draft dropped on pressure)
+        for r, d in zip(reqs, drafts):
+            while True:
+                if batch.alloc_for_extend(r, 1 + len(d)):
+                    break
+                if not d:
+                    # cannot even fit the mandatory decode token: fall back
+                    # to the normal decode path (it owns retraction)
+                    return self._forward_decode_normal()
+                del d[:]  # drop the draft, retry with 1 token
+        input_ids: List[int] = []
+        positions: List[int] = []
+        out_loc: List[int] = []
+        b = len(reqs)
+        seq_lens = np.zeros(b, dtype=np.int32)
+        extend_lens = np.zeros(b, dtype=np.int32)
+        for i, (r, d) in enumerate(zip(reqs, drafts)):
+            toks = [r.fill_ids[r.kv_len]] + d
+            input_ids.extend(toks)
+            positions.extend(range(r.kv_len, r.kv_len + len(toks)))
+            out_loc.extend(
+                batch._slot(r, p) for p in range(r.kv_len, r.kv_len + len(toks))
+            )
+            seq_lens[i] = r.kv_len + len(toks)
+            extend_lens[i] = len(toks)
+        ids = self.runner.forward_verify(
+            np.asarray(input_ids, dtype=np.int32),
+            np.asarray(positions, dtype=np.int32),
+            np.asarray(out_loc, dtype=np.int32),
+            batch._page_table(),
+            seq_lens,
+            extend_lens,
+            num_draft=self.spec.num_draft,
+        )
+        from sglang_tpu.speculative.ngram_worker import accept_draft_greedy
+
+        outputs: List[ReqStrOutput] = []
+        off = 0
+        for r, d in zip(reqs, drafts):
+            t_ids = ids[off : off + 1 + len(d)]
+            off += 1 + len(d)
+            acc = accept_draft_greedy(t_ids, d)
+            # never overshoot the generation budget
+            budget = r.sampling_params.max_new_tokens - len(r.output_ids)
+            acc = acc[: max(1, budget)]
+            r.kv_len += len(acc)
+            r.spec_steps += 1
+            r.spec_accept_tokens += len(acc)
+            self.stats.num_decode_tokens += len(acc)
+            for tok in acc:
+                self._append_token(r, int(tok), 0.0)
+                if r.finished():
+                    break
+            if r.finished():
+                outputs.append(self._finish_req(r))
+            elif r.stream and len(r.output_ids) % self.server_args.stream_interval < len(acc):
+                out = self._emit_stream(r)
+                if out:
+                    outputs.append(out)
+        self.stats.num_decode_steps += 1
+        batch.filter_finished()
+        return outputs
+
     def _forward_decode(self) -> List[ReqStrOutput]:
+        if self._spec_eligible():
+            return self._forward_spec_decode()
+        return self._forward_decode_normal()
+
+    def _forward_decode_normal(self) -> List[ReqStrOutput]:
         batch = self.running_batch
         arrays = batch.prepare_for_decode()
         if arrays is None:

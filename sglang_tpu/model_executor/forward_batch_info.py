@@ -176,9 +176,12 @@ def make_extend_batch(
     else:
         is_out = np.zeros(t, dtype=bool)
     token_kind = np.where(valid, np.where(is_out, 2, 1), 0).astype(np.int32)
-    nb = t // EXTEND_QBLK + b  # worst-case block count (all seqs unaligned)
+    # verify batches have tiny per-seq q_lens; small blocks bound the wasted
+    # compute on padded rows (same reason decode uses DECODE_QBLK)
+    qblk = DECODE_QBLK if mode == ForwardMode.TARGET_VERIFY else EXTEND_QBLK
+    nb = t // qblk + b  # worst-case block count (all seqs unaligned)
     blk_seq, blk_qoff, blk_nrows, blk_pos0 = build_attn_blocks(
-        cu_q_lens, seq_lens, EXTEND_QBLK, nb
+        cu_q_lens, seq_lens, qblk, nb
     )
     return ForwardBatch(
         input_ids=jnp.asarray(input_ids, jnp.int32),

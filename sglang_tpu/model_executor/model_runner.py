@@ -286,6 +286,50 @@ class ModelRunner:
         li[:b] = cu[1 : b + 1] - 1
         return self._run(fb, jnp.asarray(li), sampling_info)
 
+    def forward_verify(
+        self,
+        input_ids: np.ndarray,  # [t] packed (pending + draft tokens per seq)
+        positions: np.ndarray,
+        out_cache_loc: np.ndarray,
+        page_table: np.ndarray,
+        seq_lens: np.ndarray,  # [b] kv length after this step
+        extend_lens: np.ndarray,  # [b] 1 + num_draft_i
+        num_draft: int,
+    ) -> np.ndarray:
+        """Target-verify forward: greedy argmax at every packed position
+        (reference EAGLEWorker.verify / TARGET_VERIFY mode — here the
+        unified ragged extend serves as the verify kernel)."""
+        from sglang_tpu.model_executor.forward_batch_info import ForwardMode
+
+        t, b = len(input_ids), len(seq_lens)
+        bb = pad_to_bucket(b, self.decode_bs_buckets)
+        tt = bb * (1 + num_draft)
+        cu = np.zeros(bb + 1, dtype=np.int32)
+        cu[1 : b + 1] = np.cumsum(extend_lens)
+        cu[b + 1 :] = cu[b]
+        fb = make_extend_batch(
+            _pad(input_ids, tt),
+            _pad(positions, tt),
+            _pad(out_cache_loc, tt),
+            _pad2(page_table, bb, self.max_pages_per_req),
+            _pad(seq_lens, bb),
+            cu,
+            mode=ForwardMode.TARGET_VERIFY,
+        )
+        if "verify" not in self._jit_cache:
+
+            def _verify(params, kv_layers, fb):
+                hidden, new_kv = self.model.forward(
+                    params, kv_layers, fb, self.attn_backend
+                )
+                logits = self.model.compute_logits(params, hidden)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_kv
+
+            self._jit_cache["verify"] = jax.jit(_verify, donate_argnums=(1,))
+        ids, new_kv = self._jit_cache["verify"](self.params, self.kv_layers, fb)
+        self.kv_layers = new_kv
+        return np.asarray(ids)[:t]
+
     def forward_extend_logits(
         self,
         input_ids: np.ndarray,

@@ -107,6 +107,8 @@ def load_model_weights(
     """Build the params pytree for `model` (a registry model instance)."""
     if load_format == "dummy":
         return load_dummy_weights(model, mesh, seed)
+    if load_format == "zeros":
+        return load_zero_weights(model, mesh)
     if model_config.quantization in ("awq", "gptq") and model_config.quant_config:
         from sglang_tpu.quantization.ingest import load_prequantized_weights
 
@@ -171,6 +173,46 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
             [np.asarray(index.get(s), dtype=np.float32).T for s in rule.sources]
         )
     raise ValueError(kind)
+
+
+def load_zero_weights(model, mesh: Optional[Mesh]) -> dict:
+    """Device-side zero init — instant startup for perf benchmarking where
+    weight values are irrelevant (matmul timing is data-independent on TPU).
+    Scales get a small constant so quantized paths stay finite."""
+    import jax as _jax
+
+    shardings = model.param_shardings()
+
+    def walk(spec_node, shard_node, key=None):
+        if isinstance(spec_node, jax.ShapeDtypeStruct):
+            val = 0.01 if key == "s" else 0.0
+            arr = jnp.full(spec_node.shape, val, dtype=spec_node.dtype) \
+                if val else jnp.zeros(spec_node.shape, dtype=spec_node.dtype)
+            if mesh is not None:
+                arr = _jax.device_put(
+                    arr,
+                    NamedSharding(
+                        mesh,
+                        shard_node if isinstance(shard_node, PartitionSpec) else PartitionSpec(),
+                    ),
+                )
+            return arr
+        if isinstance(spec_node, dict):
+            return {
+                k: walk(
+                    v,
+                    shard_node.get(k, PartitionSpec())
+                    if isinstance(shard_node, dict)
+                    else shard_node,
+                    k,
+                )
+                for k, v in spec_node.items()
+            }
+        if isinstance(spec_node, list):
+            return [walk(v, shard_node[i]) for i, v in enumerate(spec_node)]
+        raise TypeError(type(spec_node))
+
+    return walk(model.param_specs(), shardings)
 
 
 def load_dummy_weights(model, mesh: Optional[Mesh], seed: int = 0) -> dict:
