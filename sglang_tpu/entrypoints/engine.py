@@ -15,6 +15,8 @@ import time
 import uuid
 from typing import Any, Dict, Iterator, List, Optional, Union
 
+import numpy as np
+
 from sglang_tpu.managers.io_struct import (
     GenerateReqInput,
     ReqStrOutput,
@@ -157,6 +159,98 @@ class Engine:
         if out.output_token_logprobs is not None:
             d["meta_info"]["output_token_logprobs"] = out.output_token_logprobs
         return d
+
+    # ------------------------------------------------------------- encode
+
+    def encode(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        pooling: str = "last",
+    ) -> Union[Dict, List[Dict]]:
+        """Embedding extraction (reference `Engine.encode` / `/v1/embeddings`).
+
+        Runs prefill forwards and pools hidden states; KV pages are borrowed
+        from the pool for the forward and freed immediately."""
+        single = False
+        if prompt is not None:
+            if isinstance(prompt, str):
+                prompt, single = [prompt], True
+            ids_list = [self.tokenizer.encode(p) for p in prompt]
+        else:
+            if input_ids and isinstance(input_ids[0], int):
+                ids_list, single = [input_ids], True
+            else:
+                ids_list = list(input_ids)
+        sched = self.scheduler
+        results = []
+        max_tokens = self.runner.prefill_token_buckets[-1]
+        max_seqs = self.runner.extend_seq_bucket
+        i = 0
+        while i < len(ids_list):
+            batch_ids: List[List[int]] = []
+            tok = 0
+            while (
+                i < len(ids_list)
+                and len(batch_ids) < max_seqs
+                and tok + len(ids_list[i]) <= max_tokens
+            ):
+                batch_ids.append(ids_list[i])
+                tok += len(ids_list[i])
+                i += 1
+            if not batch_ids:
+                raise ValueError(
+                    f"input of {len(ids_list[i])} tokens exceeds max prefill "
+                    f"bucket {max_tokens}"
+                )
+            results.extend(self._encode_batch(batch_ids, pooling))
+        outs = [
+            {
+                "embedding": emb.tolist(),
+                "meta_info": {"prompt_tokens": len(ids)},
+            }
+            for emb, ids in zip(results, ids_list)
+        ]
+        return outs[0] if single else outs
+
+    def _encode_batch(self, ids_list: List[List[int]], pooling: str):
+        sched = self.scheduler
+        ps = sched.page_size
+        all_pages = []
+        input_ids: List[int] = []
+        positions: List[int] = []
+        out_loc: List[int] = []
+        b = len(ids_list)
+        page_table = np.zeros((b, self.runner.max_pages_per_req), dtype=np.int32)
+        seq_lens = np.zeros(b, dtype=np.int32)
+        extend_lens = np.zeros(b, dtype=np.int32)
+        try:
+            for i, ids in enumerate(ids_list):
+                n_pages = -(-len(ids) // ps)
+                pages = sched.allocator.alloc(n_pages)
+                if pages is None:
+                    raise RuntimeError("KV pool exhausted during encode")
+                all_pages.append(pages)
+                page_table[i, :n_pages] = pages
+                seq_lens[i] = len(ids)
+                extend_lens[i] = len(ids)
+                input_ids.extend(ids)
+                positions.extend(range(len(ids)))
+                out_loc.extend(
+                    pages[p // ps] * ps + p % ps for p in range(len(ids))
+                )
+            return self.runner.forward_embedding(
+                np.asarray(input_ids, dtype=np.int32),
+                np.asarray(positions, dtype=np.int32),
+                np.asarray(out_loc, dtype=np.int32),
+                page_table,
+                seq_lens,
+                extend_lens,
+                pooling=pooling,
+            )
+        finally:
+            for pages in all_pages:
+                sched.allocator.free(pages)
 
     # ------------------------------------------------------------- control
 

@@ -41,11 +41,12 @@ logger = get_logger(__name__)
 class ServerState:
     def __init__(self, server_args: ServerArgs):
         self.server_args = server_args
-        from sglang_tpu.entrypoints.engine import _load_tokenizer
+        from sglang_tpu.entrypoints.engine import Engine
 
-        self.tokenizer = _load_tokenizer(server_args)
-        self.runner = ModelRunner(server_args)
-        self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)
+        self.engine = Engine(server_args)
+        self.tokenizer = self.engine.tokenizer
+        self.runner = self.engine.runner
+        self.scheduler = self.engine.scheduler
         self.tm = TokenizerManager(server_args, self.scheduler, self.tokenizer)
         self.start_time = time.time()
 
@@ -393,7 +394,45 @@ def build_app(state: ServerState) -> web.Application:
             }
         )
 
+    async def v1_embeddings(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        body = await request.json()
+        inputs = body.get("input")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        try:
+            if inputs and isinstance(inputs[0], int):  # token-id input
+                outs = await state.tm.run_on_scheduler(
+                    lambda: [state.engine.encode(input_ids=inputs)]
+                )
+            elif inputs and isinstance(inputs[0], list):
+                outs = await state.tm.run_on_scheduler(
+                    lambda: state.engine.encode(input_ids=inputs)
+                )
+            else:
+                outs = await state.tm.run_on_scheduler(
+                    lambda: state.engine.encode(prompt=inputs)
+                )
+        except (ValueError, RuntimeError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+        data = [
+            {"object": "embedding", "index": i, "embedding": o["embedding"]}
+            for i, o in enumerate(outs)
+        ]
+        pt = sum(o["meta_info"]["prompt_tokens"] for o in outs)
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "model": body.get("model", state.server_args.served_model_name),
+                "usage": {"prompt_tokens": pt, "total_tokens": pt},
+            }
+        )
+
     r.add_get("/health", health)
+    r.add_post("/v1/embeddings", v1_embeddings)
+    r.add_post("/encode", v1_embeddings)
     r.add_get("/health_generate", health_generate)
     r.add_get("/get_model_info", get_model_info)
     r.add_get("/get_server_info", get_server_info)

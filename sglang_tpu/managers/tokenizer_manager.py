@@ -81,6 +81,16 @@ class TokenizerManager:
             moved = True
 
     def _handle_inbox_item(self, item):
+        if isinstance(item, tuple) and item and item[0] == "call":
+            # run a device-touching job on the pump thread (encode, weight
+            # update, flush) so it never races the scheduler's step
+            _, fn, loop, fut = item
+            try:
+                result = fn()
+                loop.call_soon_threadsafe(fut.set_result, result)
+            except Exception as e:  # propagate to the awaiting coroutine
+                loop.call_soon_threadsafe(fut.set_exception, e)
+            return
         if isinstance(item, TokenizedGenerateReqInput):
             try:
                 self.scheduler.add_request(item)
@@ -183,6 +193,13 @@ class TokenizerManager:
 
     def abort_request(self, rid: str):
         self._inbox.put(AbortReq(rid))
+
+    async def run_on_scheduler(self, fn):
+        """Execute `fn` on the pump thread between scheduler steps."""
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        self._inbox.put(("call", fn, loop, fut))
+        return await fut
 
     def is_healthy(self) -> bool:
         return self._thread.is_alive()

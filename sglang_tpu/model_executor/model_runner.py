@@ -330,6 +330,58 @@ class ModelRunner:
         self.kv_layers = new_kv
         return np.asarray(ids)[:t]
 
+    def forward_embedding(
+        self,
+        input_ids: np.ndarray,
+        positions: np.ndarray,
+        out_cache_loc: np.ndarray,
+        page_table: np.ndarray,
+        seq_lens: np.ndarray,
+        extend_lens: np.ndarray,
+        pooling: str = "last",
+    ) -> np.ndarray:
+        """Pooled hidden states per sequence (reference `/encode` +
+        `serving_embedding.py`; pooling: last-token or mean)."""
+        t, b = len(input_ids), len(seq_lens)
+        tt = pad_to_bucket(t, self.prefill_token_buckets)
+        bb = pad_to_bucket(b, [self.extend_seq_bucket])
+        cu = np.zeros(bb + 1, dtype=np.int32)
+        cu[1 : b + 1] = np.cumsum(extend_lens)
+        cu[b + 1 :] = cu[b]
+        fb = make_extend_batch(
+            _pad(input_ids, tt),
+            _pad(positions, tt),
+            _pad(out_cache_loc, tt),
+            _pad2(page_table, bb, self.max_pages_per_req),
+            _pad(seq_lens, bb),
+            cu,
+        )
+        key = f"embed_{pooling}"
+        if key not in self._jit_cache:
+
+            def _embed(params, kv_layers, fb, cu_dev):
+                hidden, new_kv = self.model.forward(
+                    params, kv_layers, fb, self.attn_backend
+                )
+                if pooling == "last":
+                    idx = jnp.maximum(cu_dev[1:] - 1, 0)
+                    pooled = hidden[idx]
+                else:  # mean over each seq's tokens
+                    seg = jnp.clip(fb.token_to_seq, 0, bb - 1)
+                    valid = (fb.token_kind > 0).astype(hidden.dtype)[:, None]
+                    sums = jnp.zeros((bb, hidden.shape[1]), hidden.dtype)
+                    sums = sums.at[seg].add(hidden * valid)
+                    counts = jnp.zeros((bb, 1), hidden.dtype).at[seg].add(valid)
+                    pooled = sums / jnp.maximum(counts, 1)
+                return pooled.astype(jnp.float32), new_kv
+
+            self._jit_cache[key] = jax.jit(_embed, donate_argnums=(1,))
+        pooled, new_kv = self._jit_cache[key](
+            self.params, self.kv_layers, fb, jnp.asarray(cu)
+        )
+        self.kv_layers = new_kv
+        return np.asarray(pooled)[:b]
+
     def forward_extend_logits(
         self,
         input_ids: np.ndarray,

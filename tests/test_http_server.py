@@ -191,6 +191,14 @@ def test_streaming_sse(server):
     assert chunks[-1]["meta_info"]["finish_reason"]["type"] == "length"
 
 
+def test_v1_embeddings(server):
+    out = _post(server, "/v1/embeddings", {"input": ["w1 w2 w3", "w4"]})
+    assert out["object"] == "list"
+    assert len(out["data"]) == 2
+    assert len(out["data"][0]["embedding"]) == 64
+    assert out["usage"]["prompt_tokens"] == 4
+
+
 def test_models_health_info_metrics(server):
     import urllib.request
 
