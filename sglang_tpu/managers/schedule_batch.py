@@ -286,9 +286,14 @@ class ScheduleBatch:
                 n += 1
         return n
 
-    def prepare_for_decode(self) -> Optional[Dict[str, np.ndarray]]:
+    def prepare_for_decode(
+        self, with_input_ids: bool = True
+    ) -> Optional[Dict[str, np.ndarray]]:
         """One new token per running request. Returns None when page
-        allocation fails (caller must retract)."""
+        allocation fails (caller must retract). `with_input_ids=False` is
+        the overlap-schedule variant: the input tokens are still on device
+        (previous step's `next_ids`), so only position/slot metadata — which
+        depends on kv_len alone — is assembled host-side."""
         ps = self.page_size
         # allocate boundary-crossing pages first, all-or-nothing
         needs: List[Req] = [
@@ -306,7 +311,8 @@ class ScheduleBatch:
         out_loc = np.zeros(b, dtype=np.int32)
         seq_lens = np.zeros(b, dtype=np.int32)
         for i, r in enumerate(self.reqs):
-            input_ids[i] = r.fill_ids[r.kv_len]  # last sampled / prompt tail
+            if with_input_ids:
+                input_ids[i] = r.fill_ids[r.kv_len]  # last sampled token
             positions[i] = r.kv_len
             out_loc[i] = self._slot(r, r.kv_len)
             seq_lens[i] = r.kv_len + 1

@@ -115,6 +115,12 @@ class Scheduler:
         self.stats = SchedulerStats()
         self._step_i = 0
 
+        # overlap schedule state (reference `event_loop_overlap` +
+        # FutureMap): one decode step kept in flight; its sampled tokens
+        # stay on device and feed the next step's input_ids directly.
+        self.enable_overlap = server_args.enable_overlap_schedule
+        self._inflight = None  # (reqs_snapshot, next_ids_dev, tok_lp_dev)
+
         # penalty-state slots: stable device-side row per live request
         self.max_slots = self.max_running_requests + self.max_extend_reqs
         self._slot_pool: List[int] = list(range(self.max_slots - 1, -1, -1))
@@ -188,7 +194,10 @@ class Scheduler:
 
     def has_work(self) -> bool:
         return bool(
-            self.waiting_queue or self.running_batch.reqs or self.chunked_req
+            self.waiting_queue
+            or self.running_batch.reqs
+            or self.chunked_req
+            or self._inflight is not None
         )
 
     def step(self) -> List[ReqStrOutput]:
@@ -196,10 +205,13 @@ class Scheduler:
         self._step_i += 1
         batch = self._get_new_batch_prefill()
         if batch is not None:
-            return self._forward_extend(batch)
+            # prefill changes the running batch: resolve any in-flight
+            # decode first so batch state is exact
+            outputs = self._resolve_inflight()
+            return outputs + self._forward_extend(batch)
         if self.running_batch.reqs:
             return self._forward_decode()
-        return []
+        return self._resolve_inflight()
 
     # ------------------------------------------------------------- prefill
 
@@ -460,14 +472,38 @@ class Scheduler:
 
     def _forward_decode(self) -> List[ReqStrOutput]:
         if self._spec_eligible():
-            return self._forward_spec_decode()
+            outputs = self._resolve_inflight()  # spec needs resolved tokens
+            return outputs + self._forward_spec_decode()
         return self._forward_decode_normal()
+
+    def _overlap_allowed(self) -> bool:
+        """Grammar masks need the sampled token on host before the next
+        step, so they force the synchronous path (reference excludes
+        grammar from the overlap loop similarly)."""
+        return self.enable_overlap and not any(
+            r.grammar is not None for r in self.running_batch.reqs
+        )
 
     def _forward_decode_normal(self) -> List[ReqStrOutput]:
         batch = self.running_batch
-        arrays = batch.prepare_for_decode()
+        outputs: List[ReqStrOutput] = []
+        overlap = self._overlap_allowed()
+        # in-flight step's batch must be exactly the current reqs to chain
+        chained = (
+            overlap
+            and self._inflight is not None
+            and self._inflight[0] == batch.reqs
+        )
+        if self._inflight is not None and not chained:
+            outputs += self._resolve_inflight()
+            if not batch.reqs:
+                return outputs
+            chained = False
+
+        arrays = batch.prepare_for_decode(with_input_ids=not chained)
         if arrays is None:
-            # OOM: retract newest requests back to the queue
+            # OOM: resolve first (retract needs exact state), then retract
+            outputs += self._resolve_inflight()
             retracted = batch.retract_decode(
                 lambda r: self._release_req(r, insert=False)
             )
@@ -480,30 +516,60 @@ class Scheduler:
                 len(batch.reqs),
             )
             if not batch.reqs:
-                return []
+                return outputs
             arrays = batch.prepare_for_decode()
             if arrays is None:
-                return []
+                return outputs
+            chained = False
         sinfo = self._make_sinfo(
             batch.reqs,
             padded_bs=_bucket(len(batch.reqs), self.runner.decode_bs_buckets),
         )
+        input_ids = self._inflight[1] if chained else arrays["input_ids"]
         next_ids, tok_lp = self.runner.forward_decode(
-            arrays["input_ids"],
+            input_ids,
             arrays["positions"],
             arrays["out_cache_loc"],
             arrays["page_table"],
             arrays["seq_lens"],
             sinfo,
         )
-        next_ids = np.asarray(next_ids)
-        tok_lp = np.asarray(tok_lp)
         batch.commit_decode()
-        self.stats.num_decode_tokens += len(batch.reqs)
         self.stats.num_decode_steps += 1
+        prev = self._inflight if chained else None
+        if overlap:
+            self._inflight = (list(batch.reqs), next_ids, tok_lp)
+            if prev is not None:
+                outputs += self._process_decode_result(prev)
+            if self.running_batch.reqs != self._inflight[0]:
+                # finishes detected while resolving: snapshot stays valid
+                # (finished reqs' rows are skipped at resolution)
+                pass
+            return outputs
+        outputs += self._process_decode_result((list(batch.reqs), next_ids, tok_lp))
+        return outputs
 
+    def _resolve_inflight(self) -> List[ReqStrOutput]:
+        if self._inflight is None:
+            return []
+        inflight = self._inflight
+        self._inflight = None
+        return self._process_decode_result(inflight)
+
+    def _process_decode_result(self, inflight) -> List[ReqStrOutput]:
+        reqs, next_ids_dev, tok_lp_dev = inflight
+        next_ids = np.asarray(next_ids_dev)
+        tok_lp = np.asarray(tok_lp_dev)
         outputs: List[ReqStrOutput] = []
-        for i, r in enumerate(batch.reqs):
+        n_live = 0
+        for i, r in enumerate(reqs):
+            if r.finished():
+                # finished at an earlier resolution (wasted row) — except
+                # client aborts, which still need release + notification
+                if r.status == ReqStatus.ABORTED and r.pages:
+                    outputs.append(self._finish_req(r))
+                continue
+            n_live += 1
             self._append_token(r, int(next_ids[i]), float(tok_lp[i]))
             if r.finished():
                 outputs.append(self._finish_req(r))
@@ -511,7 +577,8 @@ class Scheduler:
                 out = self._emit_stream(r)
                 if out:
                     outputs.append(out)
-        batch.filter_finished()
+        self.stats.num_decode_tokens += n_live
+        self.running_batch.filter_finished()
         return outputs
 
     # -------------------------------------------------------- bookkeeping

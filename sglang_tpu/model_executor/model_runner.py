@@ -234,17 +234,23 @@ class ModelRunner:
 
     def forward_decode(
         self,
-        input_ids: np.ndarray,  # [b] actual
+        input_ids,  # [b] numpy, or a padded [bb] DEVICE array (overlap mode:
+        # the previous step's next_ids — never materialized on host)
         positions: np.ndarray,
         out_cache_loc: np.ndarray,
         page_table: np.ndarray,  # [b, max_pages_per_req]
         seq_lens: np.ndarray,
         sampling_info: SamplingBatchInfo,
     ) -> Tuple[jax.Array, jax.Array]:
-        b = len(input_ids)
+        b = len(seq_lens)
         bb = pad_to_bucket(b, self.decode_bs_buckets)
+        if isinstance(input_ids, jax.Array):
+            assert input_ids.shape[0] == bb, (input_ids.shape, bb)
+            ids = input_ids
+        else:
+            ids = _pad(input_ids, bb)
         fb = make_decode_batch(
-            _pad(input_ids, bb),
+            ids,
             _pad(positions, bb),
             _pad(out_cache_loc, bb),
             _pad2(page_table, bb, self.max_pages_per_req),

@@ -1,0 +1,118 @@
+"""Overlap-schedule equivalence: outputs must be identical with and without
+the in-flight pipelined decode step (reference `event_loop_overlap` vs
+`event_loop_normal` equivalence)."""
+
+import uuid
+
+import numpy as np
+
+from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+from sglang_tpu.managers.scheduler import Scheduler
+from sglang_tpu.sampling.sampling_params import SamplingParams
+from tests.test_utils import tiny_runner, tiny_server_args
+
+
+def run_workload(sched, prompts, max_new=12, temperature=0.0):
+    rids = []
+    for p in prompts:
+        rid = uuid.uuid4().hex
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid=rid,
+                input_ids=p,
+                sampling_params=SamplingParams(
+                    max_new_tokens=max_new, temperature=temperature, ignore_eos=True
+                ),
+            )
+        )
+        rids.append(rid)
+    outs = {}
+    steps = 0
+    while sched.has_work():
+        for o in sched.step():
+            if o.finished:
+                outs[o.rid] = o.output_ids
+        steps += 1
+        assert steps < 1000
+    return [outs[r] for r in rids]
+
+
+def test_overlap_matches_sync():
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 250, size=n).tolist() for n in (5, 18, 33, 47)]
+    sa_sync = tiny_server_args(enable_overlap_schedule=False)
+    sa_ovl = tiny_server_args(enable_overlap_schedule=True)
+    out_sync = run_workload(Scheduler(sa_sync, tiny_runner(sa_sync)), prompts)
+    out_ovl = run_workload(Scheduler(sa_ovl, tiny_runner(sa_ovl)), prompts)
+    assert out_sync == out_ovl
+
+
+def test_overlap_with_staggered_arrivals():
+    """Requests arriving mid-decode force inflight resolution + merges."""
+    sa = tiny_server_args(enable_overlap_schedule=True)
+    sched = Scheduler(sa, tiny_runner(sa))
+    rng = np.random.default_rng(1)
+    rids = []
+
+    def add(n):
+        rid = uuid.uuid4().hex
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid=rid,
+                input_ids=rng.integers(3, 250, size=n).tolist(),
+                sampling_params=SamplingParams(
+                    max_new_tokens=10, temperature=0.0, ignore_eos=True
+                ),
+            )
+        )
+        rids.append(rid)
+
+    add(7)
+    outs = {}
+    steps = 0
+    while sched.has_work():
+        if steps == 3:
+            add(15)
+        if steps == 6:
+            add(9)
+        for o in sched.step():
+            if o.finished:
+                outs[o.rid] = o
+        steps += 1
+        assert steps < 300
+    assert len(outs) == 3
+    for rid in rids:
+        assert len(outs[rid].output_ids) == 10
+    assert sched.check_memory() == 0
+
+
+def test_overlap_memory_clean_after_retraction():
+    sa = tiny_server_args(
+        enable_overlap_schedule=True, max_total_tokens=128, page_size=16
+    )
+    sched = Scheduler(sa, tiny_runner(sa))
+    rng = np.random.default_rng(2)
+    rids = []
+    for _ in range(4):
+        rid = uuid.uuid4().hex
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid=rid,
+                input_ids=rng.integers(3, 250, size=25).tolist(),
+                sampling_params=SamplingParams(
+                    max_new_tokens=30, temperature=0.0, ignore_eos=True
+                ),
+            )
+        )
+        rids.append(rid)
+    outs = {}
+    steps = 0
+    while sched.has_work():
+        for o in sched.step():
+            if o.finished:
+                outs[o.rid] = o
+        steps += 1
+        assert steps < 3000
+    for rid in rids:
+        assert len(outs[rid].output_ids) == 30
+    assert sched.check_memory() == 0
