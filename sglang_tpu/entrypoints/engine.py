@@ -54,6 +54,9 @@ class Engine:
         self.tokenizer = _load_tokenizer(server_args)
         self.runner = ModelRunner(server_args)
         self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)
+        from sglang_tpu.managers.session import SessionManager
+
+        self.sessions = SessionManager()
         logger.info(
             "engine ready: %s, kv capacity %d tokens",
             server_args.model_path,
@@ -71,6 +74,7 @@ class Engine:
         top_logprobs_num: int = 0,
         stream: bool = False,
         rid: Optional[Union[str, List[str]]] = None,
+        session_params: Optional[Dict] = None,
     ) -> Union[Dict, List[Dict], Iterator[Dict]]:
         """Synchronous generation (batch or single). With `stream=True` and a
         single prompt, returns an iterator of incremental dicts."""
@@ -82,14 +86,26 @@ class Engine:
             return_logprob=return_logprob,
             top_logprobs_num=top_logprobs_num,
             stream=stream,
+            session_params=session_params,
         )
         was_batch = gri.is_batch()
         singles = gri.unbatch()
         treqs = [self._tokenize_one(g) for g in singles]
+        session_id = (gri.session_params or {}).get("id")
+        if session_id is not None:
+            if was_batch or stream:
+                raise ValueError("sessions support single non-stream requests")
+            treqs[0].input_ids = self.sessions.prepare_input(
+                session_id, treqs[0].input_ids
+            )
         if stream and not was_batch:
             return self._stream_one(treqs[0])
         results = self._run_to_completion(treqs)
         outs = [self._to_dict(results[t.rid]) for t in treqs]
+        if session_id is not None:
+            self.sessions.commit_turn(
+                session_id, treqs[0].input_ids + results[treqs[0].rid].output_ids
+            )
         return outs if was_batch else outs[0]
 
     def _tokenize_one(self, g: GenerateReqInput) -> TokenizedGenerateReqInput:
@@ -251,6 +267,14 @@ class Engine:
         finally:
             for pages in all_pages:
                 sched.allocator.free(pages)
+
+    # ------------------------------------------------------------ sessions
+
+    def open_session(self, capacity_of_str_len: Optional[int] = None) -> str:
+        return self.sessions.open(capacity=capacity_of_str_len)
+
+    def close_session(self, session_id: str) -> bool:
+        return self.sessions.close(session_id)
 
     # ------------------------------------------------------------- control
 

@@ -50,12 +50,20 @@ class ServerState:
         self.tm = TokenizerManager(server_args, self.scheduler, self.tokenizer)
         self.start_time = time.time()
 
-    def apply_chat_template(self, messages) -> str:
-        hf_messages = [
-            {"role": m.role, "content": m.text()} for m in messages
-        ]
+    def apply_chat_template(self, messages, tools=None) -> str:
+        hf_messages = []
+        for m in messages:
+            entry = {"role": m.role, "content": m.text()}
+            if m.tool_calls:
+                entry["tool_calls"] = m.tool_calls
+            if m.tool_call_id:
+                entry["tool_call_id"] = m.tool_call_id
+            hf_messages.append(entry)
+        kwargs = {}
+        if tools:
+            kwargs["tools"] = tools
         return self.tokenizer.apply_chat_template(
-            hf_messages, tokenize=False, add_generation_prompt=True
+            hf_messages, tokenize=False, add_generation_prompt=True, **kwargs
         )
 
 
@@ -176,7 +184,22 @@ def build_app(state: ServerState) -> web.Application:
             return_logprob=body.get("return_logprob", False),
             top_logprobs_num=body.get("top_logprobs_num", 0),
             stream=body.get("stream", False),
+            session_params=body.get("session_params"),
         )
+        session_id = (gri.session_params or {}).get("id")
+        if session_id is not None and not gri.is_batch():
+            try:
+                treq0 = state.tm.tokenize(gri)
+                treq0.input_ids = state.engine.sessions.prepare_input(
+                    session_id, treq0.input_ids
+                )
+            except ValueError as e:
+                return web.json_response({"error": str(e)}, status=400)
+            result = await _collect(state, treq0)
+            state.engine.sessions.commit_turn(
+                session_id, treq0.input_ids + result["output_ids"]
+            )
+            return web.json_response(result)
         try:
             if gri.is_batch():
                 singles = gri.unbatch()
@@ -319,7 +342,7 @@ def build_app(state: ServerState) -> web.Application:
             return web.Response(status=401, text="unauthorized")
         req = ChatCompletionRequest(**await request.json())
         try:
-            prompt = state.apply_chat_template(req.messages)
+            prompt = state.apply_chat_template(req.messages, tools=req.tools)
         except Exception as e:
             return web.json_response({"error": f"chat template: {e}"}, status=400)
         cid = chat_id()
@@ -375,6 +398,28 @@ def build_app(state: ServerState) -> web.Application:
             return resp
 
         out = await _collect_raw(state, treq)
+        content = out.output_str
+        message = {"role": "assistant", "content": content}
+        finish = _oai_finish(out) or "stop"
+        if state.server_args.reasoning_parser:
+            from sglang_tpu.parser.reasoning_parser import ReasoningParser
+
+            r = ReasoningParser(state.server_args.reasoning_parser).parse(content)
+            message["content"] = r.content
+            if r.reasoning:
+                message["reasoning_content"] = r.reasoning
+        if req.tools and state.server_args.tool_call_parser:
+            from sglang_tpu.parser.function_call import FunctionCallParser
+
+            parser = FunctionCallParser(
+                req.tools, state.server_args.tool_call_parser
+            )
+            if parser.has_tool_call(message["content"] or ""):
+                normal, calls = parser.parse_non_stream(message["content"])
+                if calls:
+                    message["content"] = normal or None
+                    message["tool_calls"] = calls
+                    finish = "tool_calls"
         return web.json_response(
             {
                 "id": cid,
@@ -384,8 +429,8 @@ def build_app(state: ServerState) -> web.Application:
                 "choices": [
                     {
                         "index": 0,
-                        "message": {"role": "assistant", "content": out.output_str},
-                        "finish_reason": _oai_finish(out) or "stop",
+                        "message": message,
+                        "finish_reason": finish,
                     }
                 ],
                 "usage": usage_dict(
@@ -430,7 +475,19 @@ def build_app(state: ServerState) -> web.Application:
             }
         )
 
+    async def open_session(request):
+        body = await request.json() if request.can_read_body else {}
+        sid = state.engine.open_session(body.get("capacity_of_str_len"))
+        return web.json_response({"session_id": sid})
+
+    async def close_session(request):
+        body = await request.json()
+        ok = state.engine.close_session(body.get("session_id", ""))
+        return web.json_response({"success": ok}, status=200 if ok else 404)
+
     r.add_get("/health", health)
+    r.add_post("/open_session", open_session)
+    r.add_post("/close_session", close_session)
     r.add_post("/v1/embeddings", v1_embeddings)
     r.add_post("/encode", v1_embeddings)
     r.add_get("/health_generate", health_generate)

@@ -127,11 +127,11 @@ def make_decode_batch(
 ) -> ForwardBatch:
     b = len(input_ids)
     cu = np.arange(b + 1, dtype=np.int32)
-    # decode: one block per sequence (nrows=1); padded rows have seq_len 0
-    # so their kv loop is empty
+    # decode: one block per sequence; padding rows (seq_len 0) get nrows=0
+    # so the kernel skips them entirely (no DMA, no compute)
     blk_seq = np.arange(b, dtype=np.int32)
     blk_qoff = np.arange(b, dtype=np.int32)
-    blk_nrows = np.ones(b, dtype=np.int32)
+    blk_nrows = (np.asarray(seq_lens) > 0).astype(np.int32)
     blk_pos0 = np.asarray(seq_lens, dtype=np.int32) - 1
     return ForwardBatch(
         input_ids=jnp.asarray(input_ids, jnp.int32),

@@ -104,7 +104,12 @@ def _rpa_kernel(
             for p in range(pblk):
                 kv_dma(chunk, slot, p).start()
 
-        start_chunk(kv_lo_blk, jax.lax.rem(kv_lo_blk, 2))
+        # never start a DMA that the loop won't wait on (n_kv can be 0 for
+        # padding rows; an unwaited semaphore wedges the core)
+        @pl.when(n_kv > kv_lo_blk)
+        def _():
+            start_chunk(kv_lo_blk, jax.lax.rem(kv_lo_blk, 2))
+
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)

@@ -84,6 +84,10 @@ class ServerArgs:
     grammar_backend: str = "native"
     constrained_json_whitespace_pattern: Optional[str] = None
 
+    # --- Output parsing (chat API) ---
+    tool_call_parser: Optional[str] = None  # hermes | llama3 | mistral
+    reasoning_parser: Optional[str] = None  # deepseek-r1 | qwen3
+
     # --- Speculative decoding ---
     speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4

@@ -199,6 +199,35 @@ def test_v1_embeddings(server):
     assert out["usage"]["prompt_tokens"] == 4
 
 
+def test_session_multi_turn(server):
+    sid = _post(server, "/open_session", {})["session_id"]
+    turn1 = " ".join(f"w{i}" for i in range(1, 31))  # 30 tokens (≥1 page)
+    o1 = _post(
+        server,
+        "/generate",
+        {
+            "text": turn1,
+            "session_params": {"id": sid},
+            "sampling_params": {"max_new_tokens": 4, "temperature": 0.0},
+        },
+    )
+    assert o1["meta_info"]["prompt_tokens"] == 30
+    o2 = _post(
+        server,
+        "/generate",
+        {
+            "text": "w40",
+            "session_params": {"id": sid},
+            "sampling_params": {"max_new_tokens": 4, "temperature": 0.0},
+        },
+    )
+    # turn 2 input = turn-1 history (30 + 4) + 1 new token
+    assert o2["meta_info"]["prompt_tokens"] == 35
+    # radix reused at least the page-aligned part of turn-1 KV (page=16)
+    assert o2["meta_info"]["cached_tokens"] >= 32
+    assert _post(server, "/close_session", {"session_id": sid})["success"]
+
+
 def test_models_health_info_metrics(server):
     import urllib.request
 
