@@ -328,6 +328,46 @@ class ScheduleBatch:
         for r in self.reqs:
             r.kv_len += 1
 
+    def prepare_for_decode_multi(
+        self, k_steps: int, with_input_ids: bool = True
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """Metadata for a K-step fused decode chunk: pages are allocated to
+        cover kv_len + k_steps tokens per request up front; per-step slot
+        ids are derived on device from the page table."""
+        ps = self.page_size
+        need: List[Tuple[Req, int]] = []
+        total = 0
+        for r in self.reqs:
+            cap = min(r.kv_len + k_steps, self.max_pages_per_req * ps)
+            n = cdiv(cap, ps) - len(r.pages)
+            if n > 0:
+                need.append((r, n))
+                total += n
+        if total:
+            pages = self.allocator.alloc(total)
+            if pages is None:
+                return None
+            off = 0
+            for r, n in need:
+                r.pages.extend(pages[off : off + n])
+                off += n
+        b = len(self.reqs)
+        input_ids = np.zeros(b, dtype=np.int32)
+        base_seq_lens = np.zeros(b, dtype=np.int32)
+        for i, r in enumerate(self.reqs):
+            if with_input_ids:
+                input_ids[i] = r.fill_ids[r.kv_len]
+            base_seq_lens[i] = r.kv_len + 1
+        return dict(
+            input_ids=input_ids,
+            base_seq_lens=base_seq_lens,
+            page_table=self._page_table(),
+        )
+
+    def commit_decode_multi(self, k_steps: int) -> None:
+        for r in self.reqs:
+            r.kv_len += k_steps
+
     # ------------------------------------------------------------- retract
 
     def retract_decode(self, release_fn) -> List[Req]:

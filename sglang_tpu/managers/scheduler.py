@@ -474,15 +474,64 @@ class Scheduler:
         if self._spec_eligible():
             outputs = self._resolve_inflight()  # spec needs resolved tokens
             return outputs + self._forward_spec_decode()
+        if self.server_args.decode_multi_step > 1 and self._no_grammar():
+            return self._forward_decode_multi()
         return self._forward_decode_normal()
 
-    def _overlap_allowed(self) -> bool:
-        """Grammar masks need the sampled token on host before the next
-        step, so they force the synchronous path (reference excludes
-        grammar from the overlap loop similarly)."""
-        return self.enable_overlap and not any(
-            r.grammar is not None for r in self.running_batch.reqs
+    def _forward_decode_multi(self) -> List[ReqStrOutput]:
+        """K fused decode steps per dispatch (reference multi-step decode /
+        CUDA-graph replay chains): over-generates up to K-1 tokens past a
+        stop, trimmed at resolution."""
+        batch = self.running_batch
+        k = self.server_args.decode_multi_step
+        outputs: List[ReqStrOutput] = []
+        chained = (
+            self._inflight is not None and self._inflight[0] == batch.reqs
         )
+        if self._inflight is not None and not chained:
+            outputs += self._resolve_inflight()
+            if not batch.reqs:
+                return outputs
+        arrays = batch.prepare_for_decode_multi(k, with_input_ids=not chained)
+        if arrays is None:
+            # K-token up-front allocation failed: the single-step path makes
+            # progress with 1-token granularity (and owns retraction)
+            outputs += self._resolve_inflight()
+            if not batch.reqs:
+                return outputs
+            return outputs + self._forward_decode_normal()
+        sinfo = self._make_sinfo(
+            batch.reqs,
+            padded_bs=_bucket(len(batch.reqs), self.runner.decode_bs_buckets),
+        )
+        first_ids = self._inflight[3] if chained else arrays["input_ids"]
+        all_ids, all_lp, last_ids = self.runner.forward_decode_multi(
+            first_ids,
+            arrays["base_seq_lens"],
+            arrays["page_table"],
+            sinfo,
+            k,
+        )
+        batch.commit_decode_multi(k)
+        self.stats.num_decode_steps += k
+        prev = self._inflight if chained else None
+        inflight = (list(batch.reqs), all_ids, all_lp, last_ids)
+        if self.enable_overlap:
+            self._inflight = inflight
+            if prev is not None:
+                outputs += self._process_decode_result(prev)
+            return outputs
+        outputs += self._process_decode_result(inflight)
+        return outputs
+
+    def _no_grammar(self) -> bool:
+        """Grammar masks need the sampled token on host before the next
+        step, so they force the synchronous single-step path (reference
+        excludes grammar from the overlap loop similarly)."""
+        return not any(r.grammar is not None for r in self.running_batch.reqs)
+
+    def _overlap_allowed(self) -> bool:
+        return self.enable_overlap and self._no_grammar()
 
     def _forward_decode_normal(self) -> List[ReqStrOutput]:
         batch = self.running_batch
@@ -525,7 +574,7 @@ class Scheduler:
             batch.reqs,
             padded_bs=_bucket(len(batch.reqs), self.runner.decode_bs_buckets),
         )
-        input_ids = self._inflight[1] if chained else arrays["input_ids"]
+        input_ids = self._inflight[3] if chained else arrays["input_ids"]
         next_ids, tok_lp = self.runner.forward_decode(
             input_ids,
             arrays["positions"],
@@ -537,16 +586,13 @@ class Scheduler:
         batch.commit_decode()
         self.stats.num_decode_steps += 1
         prev = self._inflight if chained else None
+        inflight = (list(batch.reqs), next_ids, tok_lp, next_ids)
         if overlap:
-            self._inflight = (list(batch.reqs), next_ids, tok_lp)
+            self._inflight = inflight
             if prev is not None:
                 outputs += self._process_decode_result(prev)
-            if self.running_batch.reqs != self._inflight[0]:
-                # finishes detected while resolving: snapshot stays valid
-                # (finished reqs' rows are skipped at resolution)
-                pass
             return outputs
-        outputs += self._process_decode_result((list(batch.reqs), next_ids, tok_lp))
+        outputs += self._process_decode_result(inflight)
         return outputs
 
     def _resolve_inflight(self) -> List[ReqStrOutput]:
@@ -557,27 +603,36 @@ class Scheduler:
         return self._process_decode_result(inflight)
 
     def _process_decode_result(self, inflight) -> List[ReqStrOutput]:
-        reqs, next_ids_dev, tok_lp_dev = inflight
-        next_ids = np.asarray(next_ids_dev)
-        tok_lp = np.asarray(tok_lp_dev)
+        reqs, ids_dev, lp_dev, _ = inflight
+        ids = np.asarray(ids_dev)
+        lp = np.asarray(lp_dev)
+        if ids.ndim == 1:  # single-step chunk
+            ids = ids[None]
+            lp = lp[None]
+        k_steps = ids.shape[0]
         outputs: List[ReqStrOutput] = []
-        n_live = 0
+        n_tok = 0
         for i, r in enumerate(reqs):
             if r.finished():
-                # finished at an earlier resolution (wasted row) — except
+                # finished at an earlier resolution (wasted rows) — except
                 # client aborts, which still need release + notification
                 if r.status == ReqStatus.ABORTED and r.pages:
                     outputs.append(self._finish_req(r))
                 continue
-            n_live += 1
-            self._append_token(r, int(next_ids[i]), float(tok_lp[i]))
+            for k in range(k_steps):
+                self._append_token(r, int(ids[k, i]), float(lp[k, i]))
+                n_tok += 1
+                if r.finished():
+                    break
             if r.finished():
                 outputs.append(self._finish_req(r))
-            elif r.stream and len(r.output_ids) % self.server_args.stream_interval == 0:
+            elif r.stream and (
+                len(r.output_ids) % self.server_args.stream_interval < k_steps
+            ):
                 out = self._emit_stream(r)
                 if out:
                     outputs.append(out)
-        self.stats.num_decode_tokens += n_live
+        self.stats.num_decode_tokens += n_tok
         self.running_batch.filter_finished()
         return outputs
 
@@ -609,12 +664,20 @@ class Scheduler:
             return
         r.check_finished(stop_str_hit=stop_hit)
 
+    def _insertable_len(self, r: Req) -> int:
+        """Page-aligned span safe to publish: multi-step chunks advance
+        kv_len past the kept tokens (over-generated tail is discarded), and
+        the last kept token's KV may be unwritten — cap at len(fill)-1."""
+        return round_down(
+            min(r.kv_len, len(r.fill_ids) - 1), self.page_size
+        )
+
     def _cache_unfinished(self, r: Req) -> None:
         """Insert the page-aligned computed prefix into the radix tree
         (reference `cache_unfinished_req`, `radix_cache.py:490`)."""
         if self.radix_cache.disable:
             return
-        aligned = round_down(r.kv_len, self.page_size)
+        aligned = self._insertable_len(r)
         if aligned > 0:
             self.radix_cache.insert(
                 r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
@@ -624,7 +687,7 @@ class Scheduler:
         """Return a request's KV to the pool; optionally publish its prefix
         to the radix tree first (reference `cache_finished_req`)."""
         if insert and not self.radix_cache.disable:
-            aligned = round_down(r.kv_len, self.page_size)
+            aligned = self._insertable_len(r)
             if aligned > 0:
                 self.radix_cache.insert(
                     r.fill_ids[:aligned], r.pages[: aligned // self.page_size]

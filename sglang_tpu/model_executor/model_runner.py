@@ -292,6 +292,92 @@ class ModelRunner:
         li[:b] = cu[1 : b + 1] - 1
         return self._run(fb, jnp.asarray(li), sampling_info)
 
+    def forward_decode_multi(
+        self,
+        first_input_ids,  # [b] numpy or [bb] device array (overlap chain)
+        base_seq_lens: np.ndarray,  # [b] kv length after the FIRST step
+        page_table: np.ndarray,  # [b, Pmax] covering kv_len + k_steps tokens
+        sampling_info: SamplingBatchInfo,
+        k_steps: int,
+    ):
+        """K fused decode steps in one jitted lax.scan (reference
+        CUDA-graph'd multi-step decode; here it also amortizes dispatch/
+        transfer latency). Slot/position metadata per step is derived ON
+        DEVICE from the page table, so the host ships one upload per chunk.
+
+        Returns (all_ids [K, bb] dev, all_lp [K, bb] dev, last_ids [bb] dev).
+        """
+        b = len(base_seq_lens)
+        bb = pad_to_bucket(b, self.decode_bs_buckets)
+        if isinstance(first_input_ids, jax.Array):
+            assert first_input_ids.shape[0] == bb
+            ids0 = first_input_ids
+        else:
+            ids0 = jnp.asarray(_pad(first_input_ids, bb))
+        pt = jnp.asarray(_pad2(page_table, bb, self.max_pages_per_req))
+        base = jnp.asarray(_pad(base_seq_lens, bb))
+        rng = jax.random.fold_in(self.rng_key, self._step_counter)
+        self._step_counter += k_steps
+        key = ("multi", k_steps)
+        if key not in self._jit_cache:
+            ps = self.page_size
+            ctx = self.model_config.context_length
+            model, backend = self.model, self.attn_backend
+
+            def _multi(params, kv_layers, counts, pt, base, ids0, sinfo, rng):
+                nbb = base.shape[0]
+                rows = jnp.arange(nbb, dtype=jnp.int32)
+                valid = base > 0
+
+                def body(carry, k):
+                    kv, cnts, ids, key = carry
+                    pos = jnp.where(valid, base - 1 + k, 0)  # token position
+                    in_ctx = pos < ctx
+                    loc = jnp.where(
+                        valid & in_ctx,
+                        pt[rows, pos // ps] * ps + pos % ps,
+                        0,
+                    )
+                    seq = jnp.where(valid, base + k, 0)
+                    fb = ForwardBatch(
+                        input_ids=ids,
+                        positions=pos,
+                        out_cache_loc=loc,
+                        page_table=pt,
+                        seq_lens=seq,
+                        cu_q_lens=jnp.arange(nbb + 1, dtype=jnp.int32),
+                        token_to_seq=rows,
+                        token_kind=jnp.where(valid, 2, 0).astype(jnp.int32),
+                        blk_seq=rows,
+                        blk_qoff=rows,
+                        blk_nrows=valid.astype(jnp.int32),
+                        blk_pos0=seq - 1,
+                        mode=ForwardMode.DECODE,
+                    )
+                    hidden, kv = model.forward(params, kv, fb, backend)
+                    logits = model.compute_logits(params, hidden)
+                    step_key = jax.random.fold_in(key, k)
+                    next_ids, tok_lp = sample(logits, sinfo, step_key, cnts)
+                    if sinfo.need_penalties:
+                        cnts = update_counts_sampled(cnts, next_ids, sinfo)
+                    return (kv, cnts, next_ids, key), (next_ids, tok_lp)
+
+                (kv_layers, counts, last_ids, _), (all_ids, all_lp) = jax.lax.scan(
+                    body,
+                    (kv_layers, counts, ids0, rng),
+                    jnp.arange(k_steps, dtype=jnp.int32),
+                )
+                return all_ids, all_lp, last_ids, kv_layers, counts
+
+            self._jit_cache[key] = jax.jit(_multi, donate_argnums=(1, 2))
+        counts = self._get_counts(sampling_info.need_penalties)
+        all_ids, all_lp, last_ids, new_kv, counts = self._jit_cache[key](
+            self.params, self.kv_layers, counts, pt, base, ids0, sampling_info, rng
+        )
+        self.kv_layers = new_kv
+        self._put_counts(sampling_info.need_penalties, counts)
+        return all_ids, all_lp, last_ids
+
     def forward_verify(
         self,
         input_ids: np.ndarray,  # [t] packed (pending + draft tokens per seq)

@@ -65,6 +65,10 @@ class ServerArgs:
     enable_overlap_schedule: bool = True
     retract_decode_steps: int = 20
     max_queued_requests: Optional[int] = None
+    # decode steps fused into one jitted lax.scan chunk (1 = off). Amortizes
+    # host->device dispatch/transfer latency; over-generates up to K-1
+    # tokens past a stop condition (trimmed at resolution).
+    decode_multi_step: int = 8
 
     # --- Shape bucketing (the TPU "CUDA graph" equivalent) ---
     decode_bs_buckets: Optional[List[int]] = None

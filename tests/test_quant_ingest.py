@@ -1,0 +1,158 @@
+"""AWQ/GPTQ ingestion tests: pack/unpack round-trips and end-to-end logit
+parity of an AWQ checkpoint against an HF model carrying the dequantized
+weights (reference `test/registered/quant/test_awq.py` role, hardware-free)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from sglang_tpu.quantization.ingest import (
+    AWQ_ORDER,
+    dequant_reference,
+    unpack_awq_int32,
+    unpack_gptq_qweight,
+    unpack_gptq_qzeros,
+)
+
+GROUP = 32
+
+
+def pack_awq(vals: np.ndarray) -> np.ndarray:
+    """[r, c] uint4 -> [r, c/8] int32 with AWQ interleaved order."""
+    r, c = vals.shape
+    packed = np.zeros((r, c // 8), dtype=np.uint32)
+    for k in range(8):
+        packed |= vals[:, AWQ_ORDER[k]::8].astype(np.uint32) << (4 * k)
+    return packed.astype(np.int32)
+
+
+def pack_gptq_qweight(vals: np.ndarray) -> np.ndarray:
+    """[in, out] uint4 -> [in/8, out] int32 sequential along IN."""
+    r, c = vals.shape
+    packed = np.zeros((r // 8, c), dtype=np.uint32)
+    for k in range(8):
+        packed |= vals[k::8, :].astype(np.uint32) << (4 * k)
+    return packed.astype(np.int32)
+
+
+def pack_gptq_qzeros(vals: np.ndarray) -> np.ndarray:
+    """[g, out] uint4 -> [g, out/8] int32 sequential along OUT, -1 offset."""
+    v = (vals.astype(np.int32) - 1) & 0xF
+    g, c = v.shape
+    packed = np.zeros((g, c // 8), dtype=np.uint32)
+    for k in range(8):
+        packed |= v[:, k::8].astype(np.uint32) << (4 * k)
+    return packed.astype(np.int32)
+
+
+def test_awq_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 16, size=(64, 32)).astype(np.uint8)
+    assert np.array_equal(unpack_awq_int32(pack_awq(vals)), vals)
+
+
+def test_gptq_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    w = rng.integers(0, 16, size=(64, 24)).astype(np.uint8)
+    assert np.array_equal(unpack_gptq_qweight(pack_gptq_qweight(w)), w)
+    z = rng.integers(1, 16, size=(2, 24)).astype(np.uint8)
+    assert np.array_equal(unpack_gptq_qzeros(pack_gptq_qzeros(z)), z)
+
+
+def _awq_quantize(w_in_out: np.ndarray):
+    """[in, out] f32 -> (q, z, s) unsigned AWQ tensors + dequant value.
+
+    Forces C order: safetensors' numpy save writes the raw buffer and
+    silently corrupts F-contiguous arrays (which `w.T.astype(...)` yields).
+    """
+    w_in_out = np.ascontiguousarray(w_in_out)
+    in_f, out_f = w_in_out.shape
+    g = in_f // GROUP
+    wg = w_in_out.reshape(g, GROUP, out_f)
+    wmin = wg.min(axis=1)
+    wmax = wg.max(axis=1)
+    s = ((wmax - wmin) / 15.0).clip(min=1e-8)
+    z = np.clip(np.round(-wmin / s), 0, 15).astype(np.uint8)
+    q = np.clip(
+        np.round(wg / s[:, None, :]) + z[:, None, :].astype(np.float64), 0, 15
+    ).astype(np.uint8)
+    deq = dequant_reference(q.reshape(in_f, out_f), z, s, GROUP)
+    return q.reshape(in_f, out_f), z, s.astype(np.float32), deq
+
+
+@pytest.fixture(scope="module")
+def awq_checkpoint(tmp_path_factory):
+    from safetensors.numpy import save_file
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("awq_llama")
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(cfg).eval()
+    tensors = {}
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    linear_suffixes = (
+        "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+    )
+    with torch.no_grad():
+        for name, w in sd.items():
+            base = name[: -len(".weight")] if name.endswith(".weight") else name
+            if any(base.endswith(sfx) for sfx in linear_suffixes):
+                w_io = w.T.astype(np.float32)  # [in, out]
+                q, z, s, deq = _awq_quantize(w_io)
+                tensors[f"{base}.qweight"] = pack_awq(q)
+                tensors[f"{base}.qzeros"] = pack_awq(z)
+                tensors[f"{base}.scales"] = s
+                # overwrite the HF model with the dequantized weights so it
+                # becomes the exact oracle for the quantized engine
+                dict(hf.named_parameters())[name].copy_(torch.tensor(deq.T))
+            else:
+                tensors[name] = w
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    d["quantization_config"] = {
+        "quant_method": "awq", "bits": 4, "group_size": GROUP, "version": "gemm",
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(d, f)
+    return str(path), hf
+
+
+def test_awq_checkpoint_logits_match(awq_checkpoint):
+    path, hf_deq = awq_checkpoint
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_utils import tiny_server_args
+
+    sa = tiny_server_args(model_path=path, load_format="auto", dtype="float32")
+    mc = ModelConfig.from_server_args(sa)
+    assert mc.quantization == "awq"
+    runner = ModelRunner(sa, mc)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 256, size=12).astype(np.int32)
+    with torch.no_grad():
+        hf_logits = (
+            hf_deq(torch.tensor(prompt[None].astype(np.int64))).logits[0].numpy()
+        )
+    ps = runner.page_size
+    n_pages = -(-len(prompt) // ps)
+    pages = list(range(1, 1 + n_pages))
+    out_loc = np.array(
+        [pages[i // ps] * ps + i % ps for i in range(len(prompt))], dtype=np.int32
+    )
+    pt = np.zeros((1, runner.max_pages_per_req), dtype=np.int32)
+    pt[0, : len(pages)] = pages
+    logits = runner.forward_extend_logits(
+        prompt, np.arange(len(prompt)), out_loc, pt,
+        np.array([len(prompt)]), np.array([len(prompt)]),
+    )
+    np.testing.assert_allclose(logits, hf_logits, atol=5e-3, rtol=5e-3)
