@@ -98,6 +98,7 @@ def main():
         prefill_token_buckets=[512, 1024, 2048, 4096],
         max_running_requests=256,
         device="cpu" if tiny else "auto",
+        decode_multi_step=int(os.environ.get("BENCH_MULTI_STEP", "16")),
     )
     mc = ModelConfig.from_hf_dict(
         hf,
@@ -110,7 +111,11 @@ def main():
     t0 = time.perf_counter()
     runner = ModelRunner(sa, mc)
     sched = Scheduler(sa, runner)
-    print(f"# engine up in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(
+        f"# engine up in {time.perf_counter() - t0:.1f}s; "
+        f"kv pool {runner.max_total_tokens} tokens",
+        file=sys.stderr,
+    )
 
     # random-dataset workload (reference blog_v0_2 methodology, scaled to
     # one round): input 128..512, output 64..256, infinite request rate

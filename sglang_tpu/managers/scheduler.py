@@ -77,7 +77,9 @@ class Scheduler:
         self.page_size = server_args.page_size
 
         self.allocator = PageAllocator(self.runner.num_pages, self.page_size)
-        self.radix_cache = RadixCache(
+        from sglang_tpu.mem_cache.native_radix import create_radix_cache
+
+        self.radix_cache = create_radix_cache(
             self.allocator,
             self.page_size,
             disable=server_args.disable_radix_cache,
@@ -306,7 +308,7 @@ class Scheduler:
                     grammar_masks[i, : len(m)] = m[:vocab]
                     if len(m) < vocab:
                         grammar_masks[i, len(m):] = False
-        return SamplingBatchInfo.from_reqs(
+        return SamplingBatchInfo.meta_from_reqs(
             [r.sampling_params for r in reqs],
             padded_bs=padded_bs,
             slots=[r.slot if r.slot is not None else self.max_slots for r in reqs],
@@ -327,7 +329,7 @@ class Scheduler:
             padded_bs=self.runner.extend_seq_bucket,
             count_sample=[not r.is_chunked for r in batch.reqs],
             fresh=[not r._counts_inited for r in batch.reqs],
-        )
+        ).to_sinfo()
         next_ids, tok_lp = self.runner.forward_extend(
             arrays["input_ids"],
             arrays["positions"],
@@ -500,7 +502,7 @@ class Scheduler:
             if not batch.reqs:
                 return outputs
             return outputs + self._forward_decode_normal()
-        sinfo = self._make_sinfo(
+        meta = self._make_sinfo(
             batch.reqs,
             padded_bs=_bucket(len(batch.reqs), self.runner.decode_bs_buckets),
         )
@@ -509,7 +511,7 @@ class Scheduler:
             first_ids,
             arrays["base_seq_lens"],
             arrays["page_table"],
-            sinfo,
+            meta,
             k,
         )
         batch.commit_decode_multi(k)
@@ -573,7 +575,7 @@ class Scheduler:
         sinfo = self._make_sinfo(
             batch.reqs,
             padded_bs=_bucket(len(batch.reqs), self.runner.decode_bs_buckets),
-        )
+        ).to_sinfo()
         input_ids = self._inflight[3] if chained else arrays["input_ids"]
         next_ids, tok_lp = self.runner.forward_decode(
             input_ids,

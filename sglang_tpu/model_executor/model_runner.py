@@ -297,35 +297,59 @@ class ModelRunner:
         first_input_ids,  # [b] numpy or [bb] device array (overlap chain)
         base_seq_lens: np.ndarray,  # [b] kv length after the FIRST step
         page_table: np.ndarray,  # [b, Pmax] covering kv_len + k_steps tokens
-        sampling_info: SamplingBatchInfo,
+        sampling_meta,  # SamplingMeta (host-side numpy)
         k_steps: int,
     ):
         """K fused decode steps in one jitted lax.scan (reference
         CUDA-graph'd multi-step decode; here it also amortizes dispatch/
         transfer latency). Slot/position metadata per step is derived ON
-        DEVICE from the page table, so the host ships one upload per chunk.
+        DEVICE from the page table, and ALL host metadata — page table,
+        seq lens, sampling state — ships as ONE i32 blob + ONE f32 blob, so
+        a whole K-token chunk costs two uploads and one readback.
 
         Returns (all_ids [K, bb] dev, all_lp [K, bb] dev, last_ids [bb] dev).
         """
+        from sglang_tpu.sampling.sampling_batch_info import unpack_sinfo
+
         b = len(base_seq_lens)
         bb = pad_to_bucket(b, self.decode_bs_buckets)
-        if isinstance(first_input_ids, jax.Array):
-            assert first_input_ids.shape[0] == bb
-            ids0 = first_input_ids
-        else:
-            ids0 = jnp.asarray(_pad(first_input_ids, bb))
-        pt = jnp.asarray(_pad2(page_table, bb, self.max_pages_per_req))
-        base = jnp.asarray(_pad(base_seq_lens, bb))
+        assert sampling_meta.padded_bs == bb
+        pmax = self.max_pages_per_req
+        chained = isinstance(first_input_ids, jax.Array)
+        extra = [
+            _pad2(page_table, bb, pmax),
+            _pad(base_seq_lens, bb),
+        ]
+        if not chained:
+            extra.append(_pad(first_input_ids, bb))
+        i32_blob, f32_blob = sampling_meta.pack(extra_i32=extra)
+        i32_dev = jnp.asarray(i32_blob)
+        f32_dev = jnp.asarray(f32_blob)
+        flags = tuple(sampling_meta.flags[:5]) + (False,)
         rng = jax.random.fold_in(self.rng_key, self._step_counter)
         self._step_counter += k_steps
-        key = ("multi", k_steps)
+        key = ("multi", k_steps, chained, flags)
         if key not in self._jit_cache:
             ps = self.page_size
             ctx = self.model_config.context_length
             model, backend = self.model, self.attn_backend
 
-            def _multi(params, kv_layers, counts, pt, base, ids0, sinfo, rng):
-                nbb = base.shape[0]
+            def _multi(params, kv_layers, counts, i32, f32, ids0_dev, rng):
+                nbb = bb
+                # unpack the blob: page table, base seq lens, (first ids)
+                o = 0
+                pt = jax.lax.dynamic_slice(i32, (0,), (nbb * pmax,)).reshape(
+                    nbb, pmax
+                )
+                o += nbb * pmax
+                base = jax.lax.dynamic_slice(i32, (o,), (nbb,))
+                o += nbb
+                if chained:
+                    ids0 = ids0_dev
+                else:
+                    ids0 = jax.lax.dynamic_slice(i32, (o,), (nbb,))
+                    o += nbb
+                sinfo = unpack_sinfo(i32, f32, o, nbb, flags)
                 rows = jnp.arange(nbb, dtype=jnp.int32)
                 valid = base > 0
 
@@ -370,12 +394,14 @@ class ModelRunner:
                 return all_ids, all_lp, last_ids, kv_layers, counts
 
             self._jit_cache[key] = jax.jit(_multi, donate_argnums=(1, 2))
-        counts = self._get_counts(sampling_info.need_penalties)
+        need_pen = sampling_meta.flags[3]
+        counts = self._get_counts(need_pen)
+        ids0_dev = first_input_ids if chained else jnp.zeros(bb, jnp.int32)
         all_ids, all_lp, last_ids, new_kv, counts = self._jit_cache[key](
-            self.params, self.kv_layers, counts, pt, base, ids0, sampling_info, rng
+            self.params, self.kv_layers, counts, i32_dev, f32_dev, ids0_dev, rng
         )
         self.kv_layers = new_kv
-        self._put_counts(sampling_info.need_penalties, counts)
+        self._put_counts(need_pen, counts)
         return all_ids, all_lp, last_ids
 
     def forward_verify(

@@ -62,7 +62,11 @@ class SamplingBatchInfo:
     need_grammar: bool = field(metadata=dict(static=True), default=False)
 
     @classmethod
-    def from_reqs(
+    def from_reqs(cls, *args, **kwargs) -> "SamplingBatchInfo":
+        return cls.meta_from_reqs(*args, **kwargs).to_sinfo()
+
+    @classmethod
+    def meta_from_reqs(
         cls,
         params_list: List[SamplingParams],
         padded_bs: int,
@@ -130,26 +134,166 @@ class SamplingBatchInfo:
             packed = np.packbits(full, axis=1)
         else:
             packed = np.zeros((padded_bs, 1), dtype=np.uint8)
-        return cls(
-            temperature=jnp.asarray(temperature),
-            top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p),
-            min_p=jnp.asarray(min_p),
-            slot_ids=jnp.asarray(slot_ids),
-            freq_pen=jnp.asarray(freq),
-            pres_pen=jnp.asarray(pres),
-            rep_pen=jnp.asarray(rep),
-            fresh_mask=jnp.asarray(fresh_m),
-            count_mask=jnp.asarray(count_m),
-            bias_ids=jnp.asarray(bias_ids),
-            bias_vals=jnp.asarray(bias_vals),
-            block_ids=jnp.asarray(block_ids),
-            block_mask=jnp.asarray(block_mask),
-            vocab_mask_packed=jnp.asarray(packed),
-            is_all_greedy=all(sp.is_greedy for sp in params_list),
-            need_top_p=any(sp.top_p < 1.0 for sp in params_list),
-            need_min_p=any(sp.min_p > 0.0 for sp in params_list),
-            need_penalties=need_penalties,
-            need_bias=need_bias,
-            need_grammar=need_grammar,
+        return SamplingMeta(
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            min_p=min_p,
+            slot_ids=slot_ids,
+            freq_pen=freq,
+            pres_pen=pres,
+            rep_pen=rep,
+            fresh_mask=fresh_m,
+            count_mask=count_m,
+            bias_ids=bias_ids,
+            bias_vals=bias_vals,
+            block_ids=block_ids,
+            block_mask=block_mask,
+            vocab_mask_packed=packed,
+            flags=(
+                all(sp.is_greedy for sp in params_list),
+                any(sp.top_p < 1.0 for sp in params_list),
+                any(sp.min_p > 0.0 for sp in params_list),
+                need_penalties,
+                need_bias,
+                need_grammar,
+            ),
         )
+
+
+# Field split for the two-blob packed upload (decode multi-step): every
+# int-like field rides one i32 blob, every float field one f32 blob — two
+# host->device transfers per chunk instead of fifteen.
+_I32_FIELDS = ("top_k", "slot_ids", "fresh_mask", "bias_ids", "block_ids")
+_F32_FIELDS = (
+    "temperature",
+    "top_p",
+    "min_p",
+    "freq_pen",
+    "pres_pen",
+    "rep_pen",
+    "count_mask",
+    "bias_vals",
+    "block_mask",
+)
+
+
+@dataclass
+class SamplingMeta:
+    """Host-side (numpy) sampling batch state; `.to_sinfo()` ships each
+    field separately, `.pack()` ships two blobs (see unpack_sinfo)."""
+
+    temperature: np.ndarray
+    top_k: np.ndarray
+    top_p: np.ndarray
+    min_p: np.ndarray
+    slot_ids: np.ndarray
+    freq_pen: np.ndarray
+    pres_pen: np.ndarray
+    rep_pen: np.ndarray
+    fresh_mask: np.ndarray
+    count_mask: np.ndarray
+    bias_ids: np.ndarray
+    bias_vals: np.ndarray
+    block_ids: np.ndarray
+    block_mask: np.ndarray
+    vocab_mask_packed: np.ndarray
+    flags: tuple  # (is_all_greedy, top_p, min_p, penalties, bias, grammar)
+
+    @property
+    def padded_bs(self) -> int:
+        return len(self.temperature)
+
+    def to_sinfo(self) -> "SamplingBatchInfo":
+        f = self.flags
+        return SamplingBatchInfo(
+            temperature=jnp.asarray(self.temperature),
+            top_k=jnp.asarray(self.top_k),
+            top_p=jnp.asarray(self.top_p),
+            min_p=jnp.asarray(self.min_p),
+            slot_ids=jnp.asarray(self.slot_ids),
+            freq_pen=jnp.asarray(self.freq_pen),
+            pres_pen=jnp.asarray(self.pres_pen),
+            rep_pen=jnp.asarray(self.rep_pen),
+            fresh_mask=jnp.asarray(self.fresh_mask),
+            count_mask=jnp.asarray(self.count_mask),
+            bias_ids=jnp.asarray(self.bias_ids),
+            bias_vals=jnp.asarray(self.bias_vals),
+            block_ids=jnp.asarray(self.block_ids),
+            block_mask=jnp.asarray(self.block_mask),
+            vocab_mask_packed=jnp.asarray(self.vocab_mask_packed),
+            is_all_greedy=f[0],
+            need_top_p=f[1],
+            need_min_p=f[2],
+            need_penalties=f[3],
+            need_bias=f[4],
+            need_grammar=f[5],
+        )
+
+    def pack(self, extra_i32: list = ()) -> tuple:
+        """(i32_blob, f32_blob) numpy arrays; extra_i32 arrays are
+        prepended (page tables, seq lens, input ids...)."""
+        i32 = [np.asarray(a).ravel().astype(np.int32) for a in extra_i32]
+        i32 += [
+            np.asarray(getattr(self, f)).ravel().astype(np.int32)
+            for f in _I32_FIELDS
+        ]
+        f32 = [
+            np.asarray(getattr(self, f)).ravel().astype(np.float32)
+            for f in _F32_FIELDS
+        ]
+        return np.concatenate(i32), np.concatenate(f32)
+
+
+def unpack_sinfo(
+    i32: jax.Array, f32: jax.Array, off_i32: int, padded_bs: int, flags: tuple
+) -> "SamplingBatchInfo":
+    """Rebuild a device SamplingBatchInfo from the packed blobs (inside
+    jit). `off_i32` skips the caller's extra_i32 prefix. Grammar masks are
+    not packed — the packed-upload path excludes grammar batches."""
+    b = padded_bs
+    o = off_i32
+    fields = {}
+    for name in _I32_FIELDS:
+        n = b * (
+            MAX_BIAS_TOKENS
+            if name == "bias_ids"
+            else MAX_STOP_TOKENS
+            if name == "block_ids"
+            else 1
+        )
+        val = jax.lax.dynamic_slice(i32, (o,), (n,))
+        if name == "bias_ids":
+            val = val.reshape(b, MAX_BIAS_TOKENS)
+        elif name == "block_ids":
+            val = val.reshape(b, MAX_STOP_TOKENS)
+        elif name == "fresh_mask":
+            val = val.astype(bool)
+        fields[name] = val
+        o += n
+    o = 0
+    for name in _F32_FIELDS:
+        n = b * (
+            MAX_BIAS_TOKENS
+            if name == "bias_vals"
+            else MAX_STOP_TOKENS
+            if name == "block_mask"
+            else 1
+        )
+        val = jax.lax.dynamic_slice(f32, (o,), (n,))
+        if name == "bias_vals":
+            val = val.reshape(b, MAX_BIAS_TOKENS)
+        elif name == "block_mask":
+            val = val.reshape(b, MAX_STOP_TOKENS)
+        fields[name] = val
+        o += n
+    return SamplingBatchInfo(
+        vocab_mask_packed=jnp.zeros((b, 1), dtype=jnp.uint8),
+        is_all_greedy=flags[0],
+        need_top_p=flags[1],
+        need_min_p=flags[2],
+        need_penalties=flags[3],
+        need_bias=flags[4],
+        need_grammar=False,
+        **fields,
+    )

@@ -31,14 +31,42 @@ class NgramProposer:
         self.min_match = min_match
         self.max_match = max_match
         self.num_draft = num_draft_tokens
+        self._native_lib = False  # lazily resolved (None = unavailable)
+
+    def _native(self):
+        if self._native_lib is False:
+            try:
+                from sglang_tpu.csrc import get_native_lib
+
+                self._native_lib = get_native_lib()
+            except Exception:
+                self._native_lib = None
+        return self._native_lib
 
     def propose(self, tokens: Sequence[int]) -> List[int]:
         """Draft continuation for `tokens` by longest-suffix n-gram match.
 
         Searches for the most recent earlier occurrence of the trailing
         n-gram (longest n first) and returns up to `num_draft` tokens that
-        followed it.
+        followed it. Uses the C++ matcher when available (reference
+        `speculative/cpp_ngram/ngram.cpp`).
         """
+        lib = self._native()
+        if lib is not None:
+            import ctypes
+
+            arr = np.asarray(tokens, dtype=np.int32)
+            out = np.zeros(self.num_draft, dtype=np.int32)
+            p = ctypes.POINTER(ctypes.c_int32)
+            n = lib.ngram_propose(
+                arr.ctypes.data_as(p),
+                len(arr),
+                self.min_match,
+                self.max_match,
+                self.num_draft,
+                out.ctypes.data_as(p),
+            )
+            return out[:n].tolist()
         n_tok = len(tokens)
         if n_tok < self.min_match + 1:
             return []
