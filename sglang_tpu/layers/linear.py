@@ -94,10 +94,16 @@ class Int8Linear(LinearMethod):
         return shapes
 
     def apply(self, w, x):
-        acc = jnp.dot(
-            x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
-        )
-        y = (acc * w["s"]).astype(x.dtype)
+        from sglang_tpu.ops.quant_matmul import matmul_int8, use_pallas_matmul
+
+        k, n = w["q"].shape
+        if use_pallas_matmul(x, k, n):
+            y = matmul_int8(x, w["q"], w["s"])
+        else:
+            acc = jnp.dot(
+                x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
+            )
+            y = (acc * w["s"]).astype(x.dtype)
         if "b" in w:
             y = y + w["b"]
         return y
@@ -136,17 +142,36 @@ class Int4Linear(LinearMethod):
         return shapes
 
     def apply(self, w, x):
+        from sglang_tpu.ops.quant_matmul import matmul_int4, use_pallas_matmul
+
         in_features = w["q"].shape[0]
         out_features = w["q"].shape[1]
         g = w["s"].shape[0]
         gs = in_features // g
-        qf = w["q"].astype(x.dtype).reshape(g, gs, out_features)
-        if "z" in w:
-            qf = qf - w["z"].astype(x.dtype)[:, None, :]
-        wdeq = (qf * w["s"].astype(x.dtype)[:, None, :]).reshape(
-            in_features, out_features
-        )
-        y = jnp.dot(x, wdeq, preferred_element_type=jnp.float32).astype(x.dtype)
+        if use_pallas_matmul(x, in_features, out_features) and gs in (
+            32,
+            64,
+            128,
+            256,
+        ):
+            y = matmul_int4(
+                x,
+                w["q"],
+                w["s"],
+                w.get("z"),
+                group=gs,
+                bk=max(gs, 512 if gs <= 512 else gs),
+            )
+        else:
+            qf = w["q"].astype(x.dtype).reshape(g, gs, out_features)
+            if "z" in w:
+                qf = qf - w["z"].astype(x.dtype)[:, None, :]
+            wdeq = (qf * w["s"].astype(x.dtype)[:, None, :]).reshape(
+                in_features, out_features
+            )
+            y = jnp.dot(x, wdeq, preferred_element_type=jnp.float32).astype(
+                x.dtype
+            )
         if "b" in w:
             y = y + w["b"]
         return y

@@ -324,24 +324,37 @@ class Scheduler:
             if r.slot is None and self._slot_pool:
                 r.slot = self._slot_pool.pop()
         arrays = batch.prepare_for_extend()
-        sinfo = self._make_sinfo(
+        meta = self._make_sinfo(
             batch.reqs,
             padded_bs=self.runner.extend_seq_bucket,
             count_sample=[not r.is_chunked for r in batch.reqs],
             fresh=[not r._counts_inited for r in batch.reqs],
-        ).to_sinfo()
-        next_ids, tok_lp = self.runner.forward_extend(
-            arrays["input_ids"],
-            arrays["positions"],
-            arrays["out_cache_loc"],
-            arrays["page_table"],
-            arrays["seq_lens"],
-            arrays["extend_lens"],
-            sinfo,
-            output_start=np.asarray(
-                [len(r.input_ids) for r in batch.reqs], dtype=np.int32
-            ),
         )
+        output_start = np.asarray(
+            [len(r.input_ids) for r in batch.reqs], dtype=np.int32
+        )
+        if not meta.flags[5]:  # no grammar: single-blob upload path
+            next_ids, tok_lp = self.runner.forward_extend_packed(
+                arrays["input_ids"],
+                arrays["positions"],
+                arrays["out_cache_loc"],
+                arrays["page_table"],
+                arrays["seq_lens"],
+                arrays["extend_lens"],
+                meta,
+                output_start=output_start,
+            )
+        else:
+            next_ids, tok_lp = self.runner.forward_extend(
+                arrays["input_ids"],
+                arrays["positions"],
+                arrays["out_cache_loc"],
+                arrays["page_table"],
+                arrays["seq_lens"],
+                arrays["extend_lens"],
+                meta.to_sinfo(),
+                output_start=output_start,
+            )
         for r in batch.reqs:
             r._counts_inited = True
         next_ids = np.asarray(next_ids)

@@ -118,6 +118,17 @@ class ModelRunner:
             stats = jax.local_devices()[0].memory_stats()
             limit = stats["bytes_limit"]
             used = stats["bytes_in_use"]
+            param_bytes = sum(
+                x.nbytes for x in jax.tree_util.tree_leaves(self.params)
+            )
+            logger.info(
+                "hbm: limit %.2f GiB, in_use %.2f GiB (params %.2f GiB), "
+                "mem_fraction %.2f",
+                limit / (1 << 30),
+                used / (1 << 30),
+                param_bytes / (1 << 30),
+                sa.mem_fraction_static,
+            )
             budget = int(limit * sa.mem_fraction_static) - used
             if budget > 0:
                 return budget
@@ -292,6 +303,137 @@ class ModelRunner:
         li[:b] = cu[1 : b + 1] - 1
         return self._run(fb, jnp.asarray(li), sampling_info)
 
+    def forward_extend_packed(
+        self,
+        input_ids: np.ndarray,  # [t] packed ragged tokens
+        positions: np.ndarray,
+        out_cache_loc: np.ndarray,
+        page_table: np.ndarray,
+        seq_lens: np.ndarray,
+        extend_lens: np.ndarray,
+        sampling_meta,  # SamplingMeta
+        output_start: Optional[np.ndarray] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Extend forward with ALL host metadata in one i32 + one f32 blob
+        (same transfer-amortization as the decode chunks). Returns device
+        (next_ids [bb], tok_lp [bb]) — resolution happens at the caller."""
+        from sglang_tpu.model_executor.forward_batch_info import (
+            EXTEND_QBLK,
+            build_attn_blocks,
+        )
+        from sglang_tpu.sampling.sampling_batch_info import unpack_sinfo
+
+        t, b = len(input_ids), len(seq_lens)
+        tt = pad_to_bucket(t, self.prefill_token_buckets)
+        bb = pad_to_bucket(b, [self.extend_seq_bucket])
+        assert sampling_meta.padded_bs == bb
+        pmax = self.max_pages_per_req
+        cu = np.zeros(bb + 1, dtype=np.int32)
+        cu[1 : b + 1] = np.cumsum(extend_lens)
+        cu[b + 1 :] = cu[b]
+        token_to_seq = np.clip(
+            np.searchsorted(cu, np.arange(tt), side="right") - 1, 0, bb - 1
+        ).astype(np.int32)
+        total = int(cu[-1])
+        valid = np.arange(tt) < total
+        if output_start is not None:
+            os_pad = _pad(output_start, bb, fill=1 << 30)
+            is_out = _pad(positions, tt) >= os_pad[token_to_seq]
+        else:
+            is_out = np.zeros(tt, dtype=bool)
+        token_kind = np.where(valid, np.where(is_out, 2, 1), 0).astype(np.int32)
+        nb = tt // EXTEND_QBLK + bb
+        blk = build_attn_blocks(cu, _pad(seq_lens, bb), EXTEND_QBLK, nb)
+        i32_parts = [
+            _pad(input_ids, tt),
+            _pad(positions, tt),
+            _pad(out_cache_loc, tt),
+            _pad2(page_table, bb, pmax).ravel(),
+            _pad(seq_lens, bb),
+            cu,
+            token_kind,
+            token_to_seq,
+            *blk,
+        ]
+        i32_blob, f32_blob = sampling_meta.pack(extra_i32=i32_parts)
+        flags = tuple(sampling_meta.flags[:5]) + (False,)
+        rng = jax.random.fold_in(self.rng_key, self._step_counter)
+        self._step_counter += 1
+        key = ("extend_packed", tt, bb, nb, flags)
+        if key not in self._jit_cache:
+            model, backend = self.model, self.attn_backend
+
+            def _extend(params, kv_layers, counts, i32, f32, rng):
+                o = 0
+
+                def take(n, shape=None):
+                    nonlocal o
+                    v = jax.lax.dynamic_slice(i32, (o,), (n,))
+                    o += n
+                    return v.reshape(shape) if shape else v
+
+                ids = take(tt)
+                pos = take(tt)
+                loc = take(tt)
+                pt = take(bb * pmax, (bb, pmax))
+                seq = take(bb)
+                cu_d = take(bb + 1)
+                kind = take(tt)
+                t2s = take(tt)
+                bseq, bqoff, bnrows, bpos0 = (
+                    take(nb),
+                    take(nb),
+                    take(nb),
+                    take(nb),
+                )
+                sinfo = unpack_sinfo(i32, f32, o, bb, flags)
+                fb = ForwardBatch(
+                    input_ids=ids,
+                    positions=pos,
+                    out_cache_loc=loc,
+                    page_table=pt,
+                    seq_lens=seq,
+                    cu_q_lens=cu_d,
+                    token_to_seq=t2s,
+                    token_kind=kind,
+                    blk_seq=bseq,
+                    blk_qoff=bqoff,
+                    blk_nrows=bnrows,
+                    blk_pos0=bpos0,
+                    mode=ForwardMode.EXTEND,
+                )
+                hidden, new_kv = model.forward(params, kv_layers, fb, backend)
+                if sinfo.need_penalties:
+                    sentinel = counts.shape[0] - 1
+                    tslots = jnp.where(
+                        kind > 0, sinfo.slot_ids[t2s], sentinel
+                    )
+                    counts = update_counts_extend(
+                        counts, ids, tslots, kind, sinfo.slot_ids,
+                        sinfo.fresh_mask,
+                    )
+                logits_idx = jnp.maximum(cu_d[1:] - 1, 0)
+                logits = model.compute_logits(params, hidden[logits_idx])
+                next_ids, tok_lp = sample(logits, sinfo, rng, counts)
+                if sinfo.need_penalties:
+                    counts = update_counts_sampled(counts, next_ids, sinfo)
+                return next_ids, tok_lp, new_kv, counts
+
+            self._jit_cache[key] = jax.jit(_extend, donate_argnums=(1, 2))
+        need_pen = sampling_meta.flags[3]
+        counts = self._get_counts(need_pen)
+        next_ids, tok_lp, new_kv, counts = self._jit_cache[key](
+            self.params,
+            self.kv_layers,
+            counts,
+            jnp.asarray(i32_blob),
+            jnp.asarray(f32_blob),
+            rng,
+        )
+        self.kv_layers = new_kv
+        self._put_counts(need_pen, counts)
+        return next_ids, tok_lp
+
     def forward_decode_multi(
         self,
         first_input_ids,  # [b] numpy or [bb] device array (overlap chain)
@@ -328,7 +470,9 @@ class ModelRunner:
         flags = tuple(sampling_meta.flags[:5]) + (False,)
         rng = jax.random.fold_in(self.rng_key, self._step_counter)
         self._step_counter += k_steps
-        key = ("multi", k_steps, chained, flags)
+        # bb and pmax are baked into the closure (blob slicing) — they must
+        # key the cache alongside the static sampling flags
+        key = ("multi", k_steps, chained, flags, bb, pmax)
         if key not in self._jit_cache:
             ps = self.page_size
             ctx = self.model_config.context_length

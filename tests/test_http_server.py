@@ -228,6 +228,31 @@ def test_session_multi_turn(server):
     assert _post(server, "/close_session", {"session_id": sid})["success"]
 
 
+def test_bench_serving_harness(server):
+    """The online benchmark harness produces sane metrics against a live
+    server (reference run_bench_serving seam)."""
+    import asyncio
+
+    from sglang_tpu.bench_serving import run_benchmark
+
+    class A:
+        base_url = server
+        num_prompts = 4
+        request_rate = float("inf")
+        random_input = 12
+        random_output = 8
+        range_ratio = 0.1
+        vocab_size = 250
+        seed = 0
+        timeout = 120
+
+    m = asyncio.run(run_benchmark(A()))
+    assert m["completed"] == 4
+    assert m["failed"] == 0
+    assert m["output_throughput_tok_s"] > 0
+    assert m["median_ttft_ms"] > 0
+
+
 def test_models_health_info_metrics(server):
     import urllib.request
 

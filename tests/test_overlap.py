@@ -86,6 +86,45 @@ def test_overlap_with_staggered_arrivals():
     assert sched.check_memory() == 0
 
 
+def test_multi_step_bucket_transition():
+    """Decode-bucket growth mid-run must recompile the fused chunk (a
+    closure-captured bucket once silently reused the smaller compile)."""
+    sa = tiny_server_args(decode_multi_step=4, max_running_requests=16)
+    sched = Scheduler(sa, tiny_runner(sa))
+    rng = np.random.default_rng(3)
+    rids = []
+
+    def add(n):
+        rid = uuid.uuid4().hex
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid=rid,
+                input_ids=rng.integers(3, 250, size=n).tolist(),
+                sampling_params=SamplingParams(
+                    max_new_tokens=12, temperature=0.0, ignore_eos=True
+                ),
+            )
+        )
+        rids.append(rid)
+
+    add(5)  # bucket 4? -> smallest bucket
+    outs = {}
+    steps = 0
+    while sched.has_work():
+        if steps == 2:
+            for _ in range(9):  # grow past the first decode bucket
+                add(6)
+        for o in sched.step():
+            if o.finished:
+                outs[o.rid] = o
+        steps += 1
+        assert steps < 500
+    assert len(outs) == len(rids)
+    for rid in rids:
+        assert len(outs[rid].output_ids) == 12
+    assert sched.check_memory() == 0
+
+
 def test_overlap_memory_clean_after_retraction():
     sa = tiny_server_args(
         enable_overlap_schedule=True, max_total_tokens=128, page_size=16
