@@ -75,6 +75,7 @@ class Engine:
         stream: bool = False,
         rid: Optional[Union[str, List[str]]] = None,
         session_params: Optional[Dict] = None,
+        lora_path: Optional[str] = None,
     ) -> Union[Dict, List[Dict], Iterator[Dict]]:
         """Synchronous generation (batch or single). With `stream=True` and a
         single prompt, returns an iterator of incremental dicts."""
@@ -87,6 +88,7 @@ class Engine:
             top_logprobs_num=top_logprobs_num,
             stream=stream,
             session_params=session_params,
+            lora_path=lora_path,
         )
         was_batch = gri.is_batch()
         singles = gri.unbatch()
@@ -127,6 +129,7 @@ class Engine:
             return_logprob=g.return_logprob,
             top_logprobs_num=g.top_logprobs_num,
             stream=g.stream,
+            lora_path=g.lora_path,
             arrival_time=time.monotonic(),
         )
 
@@ -267,6 +270,17 @@ class Engine:
         finally:
             for pages in all_pages:
                 sched.allocator.free(pages)
+
+    # ---------------------------------------------------------------- lora
+
+    def load_lora_adapter(self, lora_name: str, lora_path: str) -> int:
+        """Load a PEFT adapter into the pool (reference
+        `/load_lora_adapter`). Triggers a jit re-trace on next step."""
+        return self.runner.ensure_lora_manager().load(lora_name, lora_path)
+
+    def unload_lora_adapter(self, lora_name: str) -> bool:
+        lm = self.runner.lora_manager
+        return lm.unload(lora_name) if lm is not None else False
 
     # ------------------------------------------------------------ sessions
 

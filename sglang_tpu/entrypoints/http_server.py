@@ -185,6 +185,7 @@ def build_app(state: ServerState) -> web.Application:
             top_logprobs_num=body.get("top_logprobs_num", 0),
             stream=body.get("stream", False),
             session_params=body.get("session_params"),
+            lora_path=body.get("lora_path"),
         )
         session_id = (gri.session_params or {}).get("id")
         if session_id is not None and not gri.is_batch():
@@ -485,6 +486,27 @@ def build_app(state: ServerState) -> web.Application:
         ok = state.engine.close_session(body.get("session_id", ""))
         return web.json_response({"success": ok}, status=200 if ok else 404)
 
+    async def load_lora(request):
+        body = await request.json()
+        try:
+            slot = await state.tm.run_on_scheduler(
+                lambda: state.engine.load_lora_adapter(
+                    body["lora_name"], body["lora_path"]
+                )
+            )
+            return web.json_response({"success": True, "slot": slot})
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    async def unload_lora(request):
+        body = await request.json()
+        ok = await state.tm.run_on_scheduler(
+            lambda: state.engine.unload_lora_adapter(body.get("lora_name", ""))
+        )
+        return web.json_response({"success": ok})
+
+    r.add_post("/load_lora_adapter", load_lora)
+    r.add_post("/unload_lora_adapter", unload_lora)
     r.add_get("/health", health)
     r.add_post("/open_session", open_session)
     r.add_post("/close_session", close_session)

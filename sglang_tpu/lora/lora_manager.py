@@ -1,0 +1,253 @@
+"""LoRA adapter loading + batched multi-adapter application.
+
+Parity with reference `srt/lora/lora_manager.py:53 LoRAManager` (adapter
+memory pool, per-request adapter batching) and the bgmv/sgmv Triton
+backends (`lora/backend/`). TPU design: adapters live stacked on device as
+`A [L+1, in, R]`, `B [L+1, R, out]` (slot L = zero adapter for requests
+without LoRA; ranks padded to the pool max), and application is the same
+sort-by-group + `jax.lax.ragged_dot` dispatch as the MoE layer — exact,
+static-shaped, MXU-native.
+
+Weight naming follows PEFT checkpoints:
+  base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight [r, in]
+  ... lora_B.weight [out, r]; scaling = lora_alpha / r.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+# fused-target composition: engine target -> HF sub-module names
+TARGET_PARTS = {
+    "qkv": ("q_proj", "k_proj", "v_proj"),
+    "o": ("o_proj",),
+    "gate_up": ("gate_proj", "up_proj"),
+    "down": ("down_proj",),
+}
+
+
+def lora_apply(
+    x: jax.Array,  # [T, in]
+    a: jax.Array,  # [L+1, in, R]
+    b: jax.Array,  # [L+1, R, out]
+    lora_ids: jax.Array,  # [T] i32 in [0, L]; L = the zero adapter
+) -> jax.Array:
+    """Batched per-token LoRA delta via grouped matmuls."""
+    t = x.shape[0]
+    nl = a.shape[0]
+    order = jnp.argsort(lora_ids)
+    xs = x[order]
+    group_sizes = jnp.bincount(lora_ids, length=nl)
+    h = jax.lax.ragged_dot(
+        xs, a, group_sizes, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    y = jax.lax.ragged_dot(
+        h, b, group_sizes, preferred_element_type=jnp.float32
+    )
+    out = jnp.zeros((t, b.shape[2]), dtype=jnp.float32)
+    out = out.at[order].set(y)
+    return out.astype(x.dtype)
+
+
+class LoRAAdapter:
+    def __init__(self, name: str, path: str, rank: int, scaling: float, weights):
+        self.name = name
+        self.path = path
+        self.rank = rank
+        self.scaling = scaling
+        # weights[layer][target] = (A [in, r], B [r, out]) numpy, scaling folded
+        self.weights = weights
+
+
+def load_adapter(name: str, path: str) -> LoRAAdapter:
+    """Read a PEFT LoRA checkpoint directory."""
+    cfg_path = os.path.join(path, "adapter_config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    rank = cfg["r"]
+    scaling = cfg.get("lora_alpha", rank) / rank
+    from safetensors import safe_open
+
+    st_path = os.path.join(path, "adapter_model.safetensors")
+    tensors = {}
+    with safe_open(st_path, framework="numpy") as f:
+        for key in f.keys():
+            tensors[key] = f.get_tensor(key)
+
+    def find(layer: int, part: str, which: str) -> Optional[np.ndarray]:
+        for pat in (
+            f"base_model.model.model.layers.{layer}.self_attn.{part}.lora_{which}.weight",
+            f"base_model.model.model.layers.{layer}.mlp.{part}.lora_{which}.weight",
+            f"model.layers.{layer}.self_attn.{part}.lora_{which}.weight",
+            f"model.layers.{layer}.mlp.{part}.lora_{which}.weight",
+        ):
+            if pat in tensors:
+                return tensors[pat]
+        return None
+
+    n_layers = 0
+    for key in tensors:
+        for tok in key.split("."):
+            if tok.isdigit():
+                n_layers = max(n_layers, int(tok) + 1)
+    # store RAW per-part (A [in,r], B [r,out]); fused into the engine's
+    # merged-matmul layout at pool-build time (needs model geometry)
+    weights: List[Dict[str, Tuple[np.ndarray, np.ndarray]]] = []
+    for i in range(n_layers):
+        per_layer = {}
+        for target, parts in TARGET_PARTS.items():
+            for part in parts:
+                a = find(i, part, "A")
+                bmat = find(i, part, "B")
+                if a is None or bmat is None:
+                    continue
+                per_layer[part] = (
+                    np.asarray(a, np.float32).T,  # [in, r]
+                    np.asarray(bmat, np.float32).T,  # [r, out]
+                )
+        weights.append(per_layer)
+    return LoRAAdapter(name, path, rank, scaling, weights)
+
+
+def fuse_target(adapter: LoRAAdapter, layer: int, target: str, part_dims):
+    """Fuse an adapter's per-part A/B for one fused target into
+    (A [in, sum_r], B [sum_r, total_out]) where B columns sit at each
+    part's true offset inside the merged matmul output (absent parts
+    contribute nothing)."""
+    if layer >= len(adapter.weights):
+        return None
+    per_layer = adapter.weights[layer]
+    parts = TARGET_PARTS[target]
+    present = [
+        (j, per_layer[p]) for j, p in enumerate(parts) if p in per_layer
+    ]
+    if not present:
+        return None
+    in_dim = present[0][1][0].shape[0]
+    total_out = sum(part_dims)
+    total_r = sum(ab[0].shape[1] for _, ab in present)
+    a_f = np.zeros((in_dim, total_r), np.float32)
+    b_f = np.zeros((total_r, total_out), np.float32)
+    col_off = np.concatenate([[0], np.cumsum(part_dims)])
+    ro = 0
+    for j, (a, b) in present:
+        r = a.shape[1]
+        a_f[:, ro : ro + r] = a
+        b_f[ro : ro + r, col_off[j] : col_off[j] + b.shape[1]] = (
+            b * adapter.scaling
+        )
+        ro += r
+    return a_f, b_f
+
+
+class LoRAManager:
+    """Adapter registry + stacked device pool (reference LoRAManager +
+    `lora/mem_pool.py`)."""
+
+    def __init__(self, model, max_loras: int = 4, max_rank: Optional[int] = None):
+        self.model = model
+        self.max_loras = max_loras
+        self.adapters: Dict[str, int] = {}  # name -> slot
+        self._loaded: List[Optional[LoRAAdapter]] = [None] * max_loras
+        self.max_rank = max_rank or 0
+        self.pool = None  # params["lora"]: [layer][target] = {"a": .., "b": ..}
+
+    @property
+    def zero_slot(self) -> int:
+        return self.max_loras
+
+    def load(self, name: str, path: str) -> int:
+        if name in self.adapters:
+            return self.adapters[name]
+        adapter = load_adapter(name, path)
+        free = next(
+            (i for i, a in enumerate(self._loaded) if a is None), None
+        )
+        if free is None:
+            raise RuntimeError(
+                f"adapter pool full ({self.max_loras}); unload one first"
+            )
+        self._loaded[free] = adapter
+        self.adapters[name] = free
+        self._rebuild_pool()
+        logger.info("loaded LoRA %s (rank %d) into slot %d", name, adapter.rank, free)
+        return free
+
+    def unload(self, name: str) -> bool:
+        slot = self.adapters.pop(name, None)
+        if slot is None:
+            return False
+        self._loaded[slot] = None
+        self._rebuild_pool()
+        return True
+
+    def slot_of(self, name: Optional[str]) -> int:
+        if name is None:
+            return self.zero_slot
+        if name not in self.adapters:
+            raise ValueError(f"unknown LoRA adapter {name}")
+        return self.adapters[name]
+
+    def _target_dims(self, target: str):
+        m = self.model
+        if target == "qkv":
+            return (m.q_size, m.kv_size, m.kv_size)
+        if target == "o":
+            return (m.hidden_size,)
+        if target == "gate_up":
+            inter = m.config.intermediate_size
+            return (inter, inter)
+        if target == "down":
+            return (m.hidden_size,)
+        raise ValueError(target)
+
+    def _rebuild_pool(self):
+        """Stack all loaded adapters into [L+1, ...] device tensors (slot
+        L+1 is all-zero: requests without LoRA route there)."""
+        live = [a for a in self._loaded if a is not None]
+        if not live:
+            self.pool = None
+            return
+        n_layers = max(len(a.weights) for a in live)
+        pool = []
+        for i in range(n_layers):
+            per_layer = {}
+            for target in TARGET_PARTS:
+                part_dims = self._target_dims(target)
+                fused = {
+                    slot: fuse_target(a, i, target, part_dims)
+                    for slot, a in enumerate(self._loaded)
+                    if a is not None
+                }
+                fused = {s_: f for s_, f in fused.items() if f is not None}
+                if not fused:
+                    continue
+                in_dim = next(iter(fused.values()))[0].shape[0]
+                out_dim = sum(part_dims)
+                max_r = max(f[0].shape[1] for f in fused.values())
+                a_stack = np.zeros(
+                    (self.max_loras + 1, in_dim, max_r), np.float32
+                )
+                b_stack = np.zeros(
+                    (self.max_loras + 1, max_r, out_dim), np.float32
+                )
+                for slot, (a_w, b_w) in fused.items():
+                    r = a_w.shape[1]
+                    a_stack[slot, :, :r] = a_w
+                    b_stack[slot, :r, :] = b_w
+                per_layer[target] = {
+                    "a": jnp.asarray(a_stack, self.model.config.dtype),
+                    "b": jnp.asarray(b_stack, self.model.config.dtype),
+                }
+            pool.append(per_layer)
+        self.pool = pool

@@ -141,6 +141,12 @@ class Scheduler:
                 f"prompt ({len(treq.input_ids)} tokens) exceeds context length "
                 f"{self.max_context_len}"
             )
+        lora_id = -1
+        if treq.lora_path is not None:
+            lm = self.runner.lora_manager
+            if lm is None:
+                raise ValueError("lora_path given but no adapters are loaded")
+            lora_id = lm.slot_of(treq.lora_path)
         req = Req(
             rid=treq.rid,
             input_ids=treq.input_ids,
@@ -151,6 +157,7 @@ class Scheduler:
             stream=treq.stream,
             arrival_time=treq.arrival_time or time.monotonic(),
             priority=treq.priority,
+            lora_id=lora_id,
         )
         req.max_context_len = self.max_context_len
         # clamp generation to the KV context budget
@@ -333,7 +340,8 @@ class Scheduler:
         output_start = np.asarray(
             [len(r.input_ids) for r in batch.reqs], dtype=np.int32
         )
-        if not meta.flags[5]:  # no grammar: single-blob upload path
+        lora_active = self._lora_batch(batch.reqs)
+        if not meta.flags[5] and not lora_active:  # single-blob upload path
             next_ids, tok_lp = self.runner.forward_extend_packed(
                 arrays["input_ids"],
                 arrays["positions"],
@@ -345,6 +353,12 @@ class Scheduler:
                 output_start=output_start,
             )
         else:
+            seq_lora = self._lora_ids_per_seq(batch.reqs)
+            tok_lora = (
+                np.repeat(seq_lora, arrays["extend_lens"])
+                if seq_lora is not None
+                else None
+            )
             next_ids, tok_lp = self.runner.forward_extend(
                 arrays["input_ids"],
                 arrays["positions"],
@@ -354,6 +368,7 @@ class Scheduler:
                 arrays["extend_lens"],
                 meta.to_sinfo(),
                 output_start=output_start,
+                lora_ids=tok_lora,
             )
         for r in batch.reqs:
             r._counts_inited = True
@@ -489,7 +504,11 @@ class Scheduler:
         if self._spec_eligible():
             outputs = self._resolve_inflight()  # spec needs resolved tokens
             return outputs + self._forward_spec_decode()
-        if self.server_args.decode_multi_step > 1 and self._no_grammar():
+        if (
+            self.server_args.decode_multi_step > 1
+            and self._no_grammar()
+            and not self._lora_batch(self.running_batch.reqs)
+        ):
             return self._forward_decode_multi()
         return self._forward_decode_normal()
 
@@ -538,6 +557,17 @@ class Scheduler:
             return outputs
         outputs += self._process_decode_result(inflight)
         return outputs
+
+    def _lora_batch(self, reqs) -> bool:
+        return any(r.lora_id >= 0 for r in reqs)
+
+    def _lora_ids_per_seq(self, reqs):
+        if not self._lora_batch(reqs):
+            return None
+        zero = self.runner.lora_manager.zero_slot
+        return np.asarray(
+            [r.lora_id if r.lora_id >= 0 else zero for r in reqs], dtype=np.int32
+        )
 
     def _no_grammar(self) -> bool:
         """Grammar masks need the sampled token on host before the next
@@ -597,6 +627,7 @@ class Scheduler:
             arrays["page_table"],
             arrays["seq_lens"],
             sinfo,
+            lora_ids=self._lora_ids_per_seq(batch.reqs),
         )
         batch.commit_decode()
         self.stats.num_decode_steps += 1

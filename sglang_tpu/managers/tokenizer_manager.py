@@ -166,6 +166,7 @@ class TokenizerManager:
             return_logprob=g.return_logprob,
             top_logprobs_num=g.top_logprobs_num,
             stream=g.stream,
+            lora_path=g.lora_path,
             arrival_time=time.monotonic(),
         )
 

@@ -64,6 +64,9 @@ class ForwardBatch:
     # 0 = padding, 1 = prompt token, 2 = output token re-entering via extend
     # (retraction re-prefill) — drives penalty-count accumulation.
     token_kind: jax.Array = None  # [T] int32
+    # per-token LoRA adapter slot (None when no adapters are live; the
+    # zero-adapter slot absorbs non-LoRA requests)
+    lora_ids: jax.Array = None  # [T] int32
 
     # Ragged-attention block map (host-built; consumed by the Pallas kernel
     # as scalar-prefetch metadata — one entry per (seq, q-block) work unit).
@@ -124,6 +127,7 @@ def make_decode_batch(
     out_cache_loc: np.ndarray,
     page_table: np.ndarray,
     seq_lens: np.ndarray,
+    lora_ids: Optional[np.ndarray] = None,
 ) -> ForwardBatch:
     b = len(input_ids)
     cu = np.arange(b + 1, dtype=np.int32)
@@ -148,6 +152,7 @@ def make_decode_batch(
         blk_qoff=jnp.asarray(blk_qoff),
         blk_nrows=jnp.asarray(blk_nrows),
         blk_pos0=jnp.asarray(blk_pos0),
+        lora_ids=jnp.asarray(lora_ids, jnp.int32) if lora_ids is not None else None,
         mode=ForwardMode.DECODE,
     )
 
@@ -161,6 +166,7 @@ def make_extend_batch(
     cu_q_lens: np.ndarray,
     mode: ForwardMode = ForwardMode.EXTEND,
     output_start: Optional[np.ndarray] = None,  # [B] prompt length per seq
+    lora_ids: Optional[np.ndarray] = None,  # [T] per-token adapter slot
 ) -> ForwardBatch:
     t = len(input_ids)
     b = len(seq_lens)
@@ -196,5 +202,6 @@ def make_extend_batch(
         blk_qoff=jnp.asarray(blk_qoff),
         blk_nrows=jnp.asarray(blk_nrows),
         blk_pos0=jnp.asarray(blk_pos0),
+        lora_ids=jnp.asarray(lora_ids, jnp.int32) if lora_ids is not None else None,
         mode=mode,
     )

@@ -93,6 +93,18 @@ class ModelRunner:
             load_format=server_args.load_format,
             seed=server_args.random_seed,
         )
+        self.lora_manager = None
+        if server_args.lora_paths:
+            from sglang_tpu.lora.lora_manager import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.model,
+                max_loras=server_args.max_loras_per_batch,
+                max_rank=server_args.max_lora_rank,
+            )
+            for spec in server_args.lora_paths:
+                name, _, path = spec.partition("=")
+                self.lora_manager.load(name, path or name)
         self._init_kv_pool()
         self.rng_key = jax.random.PRNGKey(server_args.random_seed)
         self._step_counter = 0
@@ -112,30 +124,49 @@ class ModelRunner:
 
     # ---------------------------------------------------------------- pools
 
+    # HBM per chip by TPU generation (GiB) — used when the runtime exposes
+    # no memory_stats (some PJRT plugins return None)
+    _HBM_BY_GEN = {"v4": 32, "v5e": 16, "v5p": 95, "v6e": 32}
+
     def _available_kv_bytes(self) -> int:
         sa = self.server_args
+        param_bytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(self.params)
+        )
+        stats = None
         try:
             stats = jax.local_devices()[0].memory_stats()
-            limit = stats["bytes_limit"]
-            used = stats["bytes_in_use"]
-            param_bytes = sum(
-                x.nbytes for x in jax.tree_util.tree_leaves(self.params)
-            )
-            logger.info(
-                "hbm: limit %.2f GiB, in_use %.2f GiB (params %.2f GiB), "
-                "mem_fraction %.2f",
-                limit / (1 << 30),
-                used / (1 << 30),
-                param_bytes / (1 << 30),
-                sa.mem_fraction_static,
-            )
-            budget = int(limit * sa.mem_fraction_static) - used
-            if budget > 0:
-                return budget
         except Exception:
             pass
-        # CPU / unknown: default to a small pool unless max_total_tokens set
-        return 1 << 30
+        if stats and "bytes_limit" in stats:
+            limit = stats["bytes_limit"]
+            used = stats["bytes_in_use"]
+        else:
+            import os
+
+            gb = os.environ.get("SGLANG_TPU_HBM_GB")
+            if gb is None:
+                gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+                gb = self._HBM_BY_GEN.get(gen, 16)
+            limit = int(float(gb) * (1 << 30))
+            used = param_bytes
+        logger.info(
+            "hbm: limit %.2f GiB, in_use %.2f GiB (params %.2f GiB), "
+            "mem_fraction %.2f",
+            limit / (1 << 30),
+            used / (1 << 30),
+            param_bytes / (1 << 30),
+            sa.mem_fraction_static,
+        )
+        budget = int(limit * sa.mem_fraction_static) - used
+        if budget > 0:
+            return budget
+        if self.device_kind != "tpu":
+            return 1 << 30  # CPU tests: small pool unless max_total_tokens
+        raise RuntimeError(
+            f"no HBM left for KV cache (params {param_bytes >> 30} GiB, "
+            f"limit {limit >> 30} GiB); lower model size or quantize"
+        )
 
     def _init_kv_pool(self):
         sa = self.server_args
@@ -173,6 +204,24 @@ class ModelRunner:
         return self.kv_pool.capacity_tokens
 
     # ---------------------------------------------------------------- jit
+
+    def ensure_lora_manager(self):
+        if self.lora_manager is None:
+            from sglang_tpu.lora.lora_manager import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.model,
+                max_loras=self.server_args.max_loras_per_batch,
+                max_rank=self.server_args.max_lora_rank,
+            )
+        return self.lora_manager
+
+    def _params(self):
+        """Params pytree, with the live LoRA pool attached when adapters
+        are loaded (a different treedef -> its own jit variant)."""
+        if self.lora_manager is not None and self.lora_manager.pool is not None:
+            return {**self.params, "lora": self.lora_manager.pool}
+        return self.params
 
     def _get_step_fn(self):
         key = "step"
@@ -252,6 +301,7 @@ class ModelRunner:
         page_table: np.ndarray,  # [b, max_pages_per_req]
         seq_lens: np.ndarray,
         sampling_info: SamplingBatchInfo,
+        lora_ids: Optional[np.ndarray] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         b = len(seq_lens)
         bb = pad_to_bucket(b, self.decode_bs_buckets)
@@ -260,12 +310,18 @@ class ModelRunner:
             ids = input_ids
         else:
             ids = _pad(input_ids, bb)
+        zero_slot = (
+            self.lora_manager.zero_slot if self.lora_manager is not None else 0
+        )
         fb = make_decode_batch(
             ids,
             _pad(positions, bb),
             _pad(out_cache_loc, bb),
             _pad2(page_table, bb, self.max_pages_per_req),
             _pad(seq_lens, bb),
+            lora_ids=_pad(lora_ids, bb, fill=zero_slot)
+            if lora_ids is not None
+            else None,
         )
         logits_indices = jnp.arange(bb, dtype=jnp.int32)
         return self._run(fb, logits_indices, sampling_info)
@@ -280,6 +336,7 @@ class ModelRunner:
         extend_lens: np.ndarray,  # [b] query lens
         sampling_info: SamplingBatchInfo,
         output_start: Optional[np.ndarray] = None,  # [b] prompt lengths
+        lora_ids: Optional[np.ndarray] = None,  # [t] per-token adapter slot
     ) -> Tuple[jax.Array, jax.Array]:
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
@@ -296,6 +353,13 @@ class ModelRunner:
             cu,
             output_start=_pad(output_start, bb, fill=1 << 30)
             if output_start is not None
+            else None,
+            lora_ids=_pad(
+                lora_ids,
+                tt,
+                fill=self.lora_manager.zero_slot if self.lora_manager else 0,
+            )
+            if lora_ids is not None
             else None,
         )
         # last token of each sequence (pad rows point at token 0)
@@ -688,7 +752,7 @@ class ModelRunner:
         step = self._get_step_fn()
         counts = self._get_counts(sinfo.need_penalties)
         next_ids, tok_lp, new_kv, counts = step(
-            self.params, self.kv_layers, counts, fb, logits_indices, sinfo, rng
+            self._params(), self.kv_layers, counts, fb, logits_indices, sinfo, rng
         )
         self.kv_layers = new_kv
         self._put_counts(sinfo.need_penalties, counts)

@@ -56,7 +56,7 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         specs["post_ffw_norm"] = P(None)
         return shapes, specs
 
-    def mlp_forward(self, lp, x):
+    def mlp_forward(self, lp, x, lora=None, lora_ids=None):
         gate_up = self.methods["gate_up"].apply(lp["gate_up"], x)
         return self.methods["down"].apply(lp["down"], gelu_tanh_and_mul(gate_up))
 

@@ -35,6 +35,12 @@ from sglang_tpu.model_executor.forward_batch_info import ForwardBatch
 from sglang_tpu.model_loader.weight_mapping import WeightRule
 
 
+def _lora(x: jax.Array, ab: dict, lora_ids: jax.Array) -> jax.Array:
+    from sglang_tpu.lora.lora_manager import lora_apply
+
+    return lora_apply(x, ab["a"], ab["b"], lora_ids)
+
+
 def _linear_sharding(method: LinearMethod, col_parallel: bool) -> Dict[str, P]:
     """PartitionSpecs for one linear's weight dict ([in, out] layout)."""
     w_spec = P(None, "model") if col_parallel else P("model", None)
@@ -109,9 +115,17 @@ class LlamaForCausalLM:
             "down": _linear_sharding(self.methods["down"], col_parallel=False),
         }
 
-    def mlp_forward(self, lp: dict, x: jax.Array) -> jax.Array:
+    def mlp_forward(
+        self, lp: dict, x: jax.Array, lora=None, lora_ids=None
+    ) -> jax.Array:
         gate_up = self.methods["gate_up"].apply(lp["gate_up"], x)
-        return self.methods["down"].apply(lp["down"], silu_and_mul(gate_up))
+        if lora is not None and "gate_up" in lora:
+            gate_up = gate_up + _lora(x, lora["gate_up"], lora_ids)
+        act = silu_and_mul(gate_up)
+        down = self.methods["down"].apply(lp["down"], act)
+        if lora is not None and "down" in lora:
+            down = down + _lora(act, lora["down"], lora_ids)
+        return down
 
     def mlp_weight_rules(self, lp: str, L: tuple) -> List[WeightRule]:
         return [
@@ -242,11 +256,15 @@ class LlamaForCausalLM:
         t = fb.input_ids.shape[0]
         h = params["embed"][fb.input_ids]  # [T, H]
         new_kv: List[jax.Array] = []
+        lora = params.get("lora") if fb.lora_ids is not None else None
         for i in range(self.num_layers):
             lp = params["layers"][i]
+            ll = lora[i] if lora is not None and i < len(lora) else None
             # --- attention block ---
             normed = rms_norm(h, lp["input_norm"], c.rms_norm_eps)
             qkv = self.methods["qkv"].apply(lp["qkv"], normed)
+            if ll is not None and "qkv" in ll:
+                qkv = qkv + _lora(normed, ll["qkv"], fb.lora_ids)
             q = qkv[:, : self.q_size].reshape(t, self.num_q_heads, self.head_dim)
             k = qkv[:, self.q_size : self.q_size + self.kv_size].reshape(
                 t, self.num_kv_heads, self.head_dim
@@ -270,10 +288,13 @@ class LlamaForCausalLM:
             )
             new_kv.append(kv_i)
             attn_out = attn_out.reshape(t, self.q_size)
-            h = h + self.methods["o"].apply(lp["o"], attn_out)
+            o_out = self.methods["o"].apply(lp["o"], attn_out)
+            if ll is not None and "o" in ll:
+                o_out = o_out + _lora(attn_out, ll["o"], fb.lora_ids)
+            h = h + o_out
             # --- MLP block (dense or MoE, see mlp_forward overrides) ---
             normed = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
-            h = h + self.mlp_forward(lp, normed)
+            h = h + self.mlp_forward(lp, normed, lora=ll, lora_ids=fb.lora_ids)
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
         return h, new_kv
 

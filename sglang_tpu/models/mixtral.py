@@ -35,7 +35,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
     def mlp_specs(self):
         return moe_specs()
 
-    def mlp_forward(self, lp, x):
+    def mlp_forward(self, lp, x, lora=None, lora_ids=None):
         return fused_moe(
             x,
             lp["router"],

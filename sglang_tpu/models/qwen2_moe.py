@@ -37,7 +37,7 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
     def mlp_specs(self):
         return moe_specs()
 
-    def mlp_forward(self, lp, x):
+    def mlp_forward(self, lp, x, lora=None, lora_ids=None):
         return fused_moe(
             x,
             lp["router"],
@@ -107,7 +107,7 @@ class Qwen2MoeForCausalLM(Qwen3MoeForCausalLM):
             specs["shared_gate"] = P(None, None)
         return specs
 
-    def mlp_forward(self, lp, x):
+    def mlp_forward(self, lp, x, lora=None, lora_ids=None):
         out = super().mlp_forward(lp, x)
         if self.shared_inter:
             from sglang_tpu.layers.activation import silu_and_mul

@@ -177,6 +177,12 @@ def use_pallas_matmul(x: jax.Array, k: int, n: int, bn=512, bk=512) -> bool:
     enough that the whole activation block fits VMEM (decode / small
     extends — the weight-bandwidth-bound regime these kernels target; big
     prefills are MXU-bound and fine under XLA)."""
+    import os
+
+    # Opt-in for now: XLA's convert+dot beats this kernel on some chips /
+    # runtimes; enable with SGLANG_TPU_QUANT_MATMUL=pallas after profiling.
+    if os.environ.get("SGLANG_TPU_QUANT_MATMUL") != "pallas":
+        return False
     return (
         jax.default_backend() == "tpu"
         and x.ndim == 2

@@ -1,0 +1,127 @@
+"""Multi-adapter LoRA tests (reference `test/registered/lora` category):
+a synthetic PEFT checkpoint must make the engine match an HF model with the
+deltas merged; non-LoRA requests in the same batch stay on the base model."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+RANK = 4
+ALPHA = 8  # scaling = 2.0
+
+
+def _make_adapter_dir(tmp_path, hf_model, seed=0):
+    """Write a PEFT-style adapter over q/v/gate/down of every layer and
+    return (dir, merged HF model clone)."""
+    from safetensors.numpy import save_file
+    import copy
+
+    rng = np.random.default_rng(seed)
+    merged = copy.deepcopy(hf_model)
+    tensors = {}
+    scaling = ALPHA / RANK
+    with torch.no_grad():
+        for i, layer in enumerate(merged.model.layers):
+            for part, mod in (
+                ("q_proj", layer.self_attn.q_proj),
+                ("v_proj", layer.self_attn.v_proj),
+                ("gate_proj", layer.mlp.gate_proj),
+                ("down_proj", layer.mlp.down_proj),
+            ):
+                out_f, in_f = mod.weight.shape
+                a = (rng.standard_normal((RANK, in_f)) * 0.05).astype(np.float32)
+                b = (rng.standard_normal((out_f, RANK)) * 0.05).astype(np.float32)
+                tensors[
+                    f"base_model.model.model.layers.{i}.{'self_attn' if 'proj' in part and part in ('q_proj','v_proj') else 'mlp'}.{part}.lora_A.weight"
+                ] = a
+                tensors[
+                    f"base_model.model.model.layers.{i}.{'self_attn' if part in ('q_proj','v_proj') else 'mlp'}.{part}.lora_B.weight"
+                ] = b
+                mod.weight += torch.tensor(scaling * (b @ a))
+    adir = tmp_path / "adapter"
+    os.makedirs(adir, exist_ok=True)
+    save_file(tensors, str(adir / "adapter_model.safetensors"))
+    with open(adir / "adapter_config.json", "w") as f:
+        json.dump({"r": RANK, "lora_alpha": ALPHA, "peft_type": "LORA"}, f)
+    return str(adir), merged
+
+
+@pytest.fixture(scope="module")
+def lora_setup(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    base = tmp_path_factory.mktemp("lora_base")
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(cfg).eval()
+    hf.save_pretrained(base)
+    adir, merged = _make_adapter_dir(tmp_path_factory.mktemp("ad"), hf)
+
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.server_args import ServerArgs
+
+    eng = Engine(
+        ServerArgs(
+            model_path=str(base), dtype="float32", device="cpu", page_size=16,
+            context_length=256, max_total_tokens=2048,
+            prefill_token_buckets=[64, 128], decode_bs_buckets=[4, 8],
+            max_running_requests=8, skip_tokenizer_init=True, random_seed=0,
+            log_level="warning", lora_paths=[f"ad1={adir}"],
+        )
+    )
+    return eng, hf, merged
+
+
+def test_lora_matches_merged_hf(lora_setup):
+    eng, hf, merged = lora_setup
+    prompt = [int(x) for x in np.random.default_rng(5).integers(3, 250, size=9)]
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True},
+        lora_path="ad1",
+    )
+    with torch.no_grad():
+        ref = merged.generate(
+            torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+        )[0].tolist()
+    assert out["output_ids"] == ref[len(prompt):]
+
+
+def test_non_lora_request_uses_base(lora_setup):
+    eng, hf, merged = lora_setup
+    prompt = [int(x) for x in np.random.default_rng(6).integers(3, 250, size=9)]
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True},
+    )
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+        )[0].tolist()
+    assert out["output_ids"] == ref[len(prompt):]
+
+
+def test_mixed_lora_batch(lora_setup):
+    eng, hf, merged = lora_setup
+    rng = np.random.default_rng(7)
+    p1 = [int(x) for x in rng.integers(3, 250, size=7)]
+    p2 = [int(x) for x in rng.integers(3, 250, size=11)]
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+    # submit both at once: one LoRA, one base — must not contaminate
+    o1 = eng.generate(input_ids=[p1, p2], sampling_params=sp)  # both base
+    out_lora = eng.generate(input_ids=p1, sampling_params=sp, lora_path="ad1")
+    with torch.no_grad():
+        base1 = hf.generate(torch.tensor([p1]), max_new_tokens=6, do_sample=False)[0].tolist()
+        base2 = hf.generate(torch.tensor([p2]), max_new_tokens=6, do_sample=False)[0].tolist()
+        mrg1 = merged.generate(torch.tensor([p1]), max_new_tokens=6, do_sample=False)[0].tolist()
+    assert o1[0]["output_ids"] == base1[len(p1):]
+    assert o1[1]["output_ids"] == base2[len(p2):]
+    assert out_lora["output_ids"] == mrg1[len(p1):]
