@@ -61,6 +61,61 @@ def tiny_cfg():
     )
 
 
+def _warm_all_buckets(sched, runner, mc):
+    import sys as _sys
+    import time as _time
+
+    from sglang_tpu.sampling.sampling_batch_info import SamplingBatchInfo
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+
+    k = sched.server_args.decode_multi_step
+    sp = SamplingParams(temperature=0.0, ignore_eos=True)
+    for bs in runner.decode_bs_buckets:
+        t0 = _time.perf_counter()
+        meta = SamplingBatchInfo.meta_from_reqs(
+            [sp] * bs, padded_bs=bs, slots=list(range(bs)),
+            max_slots=sched.max_slots,
+        )
+        base = np.ones(bs, dtype=np.int32)
+        pt = np.zeros((bs, runner.max_pages_per_req), dtype=np.int32)
+        ids = np.zeros(bs, dtype=np.int32)
+        _, _, last = runner.forward_decode_multi(ids, base, pt, meta, k)
+        # chained variant (device-resident first ids)
+        runner.forward_decode_multi(last, base, pt, meta, k)
+        print(
+            f"# warm decode bs={bs}: {_time.perf_counter() - t0:.0f}s",
+            file=_sys.stderr,
+        )
+    bb = runner.extend_seq_bucket
+    ctx_chunk = min(mc.context_length - 64, 1024)
+    for tt in runner.prefill_token_buckets:
+        t0 = _time.perf_counter()
+        nseq = min(bb, -(-tt // ctx_chunk))
+        per = tt // nseq
+        meta = SamplingBatchInfo.meta_from_reqs(
+            [sp] * nseq, padded_bs=bb, slots=list(range(nseq)),
+            max_slots=sched.max_slots,
+        )
+        input_ids = np.zeros(tt, dtype=np.int32)
+        positions = np.concatenate(
+            [np.arange(per, dtype=np.int32)] * nseq
+        )[:tt]
+        out_loc = np.zeros(tt, dtype=np.int32)
+        pt = np.zeros((nseq, runner.max_pages_per_req), dtype=np.int32)
+        seq_lens = np.full(nseq, per, dtype=np.int32)
+        extend_lens = np.full(nseq, per, dtype=np.int32)
+        extend_lens[-1] = tt - per * (nseq - 1)
+        seq_lens[-1] = extend_lens[-1]
+        runner.forward_extend_packed(
+            input_ids, positions, out_loc, pt, seq_lens, extend_lens, meta,
+            output_start=np.full(nseq, 1 << 20, dtype=np.int32),
+        )
+        print(
+            f"# warm extend tt={tt}: {_time.perf_counter() - t0:.0f}s",
+            file=_sys.stderr,
+        )
+
+
 def main():
     tiny = os.environ.get("BENCH_TINY") == "1"
     # v5e has 16 GiB HBM: 8B bf16 does not fit — weight-only INT8 is the
@@ -81,21 +136,25 @@ def main():
     from sglang_tpu.server_args import ServerArgs
 
     hf = tiny_cfg() if tiny else llama8b_cfg()
+    kv_dtype = os.environ.get("BENCH_KV", "auto" if tiny else "fp8_e4m3")
     sa = ServerArgs(
         model_path="bench-llama-8b" if not tiny else "bench-tiny",
         load_format="zeros",
         quantization=quant,
+        kv_cache_dtype=kv_dtype,
         skip_tokenizer_init=True,
         random_seed=0,
         log_level="warning",
         context_length=2048,
         max_total_tokens=4096 if tiny else None,
-        mem_fraction_static=0.85,
+        mem_fraction_static=0.88,
         page_size=64 if not tiny else 16,
         max_prefill_tokens=4096,
         chunked_prefill_size=4096,
-        decode_bs_buckets=[8, 16, 32, 64, 128, 256],
-        prefill_token_buckets=[512, 1024, 2048, 4096],
+        # few buckets: each (bucket, variant) pair is one XLA compile, and
+        # decode is weight-read-bound so padded rows are nearly free
+        decode_bs_buckets=[32, 128, 256] if not tiny else [8, 16, 32],
+        prefill_token_buckets=[2048, 4096] if not tiny else [512],
         max_running_requests=256,
         device="cpu" if tiny else "auto",
         decode_multi_step=int(os.environ.get("BENCH_MULTI_STEP", "16")),
@@ -125,17 +184,11 @@ def main():
     if tiny:
         in_lens, out_lens = in_lens // 8, out_lens // 8
 
-    # warmup: compile extend + decode buckets
-    warm = TokenizedGenerateReqInput(
-        rid="warmup",
-        input_ids=rng.integers(3, mc.vocab_size - 1, size=int(in_lens[0])).tolist(),
-        sampling_params=SamplingParams(
-            max_new_tokens=8, ignore_eos=True, temperature=0.0
-        ),
-    )
-    sched.add_request(warm)
-    while sched.has_work():
-        sched.step()
+    # Warm EVERY serving jit variant (each decode bucket x {fresh, chained}
+    # chunk + each prefill token bucket) so the measured phase replays from
+    # cache — production serving compiles once and serves forever; without
+    # this the measurement is mostly XLA compilation.
+    _warm_all_buckets(sched, runner, mc)
     print(f"# warmup done at {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     for i in range(num_prompts):
@@ -164,8 +217,9 @@ def main():
     assert done == num_prompts, f"{done}/{num_prompts} finished"
     toks_per_s = gen_tokens / elapsed
 
+    kv_tag = "" if kv_dtype == "auto" else "_kvfp8"
     result = {
-        "metric": f"offline_output_throughput_llama8b_{quant or 'bf16'}"
+        "metric": f"offline_output_throughput_llama8b_{quant or 'bf16'}{kv_tag}"
         if not tiny
         else "offline_output_throughput_tiny_cpu",
         "value": round(toks_per_s, 1),

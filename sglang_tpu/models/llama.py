@@ -97,7 +97,9 @@ class LlamaForCausalLM:
             "gate_up": make_linear_method(c.quantization, group_size=group),
             "down": make_linear_method(c.quantization, group_size=group),
         }
-        self.sliding_window = -1  # full attention (Mistral SWA set by subclass)
+        # Mistral-style sliding window when the checkpoint declares one
+        # (the attention kernel supports it natively)
+        self.sliding_window = c.sliding_window or -1
 
     # ------------------------------------------------------------- specs
 

@@ -1,0 +1,57 @@
+"""FP8 KV-cache e2e (reference `test_fp8kv_*` role, scaled to a tiny model
+on CPU): generation with fp8-stored KV must stay close to the bf16-KV
+output and the engine must run end-to-end."""
+
+import uuid
+
+import numpy as np
+import pytest
+
+from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+from sglang_tpu.managers.scheduler import Scheduler
+from sglang_tpu.sampling.sampling_params import SamplingParams
+from tests.test_utils import tiny_runner, tiny_server_args
+
+
+def run_greedy(sched, prompt, n=16):
+    rid = uuid.uuid4().hex
+    sched.add_request(
+        TokenizedGenerateReqInput(
+            rid=rid,
+            input_ids=list(prompt),
+            sampling_params=SamplingParams(
+                max_new_tokens=n, temperature=0.0, ignore_eos=True
+            ),
+        )
+    )
+    out = None
+    while sched.has_work():
+        for o in sched.step():
+            if o.finished:
+                out = o
+    return out.output_ids
+
+
+@pytest.mark.parametrize("kv_dtype", ["fp8_e4m3", "fp8_e5m2"])
+def test_fp8_kv_generates(kv_dtype):
+    sa = tiny_server_args(kv_cache_dtype=kv_dtype)
+    sched = Scheduler(sa, tiny_runner(sa))
+    prompt = np.random.default_rng(0).integers(3, 250, size=12).tolist()
+    ids_fp8 = run_greedy(sched, prompt)
+    assert len(ids_fp8) == 16
+
+    sa16 = tiny_server_args()
+    sched16 = Scheduler(sa16, tiny_runner(sa16))
+    ids_bf16 = run_greedy(sched16, prompt)
+    # fp8 KV loses precision; early tokens should still agree
+    agree = sum(a == b for a, b in zip(ids_fp8, ids_bf16))
+    assert agree >= 8, (ids_fp8, ids_bf16)
+
+
+def test_fp8_kv_pool_is_half_size():
+    sa8 = tiny_server_args(kv_cache_dtype="fp8_e4m3", max_total_tokens=None)
+    r8 = tiny_runner(sa8)
+    sa16 = tiny_server_args(max_total_tokens=None)
+    r16 = tiny_runner(sa16)
+    assert r8.kv_pool.layers[0].dtype.itemsize == 1
+    assert r8.max_total_tokens >= r16.max_total_tokens * 1.9
