@@ -271,6 +271,89 @@ class Engine:
             for pages in all_pages:
                 sched.allocator.free(pages)
 
+    # --------------------------------------------------------------- score
+
+    def score(self, prompt: str, choices: List[str]) -> List[float]:
+        """Average per-token logprob of each continuation given `prompt`
+        (reference `/v1/score` + the DSL `select` scoring,
+        `lang/choices.py`)."""
+        p_ids = self.tokenizer.encode(prompt)
+        scores = []
+        for c in choices:
+            full = self.tokenizer.encode(prompt + c)
+            k = 0
+            while k < min(len(p_ids), len(full)) and p_ids[k] == full[k]:
+                k += 1
+            k = max(k, 1)  # at least one context token
+            if k >= len(full):
+                scores.append(float("-inf"))
+                continue
+            logits = self._score_forward(full)  # [T, V] f32
+            x = logits[:-1]
+            x = x - x.max(axis=-1, keepdims=True)
+            lse = np.log(np.exp(x).sum(axis=-1))
+            tgt = np.asarray(full[1:])
+            tok_lp = x[np.arange(len(tgt)), tgt] - lse
+            cont = tok_lp[k - 1 :]
+            scores.append(float(cont.mean()))
+        return scores
+
+    def _score_forward(self, ids: List[int]) -> np.ndarray:
+        sched = self.scheduler
+        ps = sched.page_size
+        n_pages = -(-len(ids) // ps)
+        pages = sched.allocator.alloc(n_pages)
+        if pages is None:
+            raise RuntimeError("KV pool exhausted during score")
+        try:
+            pt = np.zeros((1, self.runner.max_pages_per_req), dtype=np.int32)
+            pt[0, :n_pages] = pages
+            out_loc = np.asarray(
+                [pages[i // ps] * ps + i % ps for i in range(len(ids))],
+                dtype=np.int32,
+            )
+            return self.runner.forward_extend_logits(
+                np.asarray(ids, dtype=np.int32),
+                np.arange(len(ids), dtype=np.int32),
+                out_loc,
+                pt,
+                np.asarray([len(ids)], dtype=np.int32),
+                np.asarray([len(ids)], dtype=np.int32),
+            )
+        finally:
+            sched.allocator.free(pages)
+
+    # ------------------------------------------------------ weight lifecycle
+
+    def _require_idle(self, what: str) -> None:
+        """Resolve any trailing in-flight chunk (its rows are finished
+        requests' wasted compute); real live work raises."""
+        s = self.scheduler
+        if s.waiting_queue or s.running_batch.reqs or s.chunked_req:
+            raise RuntimeError(f"cannot {what} while requests are live")
+        while s._inflight is not None:
+            s.step()
+
+    def update_weights_from_disk(self, model_path: str) -> bool:
+        self._require_idle("update weights")
+        self.runner.update_weights_from_disk(model_path)
+        return True
+
+    def update_weights_from_tensor(self, named_tensors) -> int:
+        self._require_idle("update weights")
+        return self.runner.update_weights_from_tensor(named_tensors)
+
+    def release_memory_occupation(self) -> bool:
+        self._require_idle("release memory")
+        self.scheduler.flush_cache()
+        self.runner.release_memory_occupation()
+        return True
+
+    def resume_memory_occupation(self) -> bool:
+        self.runner.resume_memory_occupation()
+        self.scheduler.runner.kv_layers = self.runner.kv_layers
+        return True
+
     # ---------------------------------------------------------------- lora
 
     def load_lora_adapter(self, lora_name: str, lora_path: str) -> int:

@@ -505,6 +505,49 @@ def build_app(state: ServerState) -> web.Application:
         )
         return web.json_response({"success": ok})
 
+    async def update_weights_from_disk(request):
+        body = await request.json()
+        try:
+            await state.tm.run_on_scheduler(
+                lambda: state.engine.update_weights_from_disk(body["model_path"])
+            )
+            return web.json_response({"success": True})
+        except Exception as e:
+            return web.json_response(
+                {"success": False, "error": str(e)}, status=400
+            )
+
+    async def release_memory(request):
+        try:
+            await state.tm.run_on_scheduler(
+                state.engine.release_memory_occupation
+            )
+            return web.json_response({"success": True})
+        except Exception as e:
+            return web.json_response(
+                {"success": False, "error": str(e)}, status=409
+            )
+
+    async def resume_memory(request):
+        await state.tm.run_on_scheduler(state.engine.resume_memory_occupation)
+        return web.json_response({"success": True})
+
+    async def v1_score(request):
+        body = await request.json()
+        prompt = body.get("prompt", body.get("query", ""))
+        choices = body.get("choices", body.get("items", []))
+        try:
+            scores = await state.tm.run_on_scheduler(
+                lambda: state.engine.score(prompt, choices)
+            )
+            return web.json_response({"scores": scores})
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    r.add_post("/v1/score", v1_score)
+    r.add_post("/update_weights_from_disk", update_weights_from_disk)
+    r.add_post("/release_memory_occupation", release_memory)
+    r.add_post("/resume_memory_occupation", resume_memory)
     r.add_post("/load_lora_adapter", load_lora)
     r.add_post("/unload_lora_adapter", unload_lora)
     r.add_get("/health", health)

@@ -203,6 +203,97 @@ class ModelRunner:
     def max_total_tokens(self) -> int:
         return self.kv_pool.capacity_tokens
 
+    # ------------------------------------------------------- weight lifecycle
+
+    def update_weights_from_disk(self, model_path: str) -> None:
+        """Reload weights from a new checkpoint of the SAME architecture
+        (reference `model_runner.py:1750 update_weights_from_disk` — the RL
+        weight-sync path). The params pytree keeps its treedef, so every
+        compiled step stays valid."""
+        from sglang_tpu.model_loader.loader import load_safetensors_weights
+
+        mc = self.model_config
+        old_path = mc.model_path
+        mc.model_path = model_path
+        try:
+            new_params = load_safetensors_weights(self.model, mc, self.mesh)
+        except Exception:
+            mc.model_path = old_path
+            raise
+        self.params = new_params
+        logger.info("weights updated from %s", model_path)
+
+    def update_weights_from_tensor(self, named_tensors) -> int:
+        """In-place update from (hf_name -> numpy) pairs (reference
+        `update_weights_from_tensor:2070`). Fused targets require all their
+        source tensors in one call."""
+        from sglang_tpu.model_loader.loader import _device_put_leafdict, _execute_rule
+        from sglang_tpu.model_loader.weight_mapping import get_in_tree, set_in_tree
+
+        class _MemIndex:
+            def __init__(self, d):
+                self.d = {k: np.asarray(v) for k, v in d.items()}
+
+            def has(self, name):
+                return name in self.d
+
+            def get(self, name):
+                return self.d[name]
+
+        index = _MemIndex(dict(named_tensors))
+        specs = self.model.param_specs()
+        shardings = self.model.param_shardings()
+        n = 0
+        for rule in self.model.weight_rules():
+            if not all(index.has(s) for s in rule.sources):
+                continue
+            value = _execute_rule(self.model, rule, index)
+            if value is None:
+                continue
+            spec = get_in_tree(shardings, rule.target)
+            sds = get_in_tree(specs, rule.target)
+            set_in_tree(
+                self.params,
+                rule.target,
+                _device_put_leafdict(value, spec, sds, self.mesh),
+            )
+            n += 1
+        logger.info("updated %d weight groups from tensors", n)
+        return n
+
+    def release_memory_occupation(self) -> None:
+        """Free params + KV HBM for a co-located trainer (reference
+        `/release_memory_occupation`, torch_memory_saver role)."""
+        self._released_capacity = self.kv_pool.capacity_tokens
+        self.params = None
+        self.kv_pool = None
+        self.kv_layers = None
+        self._penalty_counts = None
+        import gc
+
+        gc.collect()
+        logger.info("released model + KV memory")
+
+    def resume_memory_occupation(self) -> None:
+        """Re-load weights and re-create the KV pool after release."""
+        from sglang_tpu.model_loader.loader import load_model_weights
+
+        self.params = load_model_weights(
+            self.model,
+            self.model_config,
+            self.mesh,
+            load_format=self.server_args.load_format,
+            seed=self.server_args.random_seed,
+        )
+        # keep the pool geometry identical so scheduler page state stays valid
+        prev = self.server_args.max_total_tokens
+        self.server_args.max_total_tokens = self._released_capacity
+        try:
+            self._init_kv_pool()
+        finally:
+            self.server_args.max_total_tokens = prev
+        logger.info("resumed model + KV memory")
+
     # ---------------------------------------------------------------- jit
 
     def ensure_lora_manager(self):
