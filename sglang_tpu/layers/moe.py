@@ -46,17 +46,47 @@ def topk_routing(
     router_logits: jax.Array,  # [T, E] f32
     top_k: int,
     norm_topk_prob: bool,
-    renormalize_softmax: bool = True,
+    scoring_func: str = "softmax",
+    correction_bias: Optional[jax.Array] = None,  # [E] (DeepSeek-V3 noaux_tc)
+    routed_scaling_factor: float = 1.0,
+    n_group: int = 1,
+    topk_group: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (weights [T, k] f32, ids [T, k] i32). Reference
-    `layers/moe/topk.py:305` softmax-topk path."""
-    probs = jax.nn.softmax(router_logits, axis=-1)
-    weights, ids = jax.lax.top_k(probs, top_k)
+    `layers/moe/topk.py:305`: softmax/sigmoid scoring, optional
+    e_score_correction_bias used for SELECTION only (weights keep the raw
+    scores), routed scaling."""
+    if scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(router_logits)
+    else:
+        scores = jax.nn.softmax(router_logits, axis=-1)
+    select = scores if correction_bias is None else scores + correction_bias
+    if n_group > 1 and topk_group < n_group:
+        # group-limited routing (reference group_limited_greedy / noaux_tc):
+        # rank expert groups, mask experts outside the top groups
+        t, e = select.shape
+        grouped = select.reshape(t, n_group, e // n_group)
+        if correction_bias is not None:  # noaux_tc: sum of top-2 per group
+            top2 = jax.lax.top_k(grouped, min(2, e // n_group))[0]
+            group_scores = jnp.sum(top2, axis=-1)
+        else:  # greedy variant: group max
+            group_scores = jnp.max(grouped, axis=-1)
+        _, gidx = jax.lax.top_k(group_scores, topk_group)
+        gmask = jnp.zeros((t, n_group), bool).at[
+            jnp.arange(t)[:, None], gidx
+        ].set(True)
+        emask = jnp.repeat(gmask, e // n_group, axis=1)
+        select = jnp.where(emask, select, -jnp.inf)
+    _, ids = jax.lax.top_k(select, top_k)
+    ids = ids.astype(jnp.int32)
+    weights = jnp.take_along_axis(scores, ids, axis=-1)
     if norm_topk_prob:
         weights = weights / jnp.maximum(
             jnp.sum(weights, axis=-1, keepdims=True), 1e-9
         )
-    return weights, ids.astype(jnp.int32)
+    if routed_scaling_factor != 1.0:
+        weights = weights * routed_scaling_factor
+    return weights, ids
 
 
 def fused_moe(
@@ -66,11 +96,25 @@ def fused_moe(
     w2: jax.Array,  # [E, M, H]
     top_k: int,
     norm_topk_prob: bool = True,
+    scoring_func: str = "softmax",
+    correction_bias: Optional[jax.Array] = None,
+    routed_scaling_factor: float = 1.0,
+    n_group: int = 1,
+    topk_group: int = 1,
 ) -> jax.Array:
     t, h = x.shape
     e = router.shape[1]
     logits = jnp.dot(x.astype(jnp.float32), router, preferred_element_type=jnp.float32)
-    weights, ids = topk_routing(logits, top_k, norm_topk_prob)
+    weights, ids = topk_routing(
+        logits,
+        top_k,
+        norm_topk_prob,
+        scoring_func=scoring_func,
+        correction_bias=correction_bias,
+        routed_scaling_factor=routed_scaling_factor,
+        n_group=n_group,
+        topk_group=topk_group,
+    )
 
     flat_expert = ids.reshape(-1)  # [T*k]
     # stable sort by expert id -> contiguous per-expert runs

@@ -122,3 +122,23 @@ def apply_rope(
     if rot == x.shape[-1]:
         return rotated
     return jnp.concatenate([rotated, x[..., rot:]], axis=-1)
+
+
+def apply_rope_interleaved(
+    x: jax.Array,  # [T, H, D]
+    positions: jax.Array,  # [T]
+    inv_freq: jax.Array,  # [D/2]
+) -> jax.Array:
+    """Interleaved (complex-pair) RoPE: pairs (x[2i], x[2i+1]) rotate by
+    pos * inv_freq[i] — the DeepSeek-V2/V3 convention (HF
+    `apply_rotary_emb` via view_as_complex), vs llama's rotate-half."""
+    t, h, d = x.shape
+    ang = positions[:, None].astype(jnp.float32) * inv_freq[None, :]  # [T, D/2]
+    cos = jnp.cos(ang)[:, None, :]
+    sin = jnp.sin(ang)[:, None, :]
+    xr = x.astype(jnp.float32).reshape(t, h, d // 2, 2)
+    even, odd = xr[..., 0], xr[..., 1]
+    out = jnp.stack(
+        [even * cos - odd * sin, even * sin + odd * cos], axis=-1
+    )
+    return out.reshape(t, h, d).astype(x.dtype)

@@ -158,6 +158,10 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
         if not index.has(rule.sources[0]):
             return None
         return np.asarray(index.get(rule.sources[0])).T
+    if kind == "linear_raw":
+        # unquantized [out,in] linears: transpose, concat along out
+        ws = [np.asarray(index.get(n), dtype=np.float32).T for n in rule.sources]
+        return ws[0] if len(ws) == 1 else np.concatenate(ws, axis=1)
     if kind == "router":
         return np.asarray(index.get(rule.sources[0]), dtype=np.float32).T
     if kind == "moe_w1":

@@ -33,6 +33,7 @@ KINDS = (
     "router",
     "moe_w1",
     "moe_w2",
+    "linear_raw",
 )
 
 

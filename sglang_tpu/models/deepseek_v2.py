@@ -1,0 +1,336 @@
+"""DeepSeek-V2 / V3 (MLA + fine-grained MoE).
+
+Parity with reference `python/sglang/srt/models/deepseek_v2.py` (the MLA
+flagship, 2.6k LoC). Round-1 design: the **decompressed MHA form** of MLA —
+`kv_b_proj` expands the latent per token at prefill/decode time and the
+paged pool caches full per-head K (nope‖rope, v padded to qk_head_dim), so
+the unified ragged attention kernel serves it unchanged. The compressed
+latent cache + absorbed-weight attention (reference `MLATokenToKVPool`,
+`memory_pool.py:1618`) is the round-2 memory optimization.
+
+Covers: optional q LoRA (q_a/q_b), kv_a + kv_a_layernorm + kv_b, interleaved
+RoPE on the decoupled rope dims, dense first_k_dense_replace layers, MoE
+with softmax/sigmoid scoring, greedy / noaux_tc (e_score_correction_bias)
+top-k, routed scaling, and ungated shared experts.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.layers.activation import silu_and_mul
+from sglang_tpu.layers.moe import fused_moe, moe_shapes, moe_specs
+from sglang_tpu.layers.norms import rms_norm
+from sglang_tpu.layers.rotary import apply_rope_interleaved, compute_inv_freq
+from sglang_tpu.model_loader.weight_mapping import WeightRule
+from sglang_tpu.models.llama import LlamaForCausalLM, _linear_sharding
+
+
+class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    architectures = ["DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM"]
+
+    def __init__(self, config: ModelConfig):
+        hf = config.hf_config
+        self.qk_nope = hf["qk_nope_head_dim"]
+        self.qk_rope = hf["qk_rope_head_dim"]
+        self.qk_head_dim = self.qk_nope + self.qk_rope
+        self.v_head_dim = hf["v_head_dim"]
+        self.kv_lora = hf["kv_lora_rank"]
+        self.q_lora = hf.get("q_lora_rank")
+        # pool geometry: MHA-decompressed K/V at qk_head_dim (v padded)
+        config.head_dim = self.qk_head_dim
+        config.num_key_value_heads = config.num_attention_heads
+        super().__init__(config)
+        self.sm_scale = self.qk_head_dim**-0.5
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(self.qk_rope, config.rope_theta, config.rope_scaling)
+        )
+        # MoE structure
+        self.first_dense = hf.get("first_k_dense_replace", 0)
+        self.n_routed = hf.get("n_routed_experts", 0) or 0
+        self.top_k = hf.get("num_experts_per_tok", 0) or 0
+        self.moe_inter = hf.get("moe_intermediate_size", 0) or 0
+        self.n_shared = hf.get("n_shared_experts", 0) or 0
+        self.norm_topk_prob = hf.get("norm_topk_prob", False)
+        self.scoring_func = hf.get("scoring_func", "softmax")
+        self.topk_method = hf.get("topk_method", "greedy")
+        self.routed_scaling = hf.get("routed_scaling_factor", 1.0)
+        self.n_group = hf.get("n_group", 1) or 1
+        self.topk_group = hf.get("topk_group", 1) or 1
+
+    def _is_moe(self, i: int) -> bool:
+        return self.n_routed > 0 and i >= self.first_dense
+
+    # --------------------------------------------------------------- specs
+
+    def _layer_specs_for(self, i: int) -> Tuple[dict, dict]:
+        c = self.config
+        dt = c.dtype
+        h = self.hidden_size
+        nh = self.num_q_heads
+        shapes = {
+            "input_norm": jax.ShapeDtypeStruct((h,), dt),
+            "post_norm": jax.ShapeDtypeStruct((h,), dt),
+            "kv_a": jax.ShapeDtypeStruct((h, self.kv_lora + self.qk_rope), dt),
+            "kv_a_norm": jax.ShapeDtypeStruct((self.kv_lora,), dt),
+            "kv_b": jax.ShapeDtypeStruct(
+                (self.kv_lora, nh * (self.qk_nope + self.v_head_dim)), dt
+            ),
+            "o": jax.ShapeDtypeStruct((nh * self.v_head_dim, h), dt),
+        }
+        specs = {
+            "input_norm": P(None),
+            "post_norm": P(None),
+            "kv_a": P(None, None),
+            "kv_a_norm": P(None),
+            "kv_b": P(None, "model"),
+            "o": P("model", None),
+        }
+        if self.q_lora is None:
+            shapes["q"] = jax.ShapeDtypeStruct((h, nh * self.qk_head_dim), dt)
+            specs["q"] = P(None, "model")
+        else:
+            shapes["q_a"] = jax.ShapeDtypeStruct((h, self.q_lora), dt)
+            shapes["q_a_norm"] = jax.ShapeDtypeStruct((self.q_lora,), dt)
+            shapes["q_b"] = jax.ShapeDtypeStruct(
+                (self.q_lora, nh * self.qk_head_dim), dt
+            )
+            specs["q_a"] = P(None, None)
+            specs["q_a_norm"] = P(None)
+            specs["q_b"] = P(None, "model")
+        if self._is_moe(i):
+            shapes.update(
+                moe_shapes(h, self.moe_inter, self.n_routed, dt)
+            )
+            specs.update(moe_specs())
+            if self.topk_method == "noaux_tc":
+                shapes["e_score_bias"] = jax.ShapeDtypeStruct(
+                    (self.n_routed,), jnp.float32
+                )
+                specs["e_score_bias"] = P(None)
+            if self.n_shared:
+                si = self.moe_inter * self.n_shared
+                shapes["shared_gate_up"] = jax.ShapeDtypeStruct((h, 2 * si), dt)
+                shapes["shared_down"] = jax.ShapeDtypeStruct((si, h), dt)
+                specs["shared_gate_up"] = P(None, "model")
+                specs["shared_down"] = P("model", None)
+        else:
+            inter = c.intermediate_size
+            shapes["gate_up"] = jax.ShapeDtypeStruct((h, 2 * inter), dt)
+            shapes["down"] = jax.ShapeDtypeStruct((inter, h), dt)
+            specs["gate_up"] = P(None, "model")
+            specs["down"] = P("model", None)
+        return shapes, specs
+
+    def param_specs(self) -> dict:
+        c = self.config
+        tree = {
+            "embed": jax.ShapeDtypeStruct((c.vocab_size, c.hidden_size), c.dtype),
+            "layers": [
+                self._layer_specs_for(i)[0] for i in range(self.num_layers)
+            ],
+            "final_norm": jax.ShapeDtypeStruct((c.hidden_size,), c.dtype),
+        }
+        if not c.tie_word_embeddings:
+            tree["lm_head"] = jax.ShapeDtypeStruct(
+                (c.hidden_size, c.vocab_size), c.dtype
+            )
+        return tree
+
+    def param_shardings(self) -> dict:
+        tree = {
+            "embed": P(None, "model"),
+            "layers": [
+                self._layer_specs_for(i)[1] for i in range(self.num_layers)
+            ],
+            "final_norm": P(None),
+        }
+        if not self.config.tie_word_embeddings:
+            tree["lm_head"] = P(None, "model")
+        return tree
+
+    # ------------------------------------------------------------- loading
+
+    def weight_rules(self) -> List[WeightRule]:
+        pre = self.hf_prefix
+        rules = [
+            WeightRule(("embed",), [f"{pre}.embed_tokens.weight"], kind="embed"),
+            WeightRule(("final_norm",), [f"{pre}.norm.weight"], kind="norm"),
+        ]
+        if not self.config.tie_word_embeddings:
+            rules.append(WeightRule(("lm_head",), ["lm_head.weight"], kind="lm_head"))
+        for i in range(self.num_layers):
+            lp = f"{pre}.layers.{i}"
+            L = ("layers", i)
+            rules += [
+                WeightRule(L + ("input_norm",), [f"{lp}.input_layernorm.weight"], kind="norm"),
+                WeightRule(L + ("post_norm",), [f"{lp}.post_attention_layernorm.weight"], kind="norm"),
+                WeightRule(L + ("kv_a",), [f"{lp}.self_attn.kv_a_proj_with_mqa.weight"], kind="linear_raw"),
+                WeightRule(L + ("kv_a_norm",), [f"{lp}.self_attn.kv_a_layernorm.weight"], kind="norm"),
+                WeightRule(L + ("kv_b",), [f"{lp}.self_attn.kv_b_proj.weight"], kind="linear_raw"),
+                WeightRule(L + ("o",), [f"{lp}.self_attn.o_proj.weight"], kind="linear_raw"),
+            ]
+            if self.q_lora is None:
+                rules.append(
+                    WeightRule(L + ("q",), [f"{lp}.self_attn.q_proj.weight"], kind="linear_raw")
+                )
+            else:
+                rules += [
+                    WeightRule(L + ("q_a",), [f"{lp}.self_attn.q_a_proj.weight"], kind="linear_raw"),
+                    WeightRule(L + ("q_a_norm",), [f"{lp}.self_attn.q_a_layernorm.weight"], kind="norm"),
+                    WeightRule(L + ("q_b",), [f"{lp}.self_attn.q_b_proj.weight"], kind="linear_raw"),
+                ]
+            if self._is_moe(i):
+                e = self.n_routed
+                rules += [
+                    WeightRule(L + ("router",), [f"{lp}.mlp.gate.weight"], kind="router"),
+                    WeightRule(
+                        L + ("w1",),
+                        [
+                            f"{lp}.mlp.experts.{j}.{n}.weight"
+                            for j in range(e)
+                            for n in ("gate_proj", "up_proj")
+                        ],
+                        kind="moe_w1",
+                    ),
+                    WeightRule(
+                        L + ("w2",),
+                        [f"{lp}.mlp.experts.{j}.down_proj.weight" for j in range(e)],
+                        kind="moe_w2",
+                    ),
+                ]
+                if self.topk_method == "noaux_tc":
+                    rules.append(
+                        WeightRule(
+                            L + ("e_score_bias",),
+                            [f"{lp}.mlp.gate.e_score_correction_bias"],
+                            kind="raw",
+                        )
+                    )
+                if self.n_shared:
+                    rules += [
+                        WeightRule(
+                            L + ("shared_gate_up",),
+                            [
+                                f"{lp}.mlp.shared_experts.gate_proj.weight",
+                                f"{lp}.mlp.shared_experts.up_proj.weight",
+                            ],
+                            kind="linear_raw",
+                        ),
+                        WeightRule(
+                            L + ("shared_down",),
+                            [f"{lp}.mlp.shared_experts.down_proj.weight"],
+                            kind="linear_raw",
+                        ),
+                    ]
+            else:
+                rules += [
+                    WeightRule(
+                        L + ("gate_up",),
+                        [f"{lp}.mlp.gate_proj.weight", f"{lp}.mlp.up_proj.weight"],
+                        kind="linear_raw",
+                    ),
+                    WeightRule(L + ("down",), [f"{lp}.mlp.down_proj.weight"], kind="linear_raw"),
+                ]
+        return rules
+
+    # ------------------------------------------------------------- forward
+
+    def forward(self, params, kv_layers, fb, attn_backend):
+        c = self.config
+        t = fb.input_ids.shape[0]
+        nh = self.num_q_heads
+        h = params["embed"][fb.input_ids]
+        new_kv = []
+        for i in range(self.num_layers):
+            lp = params["layers"][i]
+            normed = rms_norm(h, lp["input_norm"], c.rms_norm_eps)
+            # ---- MLA attention (decompressed form) ----
+            if self.q_lora is None:
+                q = jnp.dot(normed, lp["q"], preferred_element_type=jnp.float32)
+            else:
+                qa = rms_norm(
+                    jnp.dot(normed, lp["q_a"], preferred_element_type=jnp.float32).astype(normed.dtype),
+                    lp["q_a_norm"],
+                    c.rms_norm_eps,
+                )
+                q = jnp.dot(qa, lp["q_b"], preferred_element_type=jnp.float32)
+            q = q.astype(normed.dtype).reshape(t, nh, self.qk_head_dim)
+            q_nope = q[..., : self.qk_nope]
+            q_pe = apply_rope_interleaved(
+                q[..., self.qk_nope :], fb.positions, self.inv_freq
+            )
+            kv_a = jnp.dot(
+                normed, lp["kv_a"], preferred_element_type=jnp.float32
+            ).astype(normed.dtype)
+            c_kv = rms_norm(kv_a[:, : self.kv_lora], lp["kv_a_norm"], c.rms_norm_eps)
+            k_pe = apply_rope_interleaved(
+                kv_a[:, self.kv_lora :].reshape(t, 1, self.qk_rope),
+                fb.positions,
+                self.inv_freq,
+            )
+            kv = jnp.dot(
+                c_kv, lp["kv_b"], preferred_element_type=jnp.float32
+            ).astype(normed.dtype).reshape(t, nh, self.qk_nope + self.v_head_dim)
+            k_nope = kv[..., : self.qk_nope]
+            v = kv[..., self.qk_nope :]
+            k = jnp.concatenate(
+                [k_nope, jnp.broadcast_to(k_pe, (t, nh, self.qk_rope))], axis=-1
+            )
+            q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+            # pad v to qk_head_dim for the shared K/V pool layout
+            v_pad = jnp.pad(
+                v, ((0, 0), (0, 0), (0, self.qk_head_dim - self.v_head_dim))
+            )
+            attn_out, kv_i = attn_backend(
+                q_full, k, v_pad, kv_layers[i], fb, self.sm_scale
+            )
+            new_kv.append(kv_i)
+            attn_out = attn_out[..., : self.v_head_dim].reshape(
+                t, nh * self.v_head_dim
+            )
+            o = jnp.dot(
+                attn_out, lp["o"], preferred_element_type=jnp.float32
+            ).astype(normed.dtype)
+            h = h + o
+            # ---- MLP / MoE ----
+            normed = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
+            if self._is_moe(i):
+                out = fused_moe(
+                    normed,
+                    lp["router"],
+                    lp["w1"],
+                    lp["w2"],
+                    top_k=self.top_k,
+                    norm_topk_prob=self.norm_topk_prob,
+                    scoring_func=self.scoring_func,
+                    correction_bias=lp.get("e_score_bias"),
+                    routed_scaling_factor=self.routed_scaling,
+                    n_group=self.n_group,
+                    topk_group=self.topk_group,
+                )
+                if self.n_shared:
+                    gu = jnp.dot(
+                        normed, lp["shared_gate_up"],
+                        preferred_element_type=jnp.float32,
+                    ).astype(normed.dtype)
+                    out = out + jnp.dot(
+                        silu_and_mul(gu), lp["shared_down"],
+                        preferred_element_type=jnp.float32,
+                    ).astype(normed.dtype)
+                h = h + out
+            else:
+                gu = jnp.dot(
+                    normed, lp["gate_up"], preferred_element_type=jnp.float32
+                ).astype(normed.dtype)
+                h = h + jnp.dot(
+                    silu_and_mul(gu), lp["down"],
+                    preferred_element_type=jnp.float32,
+                ).astype(normed.dtype)
+        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        return h, new_kv

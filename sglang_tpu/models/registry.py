@@ -46,6 +46,9 @@ def _populate():
         register_model(Gemma2ForCausalLM)
     except ImportError:
         pass
+    from sglang_tpu.models.deepseek_v2 import DeepseekV2ForCausalLM
+
+    register_model(DeepseekV2ForCausalLM)
 
 
 def get_model_class(config: ModelConfig) -> type:
