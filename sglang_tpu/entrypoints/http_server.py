@@ -544,6 +544,30 @@ def build_app(state: ServerState) -> web.Application:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=400)
 
+    async def start_profile(request):
+        """jax.profiler trace capture (reference `/start_profile` ->
+        torch.profiler; xplane traces viewable in TensorBoard/XProf)."""
+        body = await request.json() if request.can_read_body else {}
+        outdir = body.get("output_dir", "/tmp/sglang_tpu_profile")
+        try:
+            import jax
+
+            jax.profiler.start_trace(outdir)
+            return web.json_response({"success": True, "output_dir": outdir})
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    async def stop_profile(request):
+        try:
+            import jax
+
+            jax.profiler.stop_trace()
+            return web.json_response({"success": True})
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    r.add_post("/start_profile", start_profile)
+    r.add_post("/stop_profile", stop_profile)
     r.add_post("/v1/score", v1_score)
     r.add_post("/update_weights_from_disk", update_weights_from_disk)
     r.add_post("/release_memory_occupation", release_memory)

@@ -45,6 +45,13 @@ class TokenizerManager:
         )
         self._last_heartbeat = time.monotonic()
         self._thread.start()
+        # soft watchdog (reference `utils/watchdog.py` + SubprocessWatchdog):
+        # if the pump thread stops making progress while work is pending,
+        # fail all waiters so clients see an error instead of a hang
+        self._watchdog = threading.Thread(
+            target=self._watchdog_loop, name="scheduler-watchdog", daemon=True
+        )
+        self._watchdog.start()
 
     # --------------------------------------------------------------- pump
 
@@ -69,6 +76,24 @@ class TokenizerManager:
                     self._handle_inbox_item(item)
                 except queue_mod.Empty:
                     pass
+
+    def _watchdog_loop(self):
+        timeout = self.server_args.watchdog_timeout
+        while not self._stop.is_set():
+            time.sleep(min(timeout / 4, 15.0))
+            if not self.scheduler.has_work():
+                continue
+            stalled = time.monotonic() - self._last_heartbeat
+            if stalled > timeout:
+                logger.critical(
+                    "scheduler stalled for %.0fs (watchdog_timeout=%.0fs); "
+                    "failing %d in-flight requests",
+                    stalled,
+                    timeout,
+                    len(self._subscribers),
+                )
+                self._fail_all("scheduler watchdog timeout")
+                self._last_heartbeat = time.monotonic()
 
     def _drain_inbox(self) -> bool:
         moved = False
