@@ -26,7 +26,10 @@ class PallasAttentionBackend(AttentionBackend):
         # the reference's "CPU suite runs the whole engine" seam).
         self.interpret = interpret
 
-    def _attend(self, q, pages, fb: ForwardBatch, qblk, sm_scale, window, logit_cap):
+    def _attend(
+        self, q, pages, fb: ForwardBatch, qblk, sm_scale, window, logit_cap,
+        sinks=None,
+    ):
         t = q.shape[0]
         q_pad = jnp.pad(q, ((0, qblk), (0, 0), (0, 0)))
         out = ragged_paged_attention(
@@ -42,22 +45,27 @@ class PallasAttentionBackend(AttentionBackend):
             logit_cap=float(logit_cap),
             window=int(window),
             interpret=self.interpret,
+            sinks=sinks,
         )
         return out[:t]
 
     def forward_decode(
-        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
+        logit_cap=0.0, sinks=None,
     ):
         return self._attend(
-            q, pages, fb, DECODE_QBLK, sm_scale, sliding_window, logit_cap
+            q, pages, fb, DECODE_QBLK, sm_scale, sliding_window, logit_cap,
+            sinks=sinks,
         )
 
     def forward_extend(
-        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
+        logit_cap=0.0, sinks=None,
     ):
         from sglang_tpu.model_executor.forward_batch_info import ForwardMode
 
         qblk = DECODE_QBLK if fb.mode == ForwardMode.TARGET_VERIFY else EXTEND_QBLK
         return self._attend(
-            q, pages, fb, qblk, sm_scale, sliding_window, logit_cap
+            q, pages, fb, qblk, sm_scale, sliding_window, logit_cap,
+            sinks=sinks,
         )

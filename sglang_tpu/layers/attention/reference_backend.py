@@ -29,8 +29,10 @@ def _gather_kv(pages: jax.Array, page_table: jax.Array):
     return k, v
 
 
-def _masked_attention(qg, k, v, mask, sm_scale, logit_cap):
-    """qg [.., kvh, qpk, d]; k/v [.., K, kvh, d]; mask broadcastable to logits."""
+def _masked_attention(qg, k, v, mask, sm_scale, logit_cap, sinks=None):
+    """qg [.., kvh, qpk, d]; k/v [.., K, kvh, d]; mask broadcastable to
+    logits. `sinks` [kvh, qpk]: per-q-head softmax slot joining the
+    denominator only (gpt-oss)."""
     logits = (
         jnp.einsum(
             "...hgd,...khd->...hgk",
@@ -42,13 +44,24 @@ def _masked_attention(qg, k, v, mask, sm_scale, logit_cap):
     if logit_cap > 0:
         logits = logit_cap * jnp.tanh(logits / logit_cap)
     logits = jnp.where(mask, logits, _NEG)
-    probs = jax.nn.softmax(logits, axis=-1)
+    if sinks is not None:
+        m = jnp.maximum(
+            jnp.max(logits, axis=-1, keepdims=True), sinks[..., None]
+        )
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(
+            sinks[..., None] - m
+        )
+        probs = p / denom
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("...hgk,...khd->...hgd", probs, v.astype(jnp.float32))
 
 
 class ReferenceAttentionBackend(AttentionBackend):
     def forward_decode(
-        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
+        logit_cap=0.0, sinks=None,
     ):
         b, qh, d = q.shape
         kvh = pages.shape[2] // 2
@@ -61,12 +74,14 @@ class ReferenceAttentionBackend(AttentionBackend):
             mask &= kv_idx >= (fb.seq_lens[:, None] - sliding_window)
         qg = q.reshape(b, kvh, qpk, d)
         out = _masked_attention(
-            qg, k, v, mask[:, None, None, :], sm_scale, logit_cap
+            qg, k, v, mask[:, None, None, :], sm_scale, logit_cap,
+            sinks=None if sinks is None else sinks.reshape(kvh, qpk),
         )
         return out.reshape(b, qh, d).astype(q.dtype)
 
     def forward_extend(
-        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1, logit_cap=0.0
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
+        logit_cap=0.0, sinks=None,
     ):
         t, qh, d = q.shape
         kvh = pages.shape[2] // 2
@@ -82,6 +97,7 @@ class ReferenceAttentionBackend(AttentionBackend):
             mask &= kv_idx > (fb.positions[:, None] - sliding_window)
         qg = q.reshape(t, kvh, qpk, d)
         out = _masked_attention(
-            qg, k, v, mask[:, None, None, :], sm_scale, logit_cap
+            qg, k, v, mask[:, None, None, :], sm_scale, logit_cap,
+            sinks=None if sinks is None else sinks.reshape(kvh, qpk),
         )
         return out.reshape(t, qh, d).astype(q.dtype)

@@ -74,25 +74,37 @@ def compute_inv_freq(
 
 
 def _yarn_inv_freq(inv_freq: np.ndarray, rotary_dim: int, cfg: dict) -> np.ndarray:
+    """Exact HF `_compute_yarn_parameters` frequency blend (correction-dim
+    linear ramp between interpolation and extrapolation)."""
     factor = cfg["factor"]
     orig_max = cfg.get("original_max_position_embeddings", 4096)
-    beta_fast = cfg.get("beta_fast", 32.0)
-    beta_slow = cfg.get("beta_slow", 1.0)
+    beta_fast = cfg.get("beta_fast") or 32
+    beta_slow = cfg.get("beta_slow") or 1
+    truncate = cfg.get("truncate", True)
+    base = (1.0 / inv_freq[1]) ** (rotary_dim / 2.0) if len(inv_freq) > 1 else 1e4
+    # recover base exactly: inv_freq[i] = base**(-2i/dim)
+    if len(inv_freq) > 1:
+        base = float((inv_freq[0] / inv_freq[1]) ** (rotary_dim / 2.0))
 
-    def find_dim(num_rot):
+    def find_correction_dim(num_rotations):
         return (
             rotary_dim
-            * math.log(orig_max / (num_rot * 2 * math.pi))
-            / (2 * math.log(1.0 / inv_freq[-1] ** (1.0 / (rotary_dim // 2 - 1))))
-        )
+            * math.log(orig_max / (num_rotations * 2 * math.pi))
+        ) / (2 * math.log(base))
 
-    # ramp between correction dims
+    low = find_correction_dim(beta_fast)
+    high = find_correction_dim(beta_slow)
+    if truncate:
+        low = math.floor(low)
+        high = math.ceil(high)
+    low = max(low, 0)
+    high = min(high, rotary_dim - 1)
+    if low == high:
+        high += 0.001
     dims = np.arange(rotary_dim // 2, dtype=np.float64)
-    wavelen = 2 * math.pi / inv_freq
-    ratio = orig_max / wavelen
-    low, high = beta_slow, beta_fast
-    ramp = np.clip((ratio - low) / (high - low), 0.0, 1.0)
-    return inv_freq * ramp + (inv_freq / factor) * (1 - ramp)
+    ramp = np.clip((dims - low) / (high - low), 0.0, 1.0)
+    extrapolation_factor = 1.0 - ramp
+    return inv_freq / factor * (1 - extrapolation_factor) + inv_freq * extrapolation_factor
 
 
 def yarn_get_mscale(scale: float = 1.0, mscale: float = 1.0) -> float:
@@ -101,19 +113,40 @@ def yarn_get_mscale(scale: float = 1.0, mscale: float = 1.0) -> float:
     return 0.1 * mscale * math.log(scale) + 1.0
 
 
+def rope_attention_scaling(rope_scaling: Optional[dict]) -> float:
+    """Post-rope cos/sin scale (yarn attention_factor; 1.0 otherwise)."""
+    if not rope_scaling:
+        return 1.0
+    rtype = rope_scaling.get("rope_type") or rope_scaling.get("type")
+    if rtype != "yarn":
+        return 1.0
+    af = rope_scaling.get("attention_factor")
+    if af is not None:
+        return float(af)
+    factor = rope_scaling["factor"]
+    mscale = rope_scaling.get("mscale")
+    mscale_all_dim = rope_scaling.get("mscale_all_dim")
+    if mscale and mscale_all_dim:
+        return float(
+            yarn_get_mscale(factor, mscale) / yarn_get_mscale(factor, mscale_all_dim)
+        )
+    return float(yarn_get_mscale(factor))
+
+
 def apply_rope(
-    x: jax.Array, positions: jax.Array, inv_freq: jax.Array
+    x: jax.Array, positions: jax.Array, inv_freq: jax.Array, mscale: float = 1.0
 ) -> jax.Array:
     """Apply rotary embedding.
 
     x: [T, num_heads, head_dim]; positions: [T] int32;
     inv_freq: [rot_dim // 2] fp32. Returns same shape/dtype as x.
     Partial rotary (rot_dim < head_dim) leaves the tail untouched.
+    `mscale` is the yarn attention_factor applied to cos/sin.
     """
     rot = inv_freq.shape[0] * 2
     angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]  # [T, rot/2]
-    cos = jnp.cos(angles)[:, None, :]  # [T, 1, rot/2]
-    sin = jnp.sin(angles)[:, None, :]
+    cos = jnp.cos(angles)[:, None, :] * mscale  # [T, 1, rot/2]
+    sin = jnp.sin(angles)[:, None, :] * mscale
     xf = x[..., :rot].astype(jnp.float32)
     x1, x2 = jnp.split(xf, 2, axis=-1)
     out1 = x1 * cos - x2 * sin

@@ -147,9 +147,9 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
         method = model.get_method(rule.method_key)
         return method.quantize(w)
     if kind == "linear_bias":
+        # target path points AT the "b" entry inside the linear's dict
         bs = [np.asarray(index.get(s), dtype=np.float32) for s in rule.sources]
-        b = bs[0] if len(bs) == 1 else np.concatenate(bs, axis=0)
-        return {"b": b}
+        return bs[0] if len(bs) == 1 else np.concatenate(bs, axis=0)
     if kind == "embed" or kind == "norm" or kind == "raw":
         if not index.has(rule.sources[0]):
             return None

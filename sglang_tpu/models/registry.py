@@ -49,6 +49,9 @@ def _populate():
     from sglang_tpu.models.deepseek_v2 import DeepseekV2ForCausalLM
 
     register_model(DeepseekV2ForCausalLM)
+    from sglang_tpu.models.gpt_oss import GptOssForCausalLM
+
+    register_model(GptOssForCausalLM)
 
 
 def get_model_class(config: ModelConfig) -> type:

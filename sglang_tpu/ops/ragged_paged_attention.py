@@ -47,6 +47,7 @@ def _rpa_kernel(
     # inputs (HBM)
     q_hbm,
     pages_hbm,
+    sinks_vmem,  # [1, qh] f32 VMEM, or None (no attention sinks)
     # output (HBM)
     out_hbm,
     # scratch
@@ -169,7 +170,14 @@ def _rpa_kernel(
         jax.lax.fori_loop(kv_lo_blk, n_kv, body, None)
 
         for h in range(kvh):
-            l = jnp.maximum(l_scr[h], 1e-10)  # [1, qg]
+            l = l_scr[h]
+            if sinks_vmem is not None:
+                # attention sink (gpt-oss): one extra softmax slot per q
+                # head that contributes to the denominator only
+                sink = sinks_vmem[:, h * g : (h + 1) * g]  # [1, g]
+                sink_row = jnp.tile(sink, (1, qblk))  # col rq -> sink[rq % g]
+                l = l + jnp.exp(sink_row - m_scr[h])
+            l = jnp.maximum(l, 1e-10)  # [1, qg]
             out_t = acc_scr[h] / l  # [d, qg]
             o_v[:, h * g : (h + 1) * g, :] = (
                 out_t.T.reshape(qblk, g, d).astype(o_v.dtype)
@@ -205,6 +213,7 @@ def ragged_paged_attention(
     logit_cap: float = 0.0,
     window: int = -1,
     interpret: bool = False,
+    sinks: jax.Array = None,  # [qh] f32 per-q-head attention sinks
 ) -> jax.Array:
     tp, qh, d = q.shape
     num_pages, ps, two_kvh, _ = pages.shape
@@ -218,13 +227,17 @@ def ragged_paged_attention(
     kvblk = pblk * ps
     qg = qblk * g
 
+    has_sinks = sinks is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((qblk, qh, d), q.dtype),  # q_v
@@ -238,8 +251,21 @@ def ragged_paged_attention(
             pltpu.SemaphoreType.DMA(()),  # out
         ],
     )
+    if not has_sinks:
+        base_kernel = _rpa_kernel
+
+        def _kernel_no_sinks(*refs, **kw):
+            # splice sinks_vmem=None into the positional ref list
+            scalars = refs[:5]
+            q_ref, pages_ref = refs[5], refs[6]
+            rest = refs[7:]
+            return base_kernel(*scalars, q_ref, pages_ref, None, *rest, **kw)
+
+        kernel_fn = _kernel_no_sinks
+    else:
+        kernel_fn = _rpa_kernel
     kernel = functools.partial(
-        _rpa_kernel,
+        kernel_fn,
         qblk=qblk,
         ps=ps,
         pblk=pblk,
@@ -262,4 +288,13 @@ def ragged_paged_attention(
             flops=flops, bytes_accessed=int(pages.nbytes), transcendentals=0
         ),
         interpret=interpret,
-    )(blk_seq, blk_qoff, blk_nrows, blk_pos0, page_table, q, pages)
+    )(
+        blk_seq,
+        blk_qoff,
+        blk_nrows,
+        blk_pos0,
+        page_table,
+        q,
+        pages,
+        *([sinks.reshape(1, qh).astype(jnp.float32)] if has_sinks else []),
+    )

@@ -151,3 +151,43 @@ def test_logit_cap():
     o_ref = ref.forward_decode(q, pages, fb, 0.25, logit_cap=30.0)
     o_pal = pal.forward_decode(q, pages, fb, 0.25, logit_cap=30.0)
     np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref), atol=2e-5, rtol=2e-5)
+
+
+def test_attention_sinks():
+    """gpt-oss sinks: extra per-head softmax slot in the denominator."""
+    seq_lens = [20, 35]
+    q, pages, meta = _setup(seq_lens, [1, 1], qh=4, kvh=2)
+    import jax.numpy as jnp
+
+    sinks = jnp.asarray(np.linspace(-1.0, 2.0, 4), jnp.float32)
+    ref = ReferenceAttentionBackend()
+    pal = PallasAttentionBackend(interpret=True)
+    fb = make_decode_batch(
+        np.zeros(2, np.int32), meta["positions"], np.zeros(2, np.int32),
+        meta["page_table"], meta["seq_lens"],
+    )
+    o_ref = np.asarray(ref.forward_decode(q, pages, fb, 0.25, sinks=sinks))
+    o_pal = np.asarray(pal.forward_decode(q, pages, fb, 0.25, sinks=sinks))
+    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    # sinks must change the output vs no-sinks
+    o_none = np.asarray(ref.forward_decode(q, pages, fb, 0.25))
+    assert np.abs(o_none - o_ref).max() > 1e-4
+
+
+def test_attention_sinks_extend():
+    seq_lens = [40, 25]
+    q_lens = [40, 10]
+    q, pages, meta = _setup(seq_lens, q_lens, qh=4, kvh=2)
+    import jax.numpy as jnp
+
+    sinks = jnp.asarray([0.5, -0.5, 1.0, 0.0], jnp.float32)
+    ref = ReferenceAttentionBackend()
+    pal = PallasAttentionBackend(interpret=True)
+    t = q.shape[0]
+    fb = make_extend_batch(
+        np.zeros(t, np.int32), meta["positions"], np.zeros(t, np.int32),
+        meta["page_table"], meta["seq_lens"], meta["cu"],
+    )
+    o_ref = np.asarray(ref.forward_extend(q, pages, fb, 0.25, sinks=sinks))
+    o_pal = np.asarray(pal.forward_extend(q, pages, fb, 0.25, sinks=sinks))
+    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
