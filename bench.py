@@ -82,6 +82,11 @@ def _warm_all_buckets(sched, runner, mc):
         _, _, last = runner.forward_decode_multi(ids, base, pt, meta, k)
         # chained variant (device-resident first ids)
         runner.forward_decode_multi(last, base, pt, meta, k)
+        # single-step fallback (runs after retraction under page pressure)
+        runner.forward_decode(
+            ids, base - 1, np.zeros(bs, dtype=np.int32), pt, base,
+            meta.to_sinfo(),
+        )
         print(
             f"# warm decode bs={bs}: {_time.perf_counter() - t0:.0f}s",
             file=_sys.stderr,

@@ -69,6 +69,16 @@ class ModelRunner:
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
             except Exception:
                 pass
+        if server_args.nnodes > 1 and mesh is None:
+            # multi-host: one process per host joins the jax cluster; the
+            # mesh then spans all hosts' chips and TP collectives ride
+            # ICI/DCN (reference torch.distributed bootstrap,
+            # `parallel_state.py:1613` — here jax.distributed owns it)
+            jax.distributed.initialize(
+                coordinator_address=server_args.dist_init_addr,
+                num_processes=server_args.nnodes,
+                process_id=server_args.node_rank,
+            )
         self.mesh = mesh if mesh is not None else create_mesh(
             tp_size=server_args.tp_size, dp_size=1
         )
