@@ -234,6 +234,135 @@ def build_app(state: ServerState) -> web.Application:
             return web.json_response(result, status=400)
         return web.json_response(result)
 
+    # --------------------------------------------- Anthropic / Ollama compat
+
+    async def v1_messages(request):
+        """Anthropic Messages API compat (reference `/v1/messages`)."""
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        body = await request.json()
+        msgs = []
+        if body.get("system"):
+            sys_c = body["system"]
+            if isinstance(sys_c, list):
+                sys_c = "".join(
+                    p.get("text", "") for p in sys_c if p.get("type") == "text"
+                )
+            msgs.append({"role": "system", "content": sys_c})
+        for m in body.get("messages", []):
+            content = m.get("content")
+            if isinstance(content, list):
+                content = "".join(
+                    p.get("text", "") for p in content if p.get("type") == "text"
+                )
+            msgs.append({"role": m["role"], "content": content})
+        try:
+            prompt = state.tokenizer.apply_chat_template(
+                msgs, tokenize=False, add_generation_prompt=True
+            )
+        except Exception as e:
+            return web.json_response(
+                {"type": "error", "error": {"type": "invalid_request_error",
+                                            "message": str(e)}},
+                status=400,
+            )
+        sp = {
+            "max_new_tokens": body.get("max_tokens", 128),
+            "temperature": body.get("temperature", 1.0),
+            "top_p": body.get("top_p", 1.0),
+            "top_k": body.get("top_k", -1),
+            "stop": body.get("stop_sequences"),
+        }
+        treq = state.tm.tokenize(
+            GenerateReqInput(text=prompt, sampling_params=sp)
+        )
+        out = await _collect_raw(state, treq)
+        stop_reason = {
+            "length": "max_tokens",
+            "stop": "stop_sequence" if (body.get("stop_sequences")) else "end_turn",
+            "abort": "end_turn",
+        }.get(out.finish_reason.kind if out.finish_reason else "stop", "end_turn")
+        import uuid as _uuid
+
+        return web.json_response(
+            {
+                "id": f"msg_{_uuid.uuid4().hex[:24]}",
+                "type": "message",
+                "role": "assistant",
+                "model": body.get("model", state.server_args.served_model_name),
+                "content": [{"type": "text", "text": out.output_str}],
+                "stop_reason": stop_reason,
+                "stop_sequence": None,
+                "usage": {
+                    "input_tokens": out.prompt_tokens,
+                    "output_tokens": out.completion_tokens,
+                },
+            }
+        )
+
+    async def ollama_generate(request):
+        """Ollama /api/generate compat (reference Ollama routes)."""
+        body = await request.json()
+        sp = {
+            "max_new_tokens": (body.get("options") or {}).get("num_predict", 128),
+            "temperature": (body.get("options") or {}).get("temperature", 1.0),
+        }
+        treq = state.tm.tokenize(
+            GenerateReqInput(text=body.get("prompt", ""), sampling_params=sp)
+        )
+        out = await _collect_raw(state, treq)
+        return web.json_response(
+            {
+                "model": body.get("model", state.server_args.served_model_name),
+                "response": out.output_str,
+                "done": True,
+                "done_reason": "stop",
+                "prompt_eval_count": out.prompt_tokens,
+                "eval_count": out.completion_tokens,
+            }
+        )
+
+    async def ollama_chat(request):
+        body = await request.json()
+        msgs = body.get("messages", [])
+        try:
+            prompt = state.tokenizer.apply_chat_template(
+                msgs, tokenize=False, add_generation_prompt=True
+            )
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+        sp = {
+            "max_new_tokens": (body.get("options") or {}).get("num_predict", 128),
+            "temperature": (body.get("options") or {}).get("temperature", 1.0),
+        }
+        treq = state.tm.tokenize(
+            GenerateReqInput(text=prompt, sampling_params=sp)
+        )
+        out = await _collect_raw(state, treq)
+        return web.json_response(
+            {
+                "model": body.get("model", state.server_args.served_model_name),
+                "message": {"role": "assistant", "content": out.output_str},
+                "done": True,
+                "done_reason": "stop",
+                "prompt_eval_count": out.prompt_tokens,
+                "eval_count": out.completion_tokens,
+            }
+        )
+
+    async def ollama_tags(request):
+        return web.json_response(
+            {
+                "models": [
+                    {
+                        "name": state.server_args.served_model_name,
+                        "model": state.server_args.served_model_name,
+                        "details": {"family": "sglang_tpu"},
+                    }
+                ]
+            }
+        )
+
     # ------------------------------------------------------------ OpenAI
 
     async def v1_models(request):
@@ -586,6 +715,10 @@ def build_app(state: ServerState) -> web.Application:
     r.add_post("/flush_cache", flush_cache)
     r.add_post("/abort_request", abort_request)
     r.add_post("/generate", generate)
+    r.add_post("/v1/messages", v1_messages)
+    r.add_post("/api/generate", ollama_generate)
+    r.add_post("/api/chat", ollama_chat)
+    r.add_get("/api/tags", ollama_tags)
     r.add_get("/v1/models", v1_models)
     r.add_post("/v1/completions", v1_completions)
     r.add_post("/v1/chat/completions", v1_chat_completions)

@@ -263,3 +263,40 @@ def test_models_health_info_metrics(server):
     urllib.request.urlopen(server + "/health_generate", timeout=60)
     metrics = urllib.request.urlopen(server + "/metrics").read().decode()
     assert "sglang_tpu_decode_tokens_total" in metrics
+
+
+def test_anthropic_messages(server):
+    out = _post(
+        server,
+        "/v1/messages",
+        {
+            "model": "m",
+            "max_tokens": 4,
+            "temperature": 0.0,
+            "messages": [{"role": "user", "content": "w1 w2"}],
+        },
+    )
+    assert out["type"] == "message"
+    assert out["role"] == "assistant"
+    assert out["content"][0]["type"] == "text"
+    assert out["usage"]["output_tokens"] == 4
+    assert out["stop_reason"] == "max_tokens"
+
+
+def test_ollama_compat(server):
+    out = _post(
+        server,
+        "/api/generate",
+        {"model": "m", "prompt": "w1 w2 w3", "options": {"num_predict": 3, "temperature": 0}},
+    )
+    assert out["done"] and out["eval_count"] == 3
+    chat = _post(
+        server,
+        "/api/chat",
+        {"model": "m", "messages": [{"role": "user", "content": "w4"}],
+         "options": {"num_predict": 3, "temperature": 0}},
+    )
+    assert chat["message"]["role"] == "assistant"
+    import urllib.request, json as _json
+    tags = _json.loads(urllib.request.urlopen(server + "/api/tags").read())
+    assert tags["models"]
