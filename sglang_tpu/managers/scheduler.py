@@ -91,6 +91,7 @@ class Scheduler:
         self.grammar_backend = create_grammar_backend(server_args, tokenizer)
 
         self.spec = None
+        self.draft_worker = None
         if server_args.speculative_algorithm == "NGRAM":
             from sglang_tpu.speculative.ngram_worker import NgramProposer
 
@@ -99,6 +100,15 @@ class Scheduler:
                 max_match=server_args.speculative_ngram_max_match,
                 num_draft_tokens=min(server_args.speculative_num_draft_tokens, 7),
             )
+        elif server_args.speculative_algorithm == "STANDALONE":
+            from sglang_tpu.speculative.standalone_worker import (
+                StandaloneDraftWorker,
+            )
+
+            self.draft_worker = StandaloneDraftWorker(
+                server_args, self.runner.model_config
+            )
+            self.spec = self.draft_worker  # enables the spec decode round
 
         self.waiting_queue: List[Req] = []
         self.running_batch = ScheduleBatch(
@@ -428,15 +438,18 @@ class Scheduler:
         batch = self.running_batch
         ps = self.page_size
         reqs = batch.reqs
+        if self.draft_worker is not None:
+            raw = self.draft_worker.propose_batch(reqs)
+        else:
+            raw = [self.spec.propose(r.fill_ids) for r in reqs]
         drafts: List[List[int]] = []
-        for r in reqs:
+        for r, d in zip(reqs, raw):
             k_cap = min(
                 self.spec.num_draft,
                 self.max_context_len - r.seqlen - 1,
                 r.sampling_params.max_new_tokens - len(r.output_ids) - 1,
             )
-            d = self.spec.propose(r.fill_ids)[: max(0, k_cap)] if k_cap > 0 else []
-            drafts.append(d)
+            drafts.append(d[: max(0, k_cap)] if k_cap > 0 else [])
         # page allocation for 1 + k tokens per req (draft dropped on pressure)
         for r, d in zip(reqs, drafts):
             while True:
@@ -743,6 +756,8 @@ class Scheduler:
             r.last_node = None
         self.allocator.free(r.pages)
         r.pages = []
+        if self.draft_worker is not None:
+            self.draft_worker.drop(r.rid)
         if r.slot is not None:
             self._slot_pool.append(r.slot)
             r.slot = None
