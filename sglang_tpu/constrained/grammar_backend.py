@@ -76,16 +76,15 @@ class GrammarBackend:
             fsm = self._cache.get(key)
         if fsm is None:
             if kind == "regex":
-                regex = spec
+                dfa = compile_regex(spec)
             elif kind == "json_schema":
-                regex = schema_to_regex(spec)
+                dfa = compile_regex(schema_to_regex(spec))
             elif kind == "ebnf":
-                raise ValueError(
-                    "EBNF grammars are not supported by the native backend yet"
-                )
+                from sglang_tpu.constrained.ebnf import compile_ebnf
+
+                dfa = compile_ebnf(spec)
             else:
                 raise ValueError(f"unknown grammar kind {kind}")
-            dfa = compile_regex(regex)
             fsm = TokenFSM(dfa, self.tokenizer)
             logger.info(
                 "compiled %s grammar: %d DFA states", kind, dfa.num_states

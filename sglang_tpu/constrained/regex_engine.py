@@ -345,9 +345,19 @@ class DFA:
 
 
 def compile_regex(pattern: str) -> DFA:
-    ast = _Parser(pattern).parse()
+    return compile_ast(_Parser(pattern).parse())
+
+
+def compile_ast(ast, max_nfa_states: int = 200_000) -> DFA:
+    """Compile a regex AST (the node tuples produced by `_Parser` — also
+    emitted by the EBNF front-end in `ebnf.py`) down to a DFA."""
     nfa = NFA()
     start, accept = _build_nfa(ast, nfa)
+    if len(nfa.transitions) > max_nfa_states:
+        raise ValueError(
+            f"grammar too large ({len(nfa.transitions)} NFA states); "
+            "simplify it or lower the recursion depth"
+        )
 
     def eclose(states: FrozenSet[int]) -> FrozenSet[int]:
         stack = list(states)

@@ -190,3 +190,90 @@ def test_json_constrained_generation(word_engine):
     text = tok.decode(out["output_ids"], skip_special_tokens=True).replace(" ", "")
     parsed = json.loads(text)
     assert isinstance(parsed["age"], int)
+
+
+# ------------------------------------------------------------------- EBNF
+
+
+def _ebnf_accepts(dfa, s):
+    st = dfa.step_string(0, s)
+    return st >= 0 and dfa.accepting[st]
+
+
+def test_ebnf_basic():
+    from sglang_tpu.constrained.ebnf import compile_ebnf
+
+    dfa = compile_ebnf(
+        """
+        # yes/no with optional emphasis
+        root ::= answer "!"*
+        answer ::= "yes" | "no"
+        """
+    )
+    for good in ["yes", "no", "yes!!", "no!"]:
+        assert _ebnf_accepts(dfa, good), good
+    for bad in ["maybe", "yesno", "!", ""]:
+        assert not _ebnf_accepts(dfa, bad), bad
+
+
+def test_ebnf_classes_quantifiers_refs():
+    from sglang_tpu.constrained.ebnf import compile_ebnf
+
+    dfa = compile_ebnf(
+        r"""
+        root  ::= word (" " word){0,2}
+        word  ::= [a-z] [a-z0-9\-]*
+        """
+    )
+    for good in ["a", "hello world", "x1 y-2 z"]:
+        assert _ebnf_accepts(dfa, good), good
+    for bad in ["1a", "a  b", "a b c d", "A"]:
+        assert not _ebnf_accepts(dfa, bad), bad
+
+
+def test_ebnf_recursive_bounded():
+    """Recursive rules expand to the depth bound: balanced parens nest up
+    to the bound, never beyond (conservative approximation)."""
+    from sglang_tpu.constrained.ebnf import compile_ebnf
+
+    dfa = compile_ebnf('root ::= "x" | "(" root ")"', max_depth=6)
+    assert _ebnf_accepts(dfa, "x")
+    assert _ebnf_accepts(dfa, "(((x)))")
+    assert not _ebnf_accepts(dfa, "((x")
+    assert not _ebnf_accepts(dfa, "(" * 50 + "x" + ")" * 50)  # beyond bound
+
+
+def test_ebnf_escapes_and_multidef():
+    from sglang_tpu.constrained.ebnf import compile_ebnf
+
+    dfa = compile_ebnf(
+        'root ::= "a\\"b"\nroot ::= "tab\\there"\n'
+    )
+    assert _ebnf_accepts(dfa, 'a"b')
+    assert _ebnf_accepts(dfa, "tab\there")
+    assert not _ebnf_accepts(dfa, "ab")
+
+
+def test_ebnf_errors():
+    from sglang_tpu.constrained.ebnf import compile_ebnf
+
+    with pytest.raises(ValueError, match="root"):
+        compile_ebnf('start ::= "x"')
+    with pytest.raises(ValueError, match="undefined"):
+        compile_ebnf("root ::= missing")
+    with pytest.raises(ValueError, match="matches nothing"):
+        compile_ebnf('root ::= "(" root ")"')  # no base case
+
+
+def test_ebnf_constrained_generation(word_engine):
+    out = word_engine.generate(
+        input_ids=[5, 6, 7],
+        sampling_params={
+            "max_new_tokens": 16,
+            "temperature": 0.8,
+            "ebnf": 'root ::= color ("," color)*\ncolor ::= "red" | "green"',
+        },
+    )
+    tok = word_engine.tokenizer
+    text = tok.decode(out["output_ids"], skip_special_tokens=True).replace(" ", "")
+    assert pyre.fullmatch(r"(red|green)(,(red|green))*", text), text
