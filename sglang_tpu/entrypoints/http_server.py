@@ -156,6 +156,14 @@ def build_app(state: ServerState) -> web.Application:
             "# TYPE sglang_tpu_cache_hit_rate gauge",
             f"sglang_tpu_cache_hit_rate {s.cache_hit_rate():.6f}",
         ]
+        hc = state.scheduler.hicache
+        if hc is not None:
+            lines += [
+                "# TYPE sglang_tpu_hicache_tokens_total counter",
+                f"sglang_tpu_hicache_tokens_total {s.num_hicache_tokens}",
+                "# TYPE sglang_tpu_hicache_host_pages gauge",
+                f"sglang_tpu_hicache_host_pages {hc.host.num_pages}",
+            ]
         return web.Response(text="\n".join(lines) + "\n")
 
     async def flush_cache(request):

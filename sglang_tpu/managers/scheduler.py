@@ -58,6 +58,7 @@ class SchedulerStats:
         self.num_retractions = 0
         self.num_prefill_steps = 0
         self.num_decode_steps = 0
+        self.num_hicache_tokens = 0  # tokens reloaded from the host tier
 
     def cache_hit_rate(self) -> float:
         total = self.num_prefill_tokens + self.num_cached_tokens
@@ -85,6 +86,23 @@ class Scheduler:
             disable=server_args.disable_radix_cache,
         )
         self.allocator.evict_callback = self.radix_cache.evict
+        self.hicache = None
+        if (
+            server_args.enable_hierarchical_cache
+            and not server_args.disable_radix_cache
+        ):
+            from sglang_tpu.mem_cache.hicache import HiCacheController
+
+            cap = (
+                int(server_args.hicache_size * (1 << 30))
+                if server_args.hicache_size > 0
+                else 2
+                * self.runner.kv_pool.bytes_per_page()
+                * self.runner.num_pages
+            )
+            self.hicache = HiCacheController(
+                self.runner, self.radix_cache, self.allocator, cap
+            )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix_cache)
         from sglang_tpu.constrained import create_grammar_backend
 
@@ -240,6 +258,15 @@ class Scheduler:
         running = len(self.running_batch.reqs)
         if self.chunked_req is None and running >= self.max_running_requests:
             return None
+
+        if self.hicache is not None:
+            # pull host-tier prefix hits into the device tree first so the
+            # adder sees them as ordinary radix hits
+            headroom = self.page_size * (running + 1)
+            for r in self.waiting_queue[:8]:
+                loaded = self.hicache.prefetch(r.fill_ids, headroom)
+                if loaded:
+                    self.stats.num_hicache_tokens += loaded
 
         adder = PrefillAdder(
             self.allocator,
@@ -751,6 +778,10 @@ class Scheduler:
                 self.radix_cache.insert(
                     r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
                 )
+                if self.hicache is not None:
+                    self.hicache.write_through(
+                        r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
+                    )
         if r.last_node is not None:
             self.radix_cache.unlock(r.last_node)
             r.last_node = None

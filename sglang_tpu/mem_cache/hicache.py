@@ -1,0 +1,195 @@
+"""HiCache: hierarchical KV cache with a host-memory tier.
+
+Parity with reference `srt/mem_cache/hiradix_cache.py` (HiRadixCache) +
+`srt/managers/cache_controller.py` (HiCacheController): KV pages evicted
+from the device radix cache survive in host RAM and are reloaded on a
+later prefix hit instead of being recomputed.
+
+TPU-native shape of the design: host<->HBM traffic is the expensive
+resource (every transfer is a full host round-trip on a TPU host, and on
+a tunneled device it is ~tens of ms), so pages move in ONE batched
+gather/scatter per event covering all layers at once
+(`ModelRunner.gather_kv_pages` / `scatter_kv_pages`), never per-layer or
+per-page. The host index is not a second radix tree but a page-hash
+chain (key of page i = intern(key of page i-1, tokens of page i)) — the
+same prefix semantics with O(1) lookups and no tree surgery, and it
+composes with BOTH radix implementations (Python and native C++) purely
+through their public match/insert API:
+
+- write path (write_through): when a finished request publishes its
+  aligned prefix to the device tree, pages the host tier lacks are
+  copied down in one transfer.
+- read path: before admission, each waiting request is matched against
+  the device tree, then the host chain beyond that point; host hits are
+  copied up into freshly allocated device pages which are inserted into
+  the device radix tree, so the normal PrefillAdder admission path sees
+  them as ordinary device cache hits (zero changes to admission
+  geometry or accounting).
+
+The store is LRU at page granularity. A page whose chain predecessor
+was evicted becomes unreachable and ages out the same way.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class HostKVCache:
+    """Host-RAM page store indexed by token-prefix page chains."""
+
+    def __init__(self, page_size: int, bytes_per_page: int, capacity_bytes: int):
+        self.page_size = page_size
+        self.bytes_per_page = max(1, bytes_per_page)
+        self.capacity_pages = max(1, capacity_bytes // self.bytes_per_page)
+        # (parent_chain_id, page_tokens) -> chain id; chain id 0 is the root
+        self._intern: Dict[Tuple[int, Tuple[int, ...]], int] = {}
+        self._store: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self.pages_written = 0
+        self.pages_loaded = 0
+        self.pages_evicted = 0
+
+    # ------------------------------------------------------------- chains
+
+    def _chain_ids(self, ids: List[int], n_pages: int, create: bool) -> List[int]:
+        """Chain ids for the first `n_pages` pages of `ids`; without
+        `create`, stops at the first page never interned."""
+        ps = self.page_size
+        out: List[int] = []
+        cur = 0
+        for p in range(n_pages):
+            key = (cur, tuple(ids[p * ps : (p + 1) * ps]))
+            nxt = self._intern.get(key)
+            if nxt is None:
+                if not create:
+                    break
+                nxt = len(self._intern) + 1
+                self._intern[key] = nxt
+            out.append(nxt)
+            cur = nxt
+        return out
+
+    # -------------------------------------------------------------- reads
+
+    def match(self, ids: List[int]) -> int:
+        """Number of contiguous leading pages of `ids` present in the host
+        store (page-aligned; partial trailing page ignored)."""
+        n_pages = len(ids) // self.page_size
+        chain = self._chain_ids(ids, n_pages, create=False)
+        hit = 0
+        for cid in chain:
+            if cid not in self._store:
+                break
+            hit += 1
+        return hit
+
+    def load(self, ids: List[int], start_page: int, n: int) -> Optional[np.ndarray]:
+        """Stacked [n, ...page] host data for pages [start_page,
+        start_page+n) of `ids`, or None if any is missing."""
+        chain = self._chain_ids(ids, start_page + n, create=False)
+        if len(chain) < start_page + n:
+            return None
+        out = []
+        for cid in chain[start_page:]:
+            page = self._store.get(cid)
+            if page is None:
+                return None
+            self._store.move_to_end(cid)  # LRU refresh
+            out.append(page)
+        self.pages_loaded += n
+        return np.stack(out, axis=0)
+
+    # ------------------------------------------------------------- writes
+
+    def insert(self, ids: List[int], start_page: int, data: np.ndarray) -> int:
+        """Store pages [start_page, start_page + len(data)) of `ids`.
+        Returns the number of pages newly stored."""
+        n = len(data)
+        chain = self._chain_ids(ids, start_page + n, create=True)
+        stored = 0
+        for i, cid in enumerate(chain[start_page:]):
+            if cid in self._store:
+                self._store.move_to_end(cid)
+                continue
+            self._store[cid] = np.ascontiguousarray(data[i])
+            stored += 1
+        self.pages_written += stored
+        while len(self._store) > self.capacity_pages:
+            self._store.popitem(last=False)
+            self.pages_evicted += 1
+        return stored
+
+    @property
+    def num_pages(self) -> int:
+        return len(self._store)
+
+
+class HiCacheController:
+    """Scheduler-side glue between the device radix tree and HostKVCache
+    (reference HiCacheController roles: write-through on publish, prefetch
+    -and-insert before admission)."""
+
+    def __init__(self, runner, radix_cache, allocator, capacity_bytes: int):
+        self.runner = runner
+        self.radix_cache = radix_cache
+        self.allocator = allocator
+        self.page_size = runner.page_size
+        bytes_per_page = runner.kv_pool.bytes_per_page()
+        self.host = HostKVCache(self.page_size, bytes_per_page, capacity_bytes)
+        logger.info(
+            "hicache: host tier %.2f GiB = %d pages",
+            capacity_bytes / (1 << 30),
+            self.host.capacity_pages,
+        )
+
+    def write_through(self, ids: List[int], pages: List[int]) -> None:
+        """Copy the device pages backing the aligned prefix `ids` down to
+        the host tier (pages the host already has are skipped)."""
+        n_pages = len(ids) // self.page_size
+        if n_pages == 0:
+            return
+        hit = self.host.match(ids)
+        if hit >= n_pages:
+            return
+        data = self.runner.gather_kv_pages(pages[hit:n_pages])
+        self.host.insert(ids, hit, data)
+
+    def prefetch(self, ids: List[int], decode_headroom_tokens: int) -> int:
+        """Load host-tier pages beyond the device-tree match into fresh
+        device pages and publish them to the device radix tree. Returns
+        tokens loaded. Never evicts device cache to make room (host reload
+        must not thrash the hotter device tier)."""
+        ps = self.page_size
+        # the last token must stay uncached so prefill produces logits
+        aligned = ((len(ids) - 1) // ps) * ps
+        if aligned <= 0:
+            return 0
+        m = self.radix_cache.match_prefix(ids[:aligned])
+        dev_pages = m.length // ps
+        host_pages = self.host.match(ids[:aligned]) - dev_pages
+        if host_pages <= 0:
+            return 0
+        need_tokens = host_pages * ps
+        if self.allocator.available_tokens() < need_tokens + decode_headroom_tokens:
+            return 0
+        data = self.host.load(ids, dev_pages, host_pages)
+        if data is None:
+            return 0
+        new_pages = self.allocator.alloc(host_pages)
+        if new_pages is None:
+            return 0
+        self.runner.scatter_kv_pages(new_pages, data)
+        total = m.length + need_tokens
+        self.radix_cache.insert(
+            ids[:total], list(m.pages[:dev_pages]) + new_pages
+        )
+        # the tree took its own ref; release ours
+        self.allocator.free(new_pages)
+        return need_tokens

@@ -45,7 +45,13 @@ from sglang_tpu.models.registry import get_model_class
 from sglang_tpu.parallel.mesh import create_mesh, get_device_kind
 from sglang_tpu.sampling.sampling_batch_info import SamplingBatchInfo
 from sglang_tpu.server_args import ServerArgs
-from sglang_tpu.utils import cdiv, get_logger, pad_to_bucket, round_up
+from sglang_tpu.utils import (
+    cdiv,
+    get_logger,
+    next_power_of_2,
+    pad_to_bucket,
+    round_up,
+)
 
 logger = get_logger(__name__)
 
@@ -846,6 +852,50 @@ class ModelRunner:
         logits, new_kv = self._jit_cache["logits_all"](self.params, self.kv_layers, fb)
         self.kv_layers = new_kv
         return np.asarray(logits)[:t]
+
+    # -------------------------------------------------- KV page host I/O
+
+    def gather_kv_pages(self, pages) -> np.ndarray:
+        """Copy KV pages device->host as one [n, L, page, 2*kvh, hd] array
+        (HiCache write path). One jitted gather + one transfer; page count
+        padded to a power of two so compiles are bucketed."""
+        n = len(pages)
+        nb = max(1, next_power_of_2(n))
+        key = ("kv_gather", nb)
+        if key not in self._jit_cache:
+
+            def _gather(kv_layers, idx):
+                return jnp.stack([l[idx] for l in kv_layers], axis=1)
+
+            self._jit_cache[key] = jax.jit(_gather)
+        idx = np.zeros(nb, dtype=np.int32)
+        idx[:n] = pages
+        out = self._jit_cache[key](self.kv_layers, jnp.asarray(idx))
+        return np.asarray(jax.device_get(out))[:n]
+
+    def scatter_kv_pages(self, pages, data: np.ndarray) -> None:
+        """Write host KV pages ([n, L, page, 2*kvh, hd]) into the device
+        pool (HiCache load path). Donates the pool so XLA updates in place;
+        padding rows target page 0 (the garbage page) harmlessly."""
+        n = len(pages)
+        nb = max(1, next_power_of_2(n))
+        key = ("kv_scatter", nb)
+        if key not in self._jit_cache:
+
+            def _scatter(kv_layers, idx, vals):
+                return [
+                    l.at[idx].set(vals[:, i]) for i, l in enumerate(kv_layers)
+                ]
+
+            self._jit_cache[key] = jax.jit(_scatter, donate_argnums=(0,))
+        idx = np.zeros(nb, dtype=np.int32)
+        idx[:n] = pages
+        if nb != n:
+            pad = np.zeros((nb - n,) + data.shape[1:], dtype=data.dtype)
+            data = np.concatenate([data, pad], axis=0)
+        self.kv_layers = self._jit_cache[key](
+            self.kv_layers, jnp.asarray(idx), jnp.asarray(data)
+        )
 
     def _run(self, fb: ForwardBatch, logits_indices, sinfo: SamplingBatchInfo):
         rng = jax.random.fold_in(self.rng_key, self._step_counter)

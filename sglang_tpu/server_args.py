@@ -55,6 +55,12 @@ class ServerArgs:
     max_num_reqs: Optional[int] = None
 
     # --- Scheduling ---
+    # HiCache: host-RAM second tier behind the device radix cache
+    enable_hierarchical_cache: bool = False
+    hicache_size: float = 0.0  # GiB; 0 = 2x the device KV pool
+    hicache_write_policy: str = "write_through"
+
+    # --- Scheduling ---
     schedule_policy: str = "lpm"
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
@@ -134,6 +140,10 @@ class ServerArgs:
             raise ValueError(f"bad kv_cache_dtype {self.kv_cache_dtype}")
         if self.schedule_policy not in SCHEDULE_POLICIES:
             raise ValueError(f"bad schedule_policy {self.schedule_policy}")
+        if self.hicache_write_policy != "write_through":
+            raise ValueError(
+                "only hicache_write_policy=write_through is implemented"
+            )
         if self.page_size % 8 != 0:
             raise ValueError("page_size must be a multiple of 8 (TPU sublanes)")
         if self.decode_bs_buckets is None:

@@ -1,0 +1,128 @@
+"""HiCache host-tier tests (reference `hiradix_cache.py` +
+`cache_controller.py` behavior): pages evicted from the device radix tree
+survive in host RAM and are reloaded on a later prefix hit instead of
+being recomputed — with identical outputs."""
+
+import uuid
+
+import numpy as np
+import pytest
+
+from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+from sglang_tpu.managers.scheduler import Scheduler
+from sglang_tpu.mem_cache.hicache import HostKVCache
+from sglang_tpu.sampling.sampling_params import SamplingParams
+from tests.test_utils import tiny_runner, tiny_server_args
+
+# ------------------------------------------------------------- host store
+
+
+def _page(v, shape=(2, 4, 2, 3)):
+    return np.full(shape, v, dtype=np.float32)
+
+
+def test_host_store_chain_semantics():
+    hc = HostKVCache(page_size=4, bytes_per_page=_page(0).nbytes, capacity_bytes=1 << 30)
+    ids = list(range(12))  # 3 pages
+    hc.insert(ids, 0, np.stack([_page(0), _page(1), _page(2)]))
+    assert hc.match(ids) == 3
+    assert hc.match(ids[:8]) == 2
+    # same first page, different second page: chain diverges after page 1
+    other = ids[:4] + [99] * 8
+    assert hc.match(other) == 1
+    got = hc.load(ids, 1, 2)
+    assert got.shape[0] == 2 and got[0, 0, 0, 0, 0] == 1 and got[1, 0, 0, 0, 0] == 2
+    # partial trailing page never matches
+    assert hc.match(ids[:7]) == 1
+
+
+def test_host_store_lru_eviction():
+    hc = HostKVCache(page_size=4, bytes_per_page=_page(0).nbytes,
+                     capacity_bytes=3 * _page(0).nbytes)
+    a = list(range(8))
+    b = list(range(100, 108))
+    hc.insert(a, 0, np.stack([_page(1), _page(2)]))
+    hc.insert(b, 0, np.stack([_page(3), _page(4)]))  # evicts a's first page
+    assert hc.num_pages == 3
+    assert hc.match(a) == 0  # chain broken at evicted head
+    assert hc.match(b) == 2
+    assert hc.load(a, 0, 1) is None
+
+
+# ------------------------------------------------------------ end-to-end
+
+
+def _submit(sched, ids, n=8):
+    rid = uuid.uuid4().hex
+    sched.add_request(
+        TokenizedGenerateReqInput(
+            rid=rid, input_ids=list(ids),
+            sampling_params=SamplingParams(
+                max_new_tokens=n, temperature=0.0, ignore_eos=True
+            ),
+        )
+    )
+    return rid
+
+
+def _drain(sched):
+    outs, steps = {}, 0
+    while sched.has_work():
+        for o in sched.step():
+            if o.finished:
+                outs[o.rid] = o
+        steps += 1
+        assert steps < 500
+    return outs
+
+
+def test_hicache_reload_after_flush():
+    """Generate, flush the device tree (simulating eviction), re-submit the
+    same prompt: the prefix must come back from the host tier and the
+    output must be unchanged."""
+    sa = tiny_server_args(enable_hierarchical_cache=True)
+    sched = Scheduler(sa, tiny_runner(sa))
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 250, size=40).tolist()  # 2+ pages (page=16)
+
+    rid = _submit(sched, prompt)
+    first = _drain(sched)[rid]
+    assert sched.hicache.host.num_pages >= 2  # write-through happened
+
+    assert sched.flush_cache()  # device tree emptied; host tier survives
+    assert sched.radix_cache.total_pages == 0
+
+    hits_before = sched.stats.num_cached_tokens
+    rid = _submit(sched, prompt)
+    second = _drain(sched)[rid]
+    assert second.output_ids == first.output_ids
+    # the re-run hit the reloaded prefix as ordinary device cache
+    assert sched.stats.num_hicache_tokens >= 32
+    assert sched.stats.num_cached_tokens - hits_before >= 32
+    assert sched.check_memory() == 0
+
+
+def test_hicache_partial_prefix_and_batch():
+    """A prompt sharing only a page-aligned prefix reloads just that part;
+    outputs match a hicache-off scheduler exactly."""
+    rng = np.random.default_rng(7)
+    shared = rng.integers(3, 250, size=32).tolist()  # 2 pages
+    p1 = shared + rng.integers(3, 250, size=9).tolist()
+    p2 = shared + rng.integers(3, 250, size=13).tolist()
+
+    sa_off = tiny_server_args()
+    sched_off = Scheduler(sa_off, tiny_runner(sa_off))
+    rids = [_submit(sched_off, p) for p in (p1, p2)]
+    base = _drain(sched_off)
+    base_outs = [base[r].output_ids for r in rids]
+
+    sa = tiny_server_args(enable_hierarchical_cache=True)
+    sched = Scheduler(sa, tiny_runner(sa))
+    r1 = _submit(sched, p1)
+    _drain(sched)
+    sched.flush_cache()
+    r2 = _submit(sched, p2)
+    out2 = _drain(sched)[r2]
+    assert out2.output_ids == base_outs[1]
+    assert sched.stats.num_hicache_tokens >= 32
+    assert sched.check_memory() == 0
