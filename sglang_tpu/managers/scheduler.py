@@ -127,6 +127,11 @@ class Scheduler:
                 server_args, self.runner.model_config
             )
             self.spec = self.draft_worker  # enables the spec decode round
+        elif server_args.speculative_algorithm == "EAGLE":
+            from sglang_tpu.speculative.eagle_worker import EagleWorker
+
+            self.draft_worker = EagleWorker(server_args, self.runner)
+            self.spec = self.draft_worker
 
         self.waiting_queue: List[Req] = []
         self.running_batch = ScheduleBatch(

@@ -853,6 +853,47 @@ class ModelRunner:
         self.kv_layers = new_kv
         return np.asarray(logits)[:t]
 
+    def forward_extend_hidden(
+        self,
+        input_ids: np.ndarray,
+        positions: np.ndarray,
+        out_cache_loc: np.ndarray,
+        page_table: np.ndarray,
+        seq_lens: np.ndarray,
+        extend_lens: np.ndarray,
+    ) -> np.ndarray:
+        """Post-final-norm hidden states for an extend batch (the EAGLE
+        worker's target-feature catch-up; reference captures these as
+        `hidden_states` through the spec worker). Rewrites the same KV
+        values at out_cache_loc, so re-running over committed tokens is
+        harmless."""
+        t, b = len(input_ids), len(seq_lens)
+        tt = pad_to_bucket(t, self.prefill_token_buckets)
+        bb = pad_to_bucket(b, [self.extend_seq_bucket])
+        cu = np.zeros(bb + 1, dtype=np.int32)
+        cu[1 : b + 1] = np.cumsum(extend_lens)
+        cu[b + 1 :] = cu[b]
+        fb = make_extend_batch(
+            _pad(input_ids, tt),
+            _pad(positions, tt),
+            _pad(out_cache_loc, tt),
+            _pad2(page_table, bb, self.max_pages_per_req),
+            _pad(seq_lens, bb),
+            cu,
+        )
+        if "hidden_all" not in self._jit_cache:
+
+            def _fwd(params, kv_layers, fb):
+                hidden, new_kv = self.model.forward(
+                    params, kv_layers, fb, self.attn_backend
+                )
+                return hidden.astype(jnp.float32), new_kv
+
+            self._jit_cache["hidden_all"] = jax.jit(_fwd, donate_argnums=(1,))
+        hidden, new_kv = self._jit_cache["hidden_all"](self.params, self.kv_layers, fb)
+        self.kv_layers = new_kv
+        return np.asarray(hidden)[:t]
+
     # -------------------------------------------------- KV page host I/O
 
     def gather_kv_pages(self, pages) -> np.ndarray:

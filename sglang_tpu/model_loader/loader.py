@@ -147,7 +147,10 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
         method = model.get_method(rule.method_key)
         return method.quantize(w)
     if kind == "linear_bias":
-        # target path points AT the "b" entry inside the linear's dict
+        # target path points AT the "b" entry inside the linear's dict;
+        # optional (e.g. EAGLE fc.bias) — apply() treats a missing "b" as 0
+        if not index.has(rule.sources[0]):
+            return None
         bs = [np.asarray(index.get(s), dtype=np.float32) for s in rule.sources]
         return bs[0] if len(bs) == 1 else np.concatenate(bs, axis=0)
     if kind == "embed" or kind == "norm" or kind == "raw":

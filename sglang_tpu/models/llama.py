@@ -247,6 +247,57 @@ class LlamaForCausalLM:
 
     # ------------------------------------------------------------- forward
 
+    def decoder_layer(
+        self,
+        lp: dict,
+        h: jax.Array,
+        kv_layer: jax.Array,
+        fb: ForwardBatch,
+        attn_backend,
+        ll=None,
+        skip_input_norm: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """One pre-norm decoder layer (attn + MLP residual blocks); shared
+        with the EAGLE draft head (`models/eagle.py`, whose layer 0 has no
+        input layernorm)."""
+        c = self.config
+        t = h.shape[0]
+        # --- attention block ---
+        normed = h if skip_input_norm else rms_norm(h, lp["input_norm"], c.rms_norm_eps)
+        qkv = self.methods["qkv"].apply(lp["qkv"], normed)
+        if ll is not None and "qkv" in ll:
+            qkv = qkv + _lora(normed, ll["qkv"], fb.lora_ids)
+        q = qkv[:, : self.q_size].reshape(t, self.num_q_heads, self.head_dim)
+        k = qkv[:, self.q_size : self.q_size + self.kv_size].reshape(
+            t, self.num_kv_heads, self.head_dim
+        )
+        v = qkv[:, self.q_size + self.kv_size :].reshape(
+            t, self.num_kv_heads, self.head_dim
+        )
+        if self.qk_norm:
+            q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
+        q = apply_rope(q, fb.positions, self.inv_freq)
+        k = apply_rope(k, fb.positions, self.inv_freq)
+        attn_out, kv_i = attn_backend(
+            q,
+            k,
+            v,
+            kv_layer,
+            fb,
+            self.sm_scale,
+            sliding_window=self.sliding_window,
+        )
+        attn_out = attn_out.reshape(t, self.q_size)
+        o_out = self.methods["o"].apply(lp["o"], attn_out)
+        if ll is not None and "o" in ll:
+            o_out = o_out + _lora(attn_out, ll["o"], fb.lora_ids)
+        h = h + o_out
+        # --- MLP block (dense or MoE, see mlp_forward overrides) ---
+        normed = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
+        h = h + self.mlp_forward(lp, normed, lora=ll, lora_ids=fb.lora_ids)
+        return h, kv_i
+
     def forward(
         self,
         params: dict,
@@ -255,48 +306,15 @@ class LlamaForCausalLM:
         attn_backend,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         c = self.config
-        t = fb.input_ids.shape[0]
         h = params["embed"][fb.input_ids]  # [T, H]
         new_kv: List[jax.Array] = []
         lora = params.get("lora") if fb.lora_ids is not None else None
         for i in range(self.num_layers):
-            lp = params["layers"][i]
             ll = lora[i] if lora is not None and i < len(lora) else None
-            # --- attention block ---
-            normed = rms_norm(h, lp["input_norm"], c.rms_norm_eps)
-            qkv = self.methods["qkv"].apply(lp["qkv"], normed)
-            if ll is not None and "qkv" in ll:
-                qkv = qkv + _lora(normed, ll["qkv"], fb.lora_ids)
-            q = qkv[:, : self.q_size].reshape(t, self.num_q_heads, self.head_dim)
-            k = qkv[:, self.q_size : self.q_size + self.kv_size].reshape(
-                t, self.num_kv_heads, self.head_dim
-            )
-            v = qkv[:, self.q_size + self.kv_size :].reshape(
-                t, self.num_kv_heads, self.head_dim
-            )
-            if self.qk_norm:
-                q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
-                k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
-            q = apply_rope(q, fb.positions, self.inv_freq)
-            k = apply_rope(k, fb.positions, self.inv_freq)
-            attn_out, kv_i = attn_backend(
-                q,
-                k,
-                v,
-                kv_layers[i],
-                fb,
-                self.sm_scale,
-                sliding_window=self.sliding_window,
+            h, kv_i = self.decoder_layer(
+                params["layers"][i], h, kv_layers[i], fb, attn_backend, ll
             )
             new_kv.append(kv_i)
-            attn_out = attn_out.reshape(t, self.q_size)
-            o_out = self.methods["o"].apply(lp["o"], attn_out)
-            if ll is not None and "o" in ll:
-                o_out = o_out + _lora(attn_out, ll["o"], fb.lora_ids)
-            h = h + o_out
-            # --- MLP block (dense or MoE, see mlp_forward overrides) ---
-            normed = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
-            h = h + self.mlp_forward(lp, normed, lora=ll, lora_ids=fb.lora_ids)
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
         return h, new_kv
 

@@ -168,10 +168,13 @@ class ServerArgs:
         if self.speculative_algorithm is not None:
             self.speculative_algorithm = self.speculative_algorithm.upper()
             if (
-                self.speculative_algorithm == "STANDALONE"
+                self.speculative_algorithm in ("STANDALONE", "EAGLE")
                 and not self.speculative_draft_model_path
             ):
-                raise ValueError("STANDALONE speculation needs --speculative-draft-model-path")
+                raise ValueError(
+                    f"{self.speculative_algorithm} speculation needs "
+                    "--speculative-draft-model-path"
+                )
             if self.speculative_algorithm not in ("NGRAM", "EAGLE", "STANDALONE"):
                 raise ValueError(
                     f"bad speculative_algorithm {self.speculative_algorithm}"

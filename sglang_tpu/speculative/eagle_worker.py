@@ -1,0 +1,326 @@
+"""EAGLE speculative decoding (chain drafts, greedy-lossless).
+
+Parity with reference `srt/speculative/eagle_worker.py` (EAGLEWorker): an
+EAGLE-1 draft head (`models/eagle.py`) autoregresses at the FEATURE level
+— each draft step consumes (previous-position feature, current token) and
+emits the next feature, decoded through the TARGET model's lm_head. The
+target then verifies the k-token chain in one ragged TARGET_VERIFY
+forward, so output is identical to plain target greedy decoding.
+
+Worker design mirrors `standalone_worker.py` (rollback-free): per request
+it tracks `confirmed` = feature pairs whose draft KV is valid. Each round
+it (a) recomputes target features for newly committed positions via
+`ModelRunner.forward_extend_hidden` (a deliberate v1 trade: the reference
+captures features during the target's own extend/verify passes instead of
+recomputing — that capture is the planned r2 optimization), (b) catch-up
+-extends the draft over the new (feature, token) pairs, taking d1 from
+the last row, then (c) chains k-1 single-token draft steps feeding the
+draft's own output features back in.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.mem_cache.allocator import PageAllocator
+from sglang_tpu.model_executor.forward_batch_info import (
+    make_decode_batch,
+    make_extend_batch,
+)
+from sglang_tpu.model_loader.loader import load_model_weights
+from sglang_tpu.models.eagle import EagleLlamaForCausalLM
+from sglang_tpu.utils import cdiv, get_logger, pad_to_bucket, round_up
+
+logger = get_logger(__name__)
+
+
+class _DraftState:
+    __slots__ = ("pages", "confirmed")
+
+    def __init__(self):
+        self.pages: List[int] = []
+        self.confirmed = 0  # (feature, token) pairs with valid draft KV
+
+
+class EagleWorker:
+    def __init__(self, server_args, target_runner):
+        self.t_runner = target_runner
+        tcfg = target_runner.model_config
+        cfg = ModelConfig.load(
+            server_args.speculative_draft_model_path,
+            dtype=server_args.dtype,
+            context_length=tcfg.context_length,
+        )
+        assert cfg.vocab_size == tcfg.vocab_size, "EAGLE draft vocab mismatch"
+        assert cfg.hidden_size == tcfg.hidden_size, (
+            "EAGLE draft hidden size must equal the target's (fc concat)"
+        )
+        self.model = EagleLlamaForCausalLM(cfg)
+        self.params = load_model_weights(
+            self.model,
+            cfg,
+            target_runner.mesh,
+            load_format=server_args.load_format,
+            seed=server_args.random_seed,
+        )
+        self.cfg = cfg
+        self.page_size = server_args.page_size
+        ps = self.page_size
+        # draft KV is 1-2 layers — size it like the target's pool
+        self.num_pages = target_runner.num_pages
+        shape = (self.num_pages, ps, 2 * cfg.num_key_value_heads, cfg.head_dim)
+        self.kv_layers = [
+            jnp.zeros(shape, dtype=cfg.dtype) for _ in range(cfg.num_hidden_layers)
+        ]
+        self.allocator = PageAllocator(self.num_pages, ps)
+        self.backend = target_runner.attn_backend
+        self.num_draft = min(server_args.speculative_num_draft_tokens, 7)
+        self.max_pages_per_req = target_runner.max_pages_per_req
+        self.states: Dict[str, _DraftState] = {}
+        self._jit_cache: dict = {}
+
+    # ----------------------------------------------------------- plumbing
+
+    def drop(self, rid: str) -> None:
+        st = self.states.pop(rid, None)
+        if st is not None:
+            self.allocator.free(st.pages)
+
+    def _ensure_pages(self, st: _DraftState, tokens: int) -> bool:
+        need = cdiv(tokens, self.page_size) - len(st.pages)
+        if need > 0:
+            pages = self.allocator.alloc(need)
+            if pages is None:
+                return False
+            st.pages.extend(pages)
+        return True
+
+    def _slot(self, st: _DraftState, pos: int) -> int:
+        return st.pages[pos // self.page_size] * self.page_size + pos % self.page_size
+
+    def _target_slot(self, r, pos: int) -> int:
+        return r.pages[pos // self.page_size] * self.page_size + pos % self.page_size
+
+    # ------------------------------------------------------------- steps
+
+    def _extend_fn(self, tt: int, bb: int):
+        key = ("dext", tt, bb)
+        if key not in self._jit_cache:
+
+            def _ext(params, tparams, kv, fb, feats, last_idx):
+                h, new_kv = self.model.forward_with_features(
+                    params, kv, fb, self.backend, feats
+                )
+                h_last = h[last_idx]  # [bb, H] draft feature per seq
+                logits = self.t_runner.model.compute_logits(tparams, h_last)
+                return jnp.argmax(logits, axis=-1), h_last, new_kv
+
+            self._jit_cache[key] = jax.jit(_ext, donate_argnums=(2,))
+        return self._jit_cache[key]
+
+    def _decode_fn(self, bb: int):
+        key = ("ddec", bb)
+        if key not in self._jit_cache:
+
+            def _dec(params, tparams, kv, fb, feats):
+                h, new_kv = self.model.forward_with_features(
+                    params, kv, fb, self.backend, feats
+                )
+                logits = self.t_runner.model.compute_logits(tparams, h)
+                return jnp.argmax(logits, axis=-1), h, new_kv
+
+            self._jit_cache[key] = jax.jit(_dec, donate_argnums=(2,))
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------ propose
+
+    def propose_batch(self, reqs) -> List[List[int]]:
+        k = self.num_draft
+        max_rows = self.t_runner.extend_seq_bucket
+        active = []
+        for r in reqs:
+            if len(active) >= max_rows:
+                break
+            if len(r.fill_ids) < 2:
+                continue  # no prior feature to condition on yet
+            st = self.states.get(r.rid)
+            if st is None:
+                st = self.states[r.rid] = _DraftState()
+            if not self._ensure_pages(st, len(r.fill_ids) + k):
+                continue
+            active.append((r, st))
+        if not active:
+            return [[] for _ in reqs]
+
+        b = len(active)
+        drafts: List[List[int]] = [[] for _ in range(b)]
+        feats_last = np.zeros((b, self.cfg.hidden_size), dtype=np.float32)
+
+        # ---- (a)+(b): target feature catch-up + draft extend, grouped to
+        # the prefill token budget; an oversized request (first round of a
+        # long prompt) is processed alone in sub-chunks.
+        max_tokens = self.t_runner.prefill_token_buckets[-1]
+        while True:
+            pending = [
+                (gi, r, st)
+                for gi, (r, st) in enumerate(active)
+                if st.confirmed < len(r.fill_ids) - 1
+            ]
+            if not pending:
+                break
+            group = []
+            tok_sum = 0
+            for gi, r, st in pending:
+                P = len(r.fill_ids) - 1  # feature pairs total
+                c = st.confirmed
+                n = P - c
+                if not group and n > max_tokens:
+                    group.append((gi, r, st, c, c + max_tokens))
+                    break
+                if tok_sum + n > max_tokens or len(group) >= max_rows:
+                    break
+                group.append((gi, r, st, c, P))
+                tok_sum += n
+            self._catchup_group(group, drafts, feats_last)
+
+        # ---- (c) k-1 chained draft decode steps ----
+        pmax = self.max_pages_per_req
+        bb = pad_to_bucket(b, [max_rows])
+        page_table = np.zeros((bb, pmax), dtype=np.int32)
+        for i, (_, st) in enumerate(active):
+            page_table[i, : len(st.pages)] = st.pages
+        dec = self._decode_fn(bb)
+        for j in range(k - 1):
+            ids = np.zeros(bb, dtype=np.int32)
+            pos = np.zeros(bb, dtype=np.int32)
+            loc = np.zeros(bb, dtype=np.int32)
+            sl = np.zeros(bb, dtype=np.int32)
+            for i, (r, st) in enumerate(active):
+                p = st.confirmed + j
+                ids[i] = drafts[i][-1]
+                pos[i] = p
+                loc[i] = self._slot(st, p)
+                sl[i] = p + 1
+            fb = make_decode_batch(ids, pos, loc, page_table, sl)
+            feats = np.zeros((bb, self.cfg.hidden_size), dtype=np.float32)
+            feats[:b] = feats_last
+            out, h, self.kv_layers = dec(
+                self.params,
+                self.t_runner._params(),
+                self.kv_layers,
+                fb,
+                jnp.asarray(feats, dtype=self.cfg.dtype),
+            )
+            out = np.asarray(out)[:b]
+            feats_last = np.asarray(h, dtype=np.float32)[:b]
+            for i in range(b):
+                drafts[i].append(int(out[i]))
+
+        by_rid = {r.rid: d for (r, _), d in zip(active, drafts)}
+        return [by_rid.get(r.rid, []) for r in reqs]
+
+    def _catchup_group(self, group, drafts, feats_last) -> None:
+        """Target features for pairs [c, P) of each request in `group`,
+        then one ragged draft extend over those pairs; fills drafts[gi][0]
+        (= d1) and feats_last[gi]."""
+        # target hidden for token positions [c, P) (tokens fill[c:P])
+        t_ids: List[int] = []
+        t_pos: List[int] = []
+        t_loc: List[int] = []
+        gb = len(group)
+        t_seq = np.zeros(gb, dtype=np.int32)
+        t_ext = np.zeros(gb, dtype=np.int32)
+        pmax = self.t_runner.max_pages_per_req
+        t_pt = np.zeros((gb, pmax), dtype=np.int32)
+        for j, (gi, r, st, c, P) in enumerate(group):
+            fill = r.fill_ids
+            t_ids.extend(fill[c:P])
+            t_pos.extend(range(c, P))
+            t_loc.extend(self._target_slot(r, p) for p in range(c, P))
+            t_seq[j] = P
+            t_ext[j] = P - c
+            t_pt[j, : len(r.pages)] = r.pages
+        hidden = self.t_runner.forward_extend_hidden(
+            np.asarray(t_ids, dtype=np.int32),
+            np.asarray(t_pos, dtype=np.int32),
+            np.asarray(t_loc, dtype=np.int32),
+            t_pt,
+            t_seq,
+            t_ext,
+        )  # [sum(P-c), H] — feature f_i for each recomputed position i
+
+        # draft extend over pairs i in [c, P): input token fill[i+1], feature f_i
+        d_ids: List[int] = []
+        d_pos: List[int] = []
+        d_loc: List[int] = []
+        feats: List[np.ndarray] = []
+        d_seq = np.zeros(gb, dtype=np.int32)
+        d_ext = np.zeros(gb, dtype=np.int32)
+        d_pt = np.zeros((gb, self.max_pages_per_req), dtype=np.int32)
+        off = 0
+        for j, (gi, r, st, c, P) in enumerate(group):
+            fill = r.fill_ids
+            n = P - c
+            d_ids.extend(fill[c + 1 : P + 1])
+            d_pos.extend(range(c, P))
+            d_loc.extend(self._slot(st, p) for p in range(c, P))
+            feats.append(hidden[off : off + n])
+            off += n
+            d_seq[j] = P
+            d_ext[j] = n
+            d_pt[j, : len(st.pages)] = st.pages
+
+        t = len(d_ids)
+        tt = pad_to_bucket(t, self.t_runner.prefill_token_buckets)
+        bb = pad_to_bucket(gb, [self.t_runner.extend_seq_bucket])
+        cu = np.zeros(bb + 1, dtype=np.int32)
+        cu[1 : gb + 1] = np.cumsum(d_ext)
+        cu[gb + 1 :] = cu[gb]
+        feats_arr = np.zeros((tt, self.cfg.hidden_size), dtype=np.float32)
+        feats_arr[:t] = np.concatenate(feats, axis=0)
+        fb = make_extend_batch(
+            _pad(np.asarray(d_ids, dtype=np.int32), tt),
+            _pad(np.asarray(d_pos, dtype=np.int32), tt),
+            _pad(np.asarray(d_loc, dtype=np.int32), tt),
+            _pad2(d_pt, bb, self.max_pages_per_req),
+            _pad(d_seq, bb),
+            cu,
+        )
+        last_idx = np.maximum(cu[1 : bb + 1] - 1, 0)
+        ext = self._extend_fn(tt, bb)
+        d1, h_last, self.kv_layers = ext(
+            self.params,
+            self.t_runner._params(),
+            self.kv_layers,
+            fb,
+            jnp.asarray(feats_arr, dtype=self.cfg.dtype),
+            jnp.asarray(last_idx),
+        )
+        d1 = np.asarray(d1)
+        h_last = np.asarray(h_last, dtype=np.float32)
+        for j, (gi, r, st, c, P) in enumerate(group):
+            drafts[gi] = [int(d1[j])]
+            feats_last[gi] = h_last[j]
+            st.confirmed = P
+
+
+def _pad(arr: np.ndarray, n: int, fill=0) -> np.ndarray:
+    arr = np.asarray(arr)
+    if len(arr) >= n:
+        return arr[:n]
+    out = np.full(n, fill, dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def _pad2(arr: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    out = np.zeros((rows, cols), dtype=np.int32)
+    r = min(rows, arr.shape[0])
+    c = min(cols, arr.shape[1])
+    out[:r, :c] = arr[:r, :c]
+    return out

@@ -1,0 +1,136 @@
+"""EAGLE speculative decoding (reference `eagle_worker.py` behavior):
+whatever the draft head proposes, greedy output must be IDENTICAL to
+plain target decoding; draft KV pages must be fully reclaimed."""
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _save_eagle_ckpt(path, rng, h=64, kv=2, heads=4, inter=128, vocab=256):
+    """Synthetic EAGLE-1 draft: fc + ONE decoder layer, no
+    layers.0.input_layernorm, no final norm, no lm_head (target's is used)."""
+    from safetensors.numpy import save_file
+
+    def W(*shape, scale=0.05):
+        return np.ascontiguousarray(
+            rng.standard_normal(shape).astype(np.float32) * scale
+        )
+
+    hd = h // heads
+    tensors = {
+        "embed_tokens.weight": W(vocab, h),
+        "fc.weight": W(h, 2 * h),
+        "fc.bias": np.zeros(h, dtype=np.float32),
+        "layers.0.post_attention_layernorm.weight": np.ones(h, dtype=np.float32),
+        "layers.0.self_attn.q_proj.weight": W(heads * hd, h),
+        "layers.0.self_attn.k_proj.weight": W(kv * hd, h),
+        "layers.0.self_attn.v_proj.weight": W(kv * hd, h),
+        "layers.0.self_attn.o_proj.weight": W(h, heads * hd),
+        "layers.0.mlp.gate_proj.weight": W(inter, h),
+        "layers.0.mlp.up_proj.weight": W(inter, h),
+        "layers.0.mlp.down_proj.weight": W(h, inter),
+    }
+    os.makedirs(path, exist_ok=True)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "hidden_size": h,
+        "num_hidden_layers": 1,
+        "num_attention_heads": heads,
+        "num_key_value_heads": kv,
+        "intermediate_size": inter,
+        "vocab_size": vocab,
+        "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0,
+        "torch_dtype": "float32",
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
+@pytest.fixture(scope="module")
+def checkpoints(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    target = tmp_path_factory.mktemp("eagle_target")
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).eval().save_pretrained(target)
+    draft = tmp_path_factory.mktemp("eagle_draft")
+    _save_eagle_ckpt(str(draft), np.random.default_rng(5))
+    return str(target), str(draft)
+
+
+def _run(target, draft_path=None, prompts=None, n=16):
+    from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from sglang_tpu.managers.scheduler import Scheduler
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    sa = ServerArgs(
+        model_path=target, dtype="float32", device="cpu", page_size=16,
+        context_length=256, max_total_tokens=2048,
+        prefill_token_buckets=[64, 128], decode_bs_buckets=[4, 8],
+        max_running_requests=8, skip_tokenizer_init=True, random_seed=0,
+        log_level="warning",
+        speculative_algorithm="EAGLE" if draft_path else None,
+        speculative_draft_model_path=draft_path,
+        speculative_num_draft_tokens=4,
+    )
+    sched = Scheduler(sa)
+    rids = []
+    for p in prompts:
+        rid = uuid.uuid4().hex
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid=rid, input_ids=p,
+                sampling_params=SamplingParams(
+                    max_new_tokens=n, temperature=0.0, ignore_eos=True
+                ),
+            )
+        )
+        rids.append(rid)
+    outs, steps = {}, 0
+    while sched.has_work():
+        for o in sched.step():
+            if o.finished:
+                outs[o.rid] = o
+        steps += 1
+        assert steps < 600
+    return [outs[r].output_ids for r in rids], sched
+
+
+def test_eagle_is_lossless(checkpoints):
+    target, draft = checkpoints
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 250, size=m).tolist() for m in (8, 21)]
+    base, _ = _run(target, None, prompts)
+    spec, sched = _run(target, draft, prompts)
+    assert spec == base  # a random draft may be useless, never wrong
+    # draft state dropped + all draft pages reclaimed on finish
+    assert not sched.draft_worker.states
+    assert sched.draft_worker.allocator.check_leaks() == 0
+    assert sched.check_memory() == 0
+
+
+def test_eagle_long_prompt_chunked_catchup(checkpoints):
+    """First-round catch-up larger than the prefill token bucket goes
+    through the sub-chunk path."""
+    target, draft = checkpoints
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(3, 250, size=150).tolist()]
+    base, _ = _run(target, None, prompts, n=8)
+    spec, sched = _run(target, draft, prompts, n=8)
+    assert spec == base
+    assert sched.check_memory() == 0
