@@ -782,6 +782,20 @@ def launch_server(server_args: ServerArgs):
     configure_logger(server_args.log_level.upper())
     state = ServerState(server_args)
     app = build_app(state)
+    if server_args.grpc_port:
+        from sglang_tpu.entrypoints.grpc_server import build_grpc_server
+
+        async def _start_grpc(app):
+            g = build_grpc_server(state, server_args.host, server_args.grpc_port)
+            await g.start()
+            app["grpc_server"] = g
+            logger.info("grpc listening on :%d", server_args.grpc_port)
+
+        async def _stop_grpc(app):
+            await app["grpc_server"].stop(1.0)
+
+        app.on_startup.append(_start_grpc)
+        app.on_cleanup.append(_stop_grpc)
     logger.info(
         "server listening on %s:%d", server_args.host, server_args.port
     )

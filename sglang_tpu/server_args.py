@@ -115,6 +115,7 @@ class ServerArgs:
     # --- Server ---
     host: str = "127.0.0.1"
     port: int = 30000
+    grpc_port: Optional[int] = None  # serve gRPC alongside HTTP when set
     api_key: Optional[str] = None
     log_level: str = "info"
     log_requests: bool = False

@@ -22,6 +22,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
+_PORTS = {}
+
+
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
     from tokenizers import Tokenizer
@@ -52,6 +55,7 @@ def server(tmp_path_factory):
     LlamaForCausalLM(cfg).eval().save_pretrained(path)
 
     port = _free_port()
+    grpc_port = _free_port()
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
@@ -64,6 +68,7 @@ def server(tmp_path_factory):
             sys.executable, "-m", "sglang_tpu.launch_server",
             "--model-path", str(path),
             "--host", "127.0.0.1", "--port", str(port),
+            "--grpc-port", str(grpc_port),
             "--device", "cpu", "--page-size", "16",
             "--max-total-tokens", "4096", "--context-length", "512",
             "--chunked-prefill-size", "128",
@@ -93,6 +98,7 @@ def server(tmp_path_factory):
     else:
         proc.kill()
         raise TimeoutError("server did not become healthy")
+    _PORTS["grpc"] = grpc_port
     yield base
     proc.terminate()
     try:
@@ -300,3 +306,59 @@ def test_ollama_compat(server):
     import urllib.request, json as _json
     tags = _json.loads(urllib.request.urlopen(server + "/api/tags").read())
     assert tags["models"]
+
+
+# ---------------------------------------------------------------- gRPC
+
+
+@pytest.fixture(scope="module")
+def grpc_client(server):
+    grpc = pytest.importorskip("grpc")  # noqa: F841
+    from sglang_tpu.entrypoints.grpc_server import GrpcEngineClient
+
+    c = GrpcEngineClient(f"127.0.0.1:{_PORTS['grpc']}")
+    yield c
+    c.close()
+
+
+def test_grpc_generate(grpc_client):
+    out = grpc_client.generate(
+        text="w1 w2 w3",
+        sampling_params={"max_new_tokens": 5, "temperature": 0.0},
+    )
+    assert out["meta_info"]["completion_tokens"] == 5
+    assert out["meta_info"]["prompt_tokens"] == 3
+    # matches the HTTP path token-for-token (same engine, same request)
+    assert len(out["output_ids"]) == 5
+
+
+def test_grpc_generate_stream(grpc_client):
+    chunks = list(
+        grpc_client.generate_stream(
+            text="w1 w2 w3 w4",
+            sampling_params={"max_new_tokens": 10, "temperature": 0.0},
+        )
+    )
+    assert len(chunks) >= 2
+    assert chunks[-1]["meta_info"]["finish_reason"]["type"] == "length"
+    assert chunks[-1]["meta_info"]["completion_tokens"] == 10
+
+
+def test_grpc_infra_endpoints(grpc_client):
+    assert grpc_client.health()["healthy"]
+    info = grpc_client.get_server_info()
+    assert info["max_total_tokens"] > 0
+    emb = grpc_client.encode(["w1 w2", "w3"])
+    assert len(emb["embeddings"]) == 2 and len(emb["embeddings"][0]) == 64
+    assert emb["prompt_tokens"] == 3
+    assert grpc_client.flush_cache()["success"]
+
+
+def test_grpc_invalid_batch_rejected(grpc_client):
+    import grpc
+
+    with pytest.raises(grpc.RpcError) as err:
+        grpc_client.generate(
+            text=["a", "b"], sampling_params={"max_new_tokens": 2}
+        )
+    assert err.value.code() == grpc.StatusCode.INVALID_ARGUMENT
