@@ -1,0 +1,331 @@
+"""Data-parallel router: one front door over N engine replicas.
+
+Parity with reference `srt/managers/data_parallel_controller.py` (replica
+spawn + dispatch) and the sgl-router's cache-aware policy (the rust
+router routes same-prefix traffic to the same worker so its radix cache
+keeps the prefix hot; Rust is not in this image, so the router is an
+aiohttp reverse proxy — the data plane below it is the same).
+
+Policies:
+- cache_aware (default): consistent choice by hashed prompt prefix, so
+  multi-turn / shared-prefix traffic lands on the worker that already
+  holds the KV; falls over to least-inflight when the preferred worker
+  is saturated (2x the fleet-average inflight) or unhealthy.
+- least_inflight: pick the worker with the fewest in-flight requests.
+- round_robin: strict rotation.
+
+Worker management mirrors the reference router API: /add_worker,
+/remove_worker, /list_workers, plus /health and pass-through data routes
+(/generate, /v1/*, /flush_cache fan-out). Streaming responses (SSE) are
+piped through chunk-by-chunk.
+
+`python -m sglang_tpu.entrypoints.router --worker-urls http://h:p ...`
+runs the router alone; `launch_dp_servers` spawns dp_size local replica
+subprocesses (one TPU process each — on multi-chip hosts each replica
+pins its chip via env) and then serves the router in front of them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import hashlib
+import itertools
+import json
+import os
+import subprocess
+import sys
+import time
+from typing import Dict, List, Optional
+
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+UNHEALTHY_COOLDOWN_S = 5.0
+PROXY_ROUTES = [
+    "/generate",
+    "/v1/completions",
+    "/v1/chat/completions",
+    "/v1/embeddings",
+    "/v1/score",
+    "/v1/messages",
+    "/api/generate",
+    "/api/chat",
+]
+FANOUT_ROUTES = ["/flush_cache"]
+
+
+class Worker:
+    def __init__(self, url: str):
+        self.url = url.rstrip("/")
+        self.inflight = 0
+        self.total = 0
+        self.unhealthy_until = 0.0
+
+    def healthy(self) -> bool:
+        return time.monotonic() >= self.unhealthy_until
+
+    def mark_unhealthy(self):
+        self.unhealthy_until = time.monotonic() + UNHEALTHY_COOLDOWN_S
+
+    def to_json(self) -> Dict:
+        return {
+            "url": self.url,
+            "inflight": self.inflight,
+            "total_requests": self.total,
+            "healthy": self.healthy(),
+        }
+
+
+class Router:
+    def __init__(self, worker_urls: List[str], policy: str = "cache_aware"):
+        assert policy in ("cache_aware", "least_inflight", "round_robin"), policy
+        self.workers: List[Worker] = [Worker(u) for u in worker_urls]
+        self.policy = policy
+        self._rr = itertools.count()
+
+    # ------------------------------------------------------------- choice
+
+    def _prefix_key(self, payload: Dict) -> Optional[bytes]:
+        ids = payload.get("input_ids")
+        if ids and isinstance(ids[0], list):
+            ids = ids[0]
+        if ids:
+            return json.dumps(ids[:32]).encode()
+        text = payload.get("text") or payload.get("prompt")
+        if isinstance(text, list):
+            text = text[0] if text else None
+        if isinstance(text, str):
+            return text[:256].encode()
+        msgs = payload.get("messages")
+        if msgs:
+            first = msgs[0]
+            return json.dumps(first, sort_keys=True).encode()[:256]
+        return None
+
+    def pick(self, payload: Dict) -> Optional[Worker]:
+        live = [w for w in self.workers if w.healthy()]
+        if not live:
+            live = self.workers  # all cooling down: best effort
+        if not live:
+            return None
+        if self.policy == "round_robin":
+            return live[next(self._rr) % len(live)]
+        least = min(live, key=lambda w: w.inflight)
+        if self.policy == "least_inflight":
+            return least
+        key = self._prefix_key(payload)
+        if key is None:
+            return least
+        h = int.from_bytes(hashlib.sha1(key).digest()[:8], "big")
+        preferred = live[h % len(live)]
+        avg = sum(w.inflight for w in live) / len(live)
+        if preferred.inflight > 2 * avg + 4:  # saturated: spill over
+            return least
+        return preferred
+
+    def add_worker(self, url: str) -> bool:
+        url = url.rstrip("/")
+        if any(w.url == url for w in self.workers):
+            return False
+        self.workers.append(Worker(url))
+        return True
+
+    def remove_worker(self, url: str) -> bool:
+        url = url.rstrip("/")
+        n = len(self.workers)
+        self.workers = [w for w in self.workers if w.url != url]
+        return len(self.workers) < n
+
+
+def build_router_app(router: Router):
+    from aiohttp import ClientSession, ClientTimeout, web
+
+    session: Dict[str, ClientSession] = {}
+
+    async def _sess() -> "ClientSession":
+        if "s" not in session:
+            session["s"] = ClientSession(timeout=ClientTimeout(total=600))
+        return session["s"]
+
+    def _proxy(route: str):
+        async def handler(request: web.Request):
+            try:
+                payload = await request.json()
+            except Exception:
+                payload = {}
+            last_err = None
+            for _ in range(len(router.workers) or 1):
+                w = router.pick(payload)
+                if w is None:
+                    return web.json_response(
+                        {"error": "no workers registered"}, status=503
+                    )
+                s = await _sess()
+                w.inflight += 1
+                w.total += 1
+                try:
+                    resp = await s.post(w.url + route, json=payload)
+                except Exception as e:  # connect failure: fail over
+                    w.inflight -= 1
+                    w.mark_unhealthy()
+                    last_err = e
+                    continue
+                try:
+                    ct = resp.headers.get("Content-Type", "")
+                    if ct.startswith("text/event-stream"):
+                        out = web.StreamResponse(
+                            status=resp.status,
+                            headers={"Content-Type": "text/event-stream"},
+                        )
+                        await out.prepare(request)
+                        async for chunk in resp.content.iter_any():
+                            await out.write(chunk)
+                        await out.write_eof()
+                        return out
+                    body = await resp.read()
+                    return web.Response(
+                        body=body, status=resp.status, content_type="application/json"
+                    )
+                finally:
+                    w.inflight -= 1
+                    resp.release()
+            return web.json_response(
+                {"error": f"all workers failed: {last_err}"}, status=502
+            )
+
+        return handler
+
+    async def health(request):
+        live = [w for w in router.workers if w.healthy()]
+        status = 200 if live else 503
+        return web.json_response(
+            {"healthy": bool(live), "workers": len(router.workers)}, status=status
+        )
+
+    async def list_workers(request):
+        return web.json_response({"workers": [w.to_json() for w in router.workers]})
+
+    async def add_worker(request):
+        url = request.query.get("url")
+        if not url:
+            body = await request.json()
+            url = body.get("url")
+        ok = router.add_worker(url) if url else False
+        return web.json_response({"success": ok}, status=200 if ok else 400)
+
+    async def remove_worker(request):
+        url = request.query.get("url")
+        if not url:
+            body = await request.json()
+            url = body.get("url")
+        ok = router.remove_worker(url) if url else False
+        return web.json_response({"success": ok}, status=200 if ok else 400)
+
+    async def fanout(route: str, request):
+        s = await _sess()
+        results = {}
+        for w in list(router.workers):
+            try:
+                resp = await s.post(w.url + route, json={})
+                results[w.url] = resp.status
+                resp.release()
+            except Exception as e:
+                results[w.url] = str(e)
+        return web.json_response({"results": results})
+
+    async def get_first(route: str, request):
+        s = await _sess()
+        for w in router.workers:
+            if not w.healthy():
+                continue
+            try:
+                resp = await s.get(w.url + route)
+                body = await resp.read()
+                return web.Response(
+                    body=body, status=resp.status, content_type="application/json"
+                )
+            except Exception:
+                w.mark_unhealthy()
+        return web.json_response({"error": "no healthy workers"}, status=503)
+
+    app = web.Application()
+    for route in PROXY_ROUTES:
+        app.router.add_post(route, _proxy(route))
+    for route in FANOUT_ROUTES:
+        app.router.add_post(
+            route, lambda req, _r=route: fanout(_r, req)
+        )
+    app.router.add_get("/health", health)
+    app.router.add_get("/list_workers", list_workers)
+    app.router.add_post("/add_worker", add_worker)
+    app.router.add_get(
+        "/v1/models", lambda req: get_first("/v1/models", req)
+    )
+    app.router.add_get(
+        "/get_server_info", lambda req: get_first("/get_server_info", req)
+    )
+    app.router.add_post("/remove_worker", remove_worker)
+
+    async def _close(app):
+        if "s" in session:
+            await session["s"].close()
+
+    app.on_cleanup.append(_close)
+    return app
+
+
+# ------------------------------------------------------------- launchers
+
+
+def launch_dp_servers(server_args, dp_size: int, base_port: int) -> List[subprocess.Popen]:
+    """Spawn dp_size replica server subprocesses on consecutive ports.
+    Each replica is its own process (its own JAX client); on multi-chip
+    hosts set per-replica chip pinning via env before launch."""
+    procs = []
+    for i in range(dp_size):
+        args = [
+            sys.executable,
+            "-m",
+            "sglang_tpu.launch_server",
+            "--model-path",
+            server_args.model_path,
+            "--host",
+            server_args.host,
+            "--port",
+            str(base_port + i),
+        ]
+        env = dict(os.environ)
+        env["SGLANG_TPU_DP_RANK"] = str(i)
+        procs.append(subprocess.Popen(args, env=env))
+    return procs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="sglang_tpu DP router")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=30080)
+    parser.add_argument("--worker-urls", nargs="+", required=True)
+    parser.add_argument(
+        "--policy",
+        default="cache_aware",
+        choices=["cache_aware", "least_inflight", "round_robin"],
+    )
+    args = parser.parse_args(argv)
+    from aiohttp import web
+
+    router = Router(args.worker_urls, policy=args.policy)
+    app = build_router_app(router)
+    logger.info(
+        "router on %s:%d over %d workers (%s)",
+        args.host,
+        args.port,
+        len(router.workers),
+        args.policy,
+    )
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    main()
