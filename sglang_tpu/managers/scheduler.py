@@ -86,6 +86,12 @@ class Scheduler:
             disable=server_args.disable_radix_cache,
         )
         self.allocator.evict_callback = self.radix_cache.evict
+        self.kv_events = None
+        if server_args.enable_kv_cache_events:
+            from sglang_tpu.mem_cache.kv_events import KVEventPublisher
+
+            self.kv_events = KVEventPublisher(server_args.kv_events_addr)
+            self.radix_cache.events = self.kv_events
         self.hicache = None
         if (
             server_args.enable_hierarchical_cache
@@ -773,6 +779,12 @@ class Scheduler:
             self.radix_cache.insert(
                 r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
             )
+            if self.kv_events is not None:
+                self.kv_events.block_stored(
+                    r.fill_ids[:aligned],
+                    r.pages[: aligned // self.page_size],
+                    self.page_size,
+                )
 
     def _release_req(self, r: Req, insert: bool) -> None:
         """Return a request's KV to the pool; optionally publish its prefix
@@ -783,6 +795,12 @@ class Scheduler:
                 self.radix_cache.insert(
                     r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
                 )
+                if self.kv_events is not None:
+                    self.kv_events.block_stored(
+                        r.fill_ids[:aligned],
+                        r.pages[: aligned // self.page_size],
+                        self.page_size,
+                    )
                 if self.hicache is not None:
                     self.hicache.write_through(
                         r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
@@ -843,6 +861,8 @@ class Scheduler:
             return False
         freed = self.radix_cache.evict(1 << 60)
         self.radix_cache.reset()
+        if self.kv_events is not None:
+            self.kv_events.all_cleared()
         logger.info("flushed radix cache: %d pages freed", freed)
         return True
 

@@ -27,6 +27,7 @@ class NativeRadixCache:
         self.disable = disable
         self.tree = self.lib.rt_new(page_size)
         self._scratch = np.zeros(1 << 16, dtype=np.int32)
+        self.events = None  # optional KVEventPublisher (kv_events.py)
 
     def __del__(self):
         try:
@@ -101,6 +102,8 @@ class NativeRadixCache:
         pages = self._scratch[:freed].tolist()
         if pages:
             self.allocator.free(pages)
+            if self.events is not None:
+                self.events.block_removed(pages)
         return len(pages)
 
     @property

@@ -62,6 +62,7 @@ class RadixCache:
         self.allocator = allocator
         self.page_size = page_size
         self.disable = disable
+        self.events = None  # optional KVEventPublisher (kv_events.py)
         self.reset()
 
     def reset(self):
@@ -216,11 +217,13 @@ class RadixCache:
         ]
         heapq.heapify(leaves)
         freed = 0
+        freed_pages: List[int] = []
         while leaves and freed < num_pages:
             _, _, node = heapq.heappop(leaves)
             if not node.evictable:
                 continue
             freed += len(node.pages)
+            freed_pages.extend(node.pages)
             self.allocator.free(node.pages)
             self._evictable_pages -= len(node.pages)
             self._total_pages -= len(node.pages)
@@ -228,6 +231,8 @@ class RadixCache:
             del parent.children[tuple(node.key[: self.page_size])]
             if parent is not self.root and parent.evictable:
                 heapq.heappush(leaves, (parent.last_access_time, id(parent), parent))
+        if self.events is not None and freed_pages:
+            self.events.block_removed(freed_pages)
         return freed
 
     def _iter_nodes(self):

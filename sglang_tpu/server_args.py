@@ -55,6 +55,10 @@ class ServerArgs:
     max_num_reqs: Optional[int] = None
 
     # --- Scheduling ---
+    # KV cache events for external cache-aware routers
+    enable_kv_cache_events: bool = False
+    kv_events_addr: Optional[str] = None  # zmq PUB bind, e.g. tcp://*:5557
+
     # HiCache: host-RAM second tier behind the device radix cache
     enable_hierarchical_cache: bool = False
     hicache_size: float = 0.0  # GiB; 0 = 2x the device KV pool
