@@ -191,6 +191,52 @@ class Int4Linear(LinearMethod):
 
 
 @dataclass
+class W8A8Int8Linear(LinearMethod):
+    """Dynamic per-token int8 activations × per-channel int8 weights.
+
+    Reference analogue: `quantization/w8a8_int8.py` (per-token dynamic
+    activation scale path). TPU-native payoff: the MXU runs int8×int8 at
+    2× bf16 throughput (v5e: 394 vs 197 TOPS) and the activation
+    quantization is a cheap elementwise pass XLA fuses into the producer.
+    y = (xq @ wq) * (x_scale ⊗ w_scale), accumulated in int32.
+    """
+
+    bias: bool = False
+
+    def weight_shapes(self, in_features, out_features, dtype):
+        shapes = {
+            "q": jax.ShapeDtypeStruct((in_features, out_features), jnp.int8),
+            "s": jax.ShapeDtypeStruct((1, out_features), jnp.float32),
+        }
+        if self.bias:
+            shapes["b"] = jax.ShapeDtypeStruct((out_features,), dtype)
+        return shapes
+
+    def apply(self, w, x):
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # [T, 1]
+        xs = jnp.maximum(amax / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq,
+            w["q"],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32) * xs * w["s"]).astype(x.dtype)
+        if "b" in w:
+            y = y + w["b"]
+        return y
+
+    def quantize(self, w_bf16):
+        wf = np.asarray(w_bf16, dtype=np.float32)
+        amax = np.abs(wf).max(axis=0, keepdims=True)
+        s = (amax / 127.0).clip(min=1e-8)
+        q = np.clip(np.round(wf / s), -128, 127).astype(np.int8)
+        return {"q": q, "s": s.astype(np.float32)}
+
+
+@dataclass
 class Fp8Linear(LinearMethod):
     """FP8 (e4m3) weight storage with per-channel fp32 scale.
 
@@ -235,6 +281,8 @@ def make_linear_method(
         return UnquantizedLinear(bias=bias)
     if quantization == "int8":
         return Int8Linear(bias=bias)
+    if quantization == "w8a8_int8":
+        return W8A8Int8Linear(bias=bias)
     if quantization in ("int4", "awq", "gptq"):
         return Int4Linear(
             group_size=group_size, bias=bias, has_zeros=quantization in ("awq", "gptq")

@@ -52,3 +52,59 @@ def test_int4_matmul_matches_reference(with_zeros):
     ref = jnp.dot(x, wdeq)
     out = matmul_int4(x, q, s, z, group=g, bn=256, bk=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2, rtol=1e-3)
+
+
+def test_w8a8_int8_numerics():
+    """Dynamic-activation int8 GEMM stays close to the fp32 product and
+    beats a naive per-tensor scheme on outlier rows."""
+    import numpy as np
+
+    from sglang_tpu.layers.linear import W8A8Int8Linear
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 256)).astype(np.float32)
+    x[3] *= 40.0  # outlier row: per-token scaling must absorb it
+    w = rng.standard_normal((256, 128)).astype(np.float32) * 0.05
+    m = W8A8Int8Linear()
+    wq = m.quantize(w)
+    y = np.asarray(m.apply({k: jnp.asarray(v) for k, v in wq.items()}, jnp.asarray(x)))
+    ref = x @ w
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+    row_rel = np.abs(y[3] - ref[3]).max() / np.abs(ref[3]).max()
+    assert row_rel < 0.03, row_rel
+
+
+def test_w8a8_int8_engine_generates():
+    """End-to-end engine run with w8a8_int8 quantization produces sane
+    output (quantized logits may reorder ties, so no token equality)."""
+    import uuid
+
+    import numpy as np
+
+    from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from sglang_tpu.managers.scheduler import Scheduler
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from tests.test_utils import tiny_runner, tiny_server_args
+
+    sa = tiny_server_args(quantization="w8a8_int8")
+    sched = Scheduler(sa, tiny_runner(sa))
+    rid = uuid.uuid4().hex
+    sched.add_request(
+        TokenizedGenerateReqInput(
+            rid=rid, input_ids=[5, 9, 13, 2],
+            sampling_params=SamplingParams(
+                max_new_tokens=8, temperature=0.0, ignore_eos=True
+            ),
+        )
+    )
+    steps = 0
+    out = None
+    while sched.has_work():
+        for o in sched.step():
+            if o.finished:
+                out = o
+        steps += 1
+        assert steps < 200
+    assert out is not None and len(out.output_ids) == 8
+    assert sched.check_memory() == 0
