@@ -496,28 +496,48 @@ def build_app(state: ServerState) -> web.Application:
             await resp.prepare(request)
             first = True
             usage = None
-            async for out in state.tm.generate_request(treq):
-                delta = {}
-                if first:
-                    delta["role"] = "assistant"
-                    first = False
-                if out.new_text:
-                    delta["content"] = out.new_text
-                chunk = {
+            tool_stream = None
+            if req.tools and state.server_args.tool_call_parser:
+                from sglang_tpu.parser.function_call import (
+                    StreamingFunctionCallParser,
+                )
+
+                tool_stream = StreamingFunctionCallParser(
+                    req.tools, state.server_args.tool_call_parser
+                )
+
+            def _chunk(delta, finish):
+                return {
                     "id": cid,
                     "object": "chat.completion.chunk",
                     "created": created,
                     "model": model,
                     "choices": [
-                        {
-                            "index": 0,
-                            "delta": delta,
-                            "finish_reason": _oai_finish(out),
-                        }
+                        {"index": 0, "delta": delta, "finish_reason": finish}
                     ],
                 }
+
+            async for out in state.tm.generate_request(treq):
+                delta = {}
+                if first:
+                    delta["role"] = "assistant"
+                    first = False
+                text = out.new_text
+                if tool_stream is not None:
+                    text, call_deltas = tool_stream.push(out.new_text or "")
+                    if out.finished:
+                        tail, tail_calls = tool_stream.finish()
+                        text += tail
+                        call_deltas = call_deltas + tail_calls
+                    if call_deltas:
+                        delta["tool_calls"] = call_deltas
+                if text:
+                    delta["content"] = text
+                finish = _oai_finish(out)
+                if finish and tool_stream is not None and tool_stream.seen_call:
+                    finish = "tool_calls"
                 usage = usage_dict(out.prompt_tokens, out.completion_tokens, out.cached_tokens)
-                await resp.write(_sse(chunk))
+                await resp.write(_sse(_chunk(delta, finish)))
             if req.stream_options and req.stream_options.get("include_usage"):
                 await resp.write(
                     _sse(

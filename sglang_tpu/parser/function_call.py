@@ -190,3 +190,168 @@ class FunctionCallParser:
             if not self._allowed or c.name in self._allowed
         ]
         return result.normal_text, calls
+
+
+def _longest_tag_prefix(s: str, tag: str) -> int:
+    """Length of the longest suffix of `s` that is a proper prefix of
+    `tag` (text that must be held back — it may grow into the tag)."""
+    for n in range(min(len(tag) - 1, len(s)), 0, -1):
+        if s.endswith(tag[:n]):
+            return n
+    return 0
+
+
+class StreamingFunctionCallParser:
+    """Incremental tool-call extraction for SSE chat streaming (reference
+    per-detector `parse_streaming_increment` methods).
+
+    push(delta) -> (text_delta, [openai tool_call chunk deltas]).
+    For the hermes/qwen format the call NAME is emitted as soon as it is
+    parseable and the arguments JSON streams out fragment-by-fragment, the
+    OpenAI streaming shape ({index, id, function:{name}} first, then
+    {index, function:{arguments: fragment}} chunks). llama3 / mistral
+    formats have no unambiguous streaming frame, so their calls buffer and
+    flush on finish() — still a valid (single-chunk) stream.
+    """
+
+    OPEN = "<tool_call>"
+    CLOSE = "</tool_call>"
+    _NAME = re.compile(r'"name"\s*:\s*"((?:[^"\\]|\\.)*)"')
+    _ARGS_KEY = re.compile(r'"(arguments|parameters)"\s*:\s*')
+
+    def __init__(self, tools: Optional[List[dict]] = None, format: str = "hermes"):
+        self.inner = FunctionCallParser(tools, format)
+        self.hermes = isinstance(self.inner.detector, HermesDetector)
+        self.buf = ""  # unconsumed model text
+        self.state = "text"  # text | pre_name | args | post_args
+        self.index = -1  # current tool call index
+        self._args_depth = 0
+        self._args_started = False
+        self._in_str = False  # persists across push() chunks
+        self._esc = False
+        self.seen_call = False
+
+    # ------------------------------------------------------------- hermes
+
+    def _emit_text(self) -> str:
+        """Release buffered text except a possible partial OPEN tag."""
+        hold = _longest_tag_prefix(self.buf, self.OPEN)
+        out, self.buf = self.buf[: len(self.buf) - hold], self.buf[len(self.buf) - hold :]
+        return out
+
+    def push(self, delta: str) -> Tuple[str, List[dict]]:
+        if not self.hermes:
+            self.buf += delta
+            return "", []
+        self.buf += delta
+        text_out = []
+        call_deltas: List[dict] = []
+        while True:
+            if self.state == "text":
+                i = self.buf.find(self.OPEN)
+                if i < 0:
+                    text_out.append(self._emit_text())
+                    break
+                text_out.append(self.buf[:i])
+                self.buf = self.buf[i + len(self.OPEN) :]
+                self.state = "pre_name"
+            elif self.state == "pre_name":
+                m = self._NAME.search(self.buf)
+                if not m:
+                    break
+                name = m.group(1)
+                self.index += 1
+                self.seen_call = True
+                call_deltas.append(
+                    {
+                        "index": self.index,
+                        "id": f"call_{uuid.uuid4().hex[:24]}",
+                        "type": "function",
+                        "function": {"name": name, "arguments": ""},
+                    }
+                )
+                self.state = "args"
+                self._args_started = False
+                self._args_depth = 0
+                self._in_str = False
+                self._esc = False
+            elif self.state == "args":
+                if not self._args_started:
+                    m = self._ARGS_KEY.search(self.buf)
+                    if not m:
+                        # no arguments key yet; a close tag means {} args
+                        if self.CLOSE in self.buf:
+                            self.buf = self.buf.split(self.CLOSE, 1)[1]
+                            self.state = "text"
+                            continue
+                        break
+                    self.buf = self.buf[m.end() :]
+                    self._args_started = True
+                # stream the JSON value by brace/bracket depth
+                emitted = []
+                consumed = 0
+                done = False
+                for ch in self.buf:
+                    consumed += 1
+                    emitted.append(ch)
+                    if self._in_str:
+                        if self._esc:
+                            self._esc = False
+                        elif ch == "\\":
+                            self._esc = True
+                        elif ch == '"':
+                            self._in_str = False
+                        continue
+                    if ch == '"':
+                        self._in_str = True
+                    elif ch in "{[":
+                        self._args_depth += 1
+                    elif ch in "}]":
+                        self._args_depth -= 1
+                        if self._args_depth == 0:
+                            done = True
+                            break
+                self.buf = self.buf[consumed:]
+                frag = "".join(emitted)
+                if frag:
+                    call_deltas.append(
+                        {"index": self.index, "function": {"arguments": frag}}
+                    )
+                if done:
+                    self.state = "post_args"
+                else:
+                    break
+            elif self.state == "post_args":
+                i = self.buf.find(self.CLOSE)
+                if i < 0:
+                    if len(self.buf) > len(self.CLOSE):
+                        self.buf = self.buf[-len(self.CLOSE) :]
+                    break
+                self.buf = self.buf[i + len(self.CLOSE) :]
+                self.state = "text"
+        return "".join(text_out), call_deltas
+
+    def finish(self) -> Tuple[str, List[dict]]:
+        """Flush at end of stream. Non-hermes formats parse their whole
+        buffer here; hermes releases any trailing text."""
+        if self.hermes:
+            out, self.buf = self.buf, ""
+            return (out if self.state == "text" else ""), []
+        text = self.buf
+        self.buf = ""
+        if not self.inner.has_tool_call(text):
+            return text, []
+        normal, calls = self.inner.parse_non_stream(text)
+        deltas = []
+        for c in calls:
+            self.index += 1
+            self.seen_call = True
+            deltas.append(
+                {
+                    "index": self.index,
+                    "id": c["id"],
+                    "type": "function",
+                    "function": c["function"],
+                }
+            )
+        return normal, deltas

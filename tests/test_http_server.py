@@ -69,6 +69,7 @@ def server(tmp_path_factory):
             "--model-path", str(path),
             "--host", "127.0.0.1", "--port", str(port),
             "--grpc-port", str(grpc_port),
+            "--tool-call-parser", "hermes",
             "--device", "cpu", "--page-size", "16",
             "--max-total-tokens", "4096", "--context-length", "512",
             "--chunked-prefill-size", "128",
@@ -362,3 +363,40 @@ def test_grpc_invalid_batch_rejected(grpc_client):
             text=["a", "b"], sampling_params={"max_new_tokens": 2}
         )
     assert err.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_streaming_chat_with_tools_passthrough(server):
+    """Streaming chat with tools declared: plain-text output passes through
+    the streaming tool parser unchanged (no spurious tool_calls)."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps(
+            {
+                "model": "m",
+                "messages": [{"role": "user", "content": "w1 w2"}],
+                "max_tokens": 8,
+                "temperature": 0.0,
+                "stream": True,
+                "tools": [
+                    {
+                        "type": "function",
+                        "function": {"name": "noop", "parameters": {}},
+                    }
+                ],
+            }
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=60) as r:
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+    assert chunks
+    assert all("tool_calls" not in c["choices"][0]["delta"] for c in chunks)
+    # (the tiny model's greedy tokens decode to "" — content equality with
+    # the no-tools stream is covered by unit tests on the parser itself)
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"

@@ -100,3 +100,94 @@ def test_no_tool_call_passthrough():
     assert not p.has_tool_call(text)
     normal, calls = p.parse_non_stream(text)
     assert normal == text and calls == []
+
+
+# ------------------------------------------------- streaming tool calls
+
+
+def _push_all(parser, text, chunk=3):
+    """Feed text in small chunks; collect text + tool deltas."""
+    out_text, deltas = [], []
+    for i in range(0, len(text), chunk):
+        t, d = parser.push(text[i : i + chunk])
+        out_text.append(t)
+        deltas.extend(d)
+    t, d = parser.finish()
+    out_text.append(t)
+    deltas.extend(d)
+    return "".join(out_text), deltas
+
+
+def _reassemble(deltas):
+    """Rebuild complete calls from OpenAI streaming deltas."""
+    calls = {}
+    for d in deltas:
+        c = calls.setdefault(d["index"], {"name": "", "arguments": ""})
+        fn = d.get("function", {})
+        if fn.get("name"):
+            c["name"] = fn["name"]
+        c["arguments"] += fn.get("arguments", "")
+    return [calls[i] for i in sorted(calls)]
+
+
+def test_streaming_hermes_incremental():
+    import json
+
+    from sglang_tpu.parser.function_call import StreamingFunctionCallParser
+
+    p = StreamingFunctionCallParser(format="hermes")
+    text = (
+        'Sure, checking. <tool_call>{"name": "get_weather", '
+        '"arguments": {"city": "Paris", "unit": "c"}}</tool_call> done '
+        '<tool_call>{"name": "get_time", "arguments": {}}</tool_call>'
+    )
+    normal, deltas = _push_all(p, text, chunk=2)
+    assert "Sure, checking." in normal and "done" in normal
+    assert "<tool_call>" not in normal
+    calls = _reassemble(deltas)
+    assert [c["name"] for c in calls] == ["get_weather", "get_time"]
+    assert json.loads(calls[0]["arguments"]) == {"city": "Paris", "unit": "c"}
+    assert json.loads(calls[1]["arguments"] or "{}") == {}
+    # name arrived BEFORE the arguments finished streaming
+    name_pos = next(i for i, d in enumerate(deltas) if d.get("function", {}).get("name"))
+    arg_frags = [i for i, d in enumerate(deltas) if d.get("function", {}).get("arguments")]
+    assert len(arg_frags) > 1  # truly incremental, not one blob
+    assert name_pos < arg_frags[-1]
+
+
+def test_streaming_hermes_string_escapes_and_partial_tag():
+    import json
+
+    from sglang_tpu.parser.function_call import StreamingFunctionCallParser
+
+    p = StreamingFunctionCallParser(format="hermes")
+    text = (
+        'a < b and <tool <tool_call>{"name": "f", '
+        '"arguments": {"s": "br{ace \\" ok]"}}</tool_call>'
+    )
+    normal, deltas = _push_all(p, text, chunk=1)
+    assert normal.startswith("a < b and <tool ")
+    calls = _reassemble(deltas)
+    assert json.loads(calls[0]["arguments"]) == {"s": 'br{ace " ok]'}
+
+
+def test_streaming_non_hermes_buffers_to_finish():
+    import json
+
+    from sglang_tpu.parser.function_call import StreamingFunctionCallParser
+
+    p = StreamingFunctionCallParser(format="mistral")
+    text = '[TOOL_CALLS] [{"name": "f", "arguments": {"x": 1}}]'
+    normal, deltas = _push_all(p, text, chunk=4)
+    calls = _reassemble(deltas)
+    assert calls and calls[0]["name"] == "f"
+    assert json.loads(calls[0]["arguments"]) == {"x": 1}
+
+
+def test_streaming_plain_text_passthrough():
+    from sglang_tpu.parser.function_call import StreamingFunctionCallParser
+
+    p = StreamingFunctionCallParser(format="hermes")
+    normal, deltas = _push_all(p, "just a plain answer with no calls", chunk=5)
+    assert normal == "just a plain answer with no calls"
+    assert not deltas and not p.seen_call
