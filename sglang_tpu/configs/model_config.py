@@ -32,6 +32,13 @@ def _load_hf_config_dict(model_path: str, revision: Optional[str] = None) -> dic
     if os.path.isfile(cfg_file):
         with open(cfg_file) as f:
             return json.load(f)
+    # GGUF checkpoints carry their config in the file's metadata
+    from sglang_tpu.model_loader.gguf import find_gguf
+
+    if find_gguf(model_path):
+        from sglang_tpu.model_loader.gguf import GGUFIndex
+
+        return GGUFIndex(model_path).hf_config()
     # Fall back to transformers for hub paths / exotic formats.
     from transformers import AutoConfig
 

@@ -119,7 +119,12 @@ def load_model_weights(
 def load_safetensors_weights(
     model, model_config: ModelConfig, mesh: Optional[Mesh]
 ) -> dict:
-    index = SafetensorsIndex(model_config.model_path)
+    from sglang_tpu.model_loader.gguf import GGUFIndex, find_gguf
+
+    if find_gguf(model_config.model_path):
+        index = GGUFIndex(model_config.model_path)
+    else:
+        index = SafetensorsIndex(model_config.model_path)
     specs = model.param_specs()
     shardings = model.param_shardings()
     params: dict = {"layers": [dict() for _ in range(model.num_layers)]}

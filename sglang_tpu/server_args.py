@@ -23,7 +23,7 @@ from sglang_tpu.utils import get_logger, next_power_of_2, round_up
 logger = get_logger(__name__)
 
 SCHEDULE_POLICIES = ["lpm", "fcfs", "lof", "random", "dfs-weight", "priority"]
-LOAD_FORMATS = ["auto", "safetensors", "dummy", "zeros"]
+LOAD_FORMATS = ["auto", "safetensors", "gguf", "dummy", "zeros"]
 QUANT_METHODS = [None, "int8", "int4", "awq", "gptq", "fp8", "w8a8_int8", "w8a8_fp8"]
 KV_CACHE_DTYPES = ["auto", "bfloat16", "fp8_e4m3", "fp8_e5m2"]
 ATTENTION_BACKENDS = ["auto", "pallas", "reference"]
