@@ -35,6 +35,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     architectures = ["DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM"]
 
     def __init__(self, config: ModelConfig):
+        import os
+
         hf = config.hf_config
         self.qk_nope = hf["qk_nope_head_dim"]
         self.qk_rope = hf["qk_rope_head_dim"]
@@ -42,9 +44,22 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         self.v_head_dim = hf["v_head_dim"]
         self.kv_lora = hf["kv_lora_rank"]
         self.q_lora = hf.get("q_lora_rank")
-        # pool geometry: MHA-decompressed K/V at qk_head_dim (v padded)
-        config.head_dim = self.qk_head_dim
-        config.num_key_value_heads = config.num_attention_heads
+        # Latent-cache MLA (reference MLATokenToKVPool + weight absorption,
+        # `deepseek_v2.py` forward_absorb): the pool stores ONE shared
+        # "head" of [c_kv ; roped k_pe] per token and attention runs as
+        # MQA in latent space — q_nope is absorbed through W_UK into the
+        # latent, the output is absorbed through W_UV after attention.
+        # Cache per token: 2*(kv_lora+qk_rope) elems vs the decompressed
+        # form's 2*num_heads*qk_head_dim (42x smaller at V3 geometry).
+        # SGLANG_TPU_MLA_DECOMPRESS=1 restores the decompressed MHA form.
+        self.use_latent = os.environ.get("SGLANG_TPU_MLA_DECOMPRESS") != "1"
+        if self.use_latent:
+            config.head_dim = self.kv_lora + self.qk_rope
+            config.num_key_value_heads = 1
+        else:
+            # pool geometry: MHA-decompressed K/V at qk_head_dim (v padded)
+            config.head_dim = self.qk_head_dim
+            config.num_key_value_heads = config.num_attention_heads
         super().__init__(config)
         self.sm_scale = self.qk_head_dim**-0.5
         self.inv_freq = jnp.asarray(
@@ -274,26 +289,53 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 fb.positions,
                 self.inv_freq,
             )
-            kv = jnp.dot(
-                c_kv, lp["kv_b"], preferred_element_type=jnp.float32
-            ).astype(normed.dtype).reshape(t, nh, self.qk_nope + self.v_head_dim)
-            k_nope = kv[..., : self.qk_nope]
-            v = kv[..., self.qk_nope :]
-            k = jnp.concatenate(
-                [k_nope, jnp.broadcast_to(k_pe, (t, nh, self.qk_rope))], axis=-1
-            )
-            q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
-            # pad v to qk_head_dim for the shared K/V pool layout
-            v_pad = jnp.pad(
-                v, ((0, 0), (0, 0), (0, self.qk_head_dim - self.v_head_dim))
-            )
-            attn_out, kv_i = attn_backend(
-                q_full, k, v_pad, kv_layers[i], fb, self.sm_scale
-            )
-            new_kv.append(kv_i)
-            attn_out = attn_out[..., : self.v_head_dim].reshape(
-                t, nh * self.v_head_dim
-            )
+            if self.use_latent:
+                # absorbed MQA: q_lat = q_nope @ W_UK; score against the
+                # stored [c_kv ; k_pe] latent; out's first kv_lora dims are
+                # the latent attention output, absorbed through W_UV.
+                kv_b = lp["kv_b"].reshape(
+                    self.kv_lora, nh, self.qk_nope + self.v_head_dim
+                )
+                w_uk = kv_b[..., : self.qk_nope]  # [l, n, dn]
+                w_uv = kv_b[..., self.qk_nope :]  # [l, n, dv]
+                q_lat = jnp.einsum(
+                    "tnd,lnd->tnl", q_nope, w_uk,
+                    preferred_element_type=jnp.float32,
+                ).astype(normed.dtype)
+                q_full = jnp.concatenate([q_lat, q_pe], axis=-1)
+                k_lat = jnp.concatenate(
+                    [c_kv[:, None, :], k_pe], axis=-1
+                )  # [t, 1, l + rope]
+                attn_out, kv_i = attn_backend(
+                    q_full, k_lat, k_lat, kv_layers[i], fb, self.sm_scale
+                )
+                new_kv.append(kv_i)
+                out_lat = attn_out[..., : self.kv_lora]  # [t, n, l]
+                attn_out = jnp.einsum(
+                    "tnl,lnd->tnd", out_lat, w_uv,
+                    preferred_element_type=jnp.float32,
+                ).astype(normed.dtype).reshape(t, nh * self.v_head_dim)
+            else:
+                kv = jnp.dot(
+                    c_kv, lp["kv_b"], preferred_element_type=jnp.float32
+                ).astype(normed.dtype).reshape(t, nh, self.qk_nope + self.v_head_dim)
+                k_nope = kv[..., : self.qk_nope]
+                v = kv[..., self.qk_nope :]
+                k = jnp.concatenate(
+                    [k_nope, jnp.broadcast_to(k_pe, (t, nh, self.qk_rope))], axis=-1
+                )
+                q_full = jnp.concatenate([q_nope, q_pe], axis=-1)
+                # pad v to qk_head_dim for the shared K/V pool layout
+                v_pad = jnp.pad(
+                    v, ((0, 0), (0, 0), (0, self.qk_head_dim - self.v_head_dim))
+                )
+                attn_out, kv_i = attn_backend(
+                    q_full, k, v_pad, kv_layers[i], fb, self.sm_scale
+                )
+                new_kv.append(kv_i)
+                attn_out = attn_out[..., : self.v_head_dim].reshape(
+                    t, nh * self.v_head_dim
+                )
             o = jnp.dot(
                 attn_out, lp["o"], preferred_element_type=jnp.float32
             ).astype(normed.dtype)

@@ -140,3 +140,36 @@ def test_deepseek_v3_shape(tmp_path_factory):
             layer.mlp.gate.e_score_correction_bias.uniform_(-0.5, 0.5)
     model.save_pretrained(path)
     _parity(str(path), model)
+
+
+def test_latent_cache_geometry_and_equivalence(tmp_path_factory, monkeypatch):
+    """The latent MQA path stores [c_kv ; k_pe] per token (1 shared head)
+    and produces the same logits as the decompressed MHA form."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    path = tmp_path_factory.mktemp("tiny_dsv2_lat")
+    cfg = DeepseekV2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, kv_lora_rank=32, q_lora_rank=None,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        intermediate_size=96, moe_intermediate_size=32, n_routed_experts=4,
+        num_experts_per_tok=2, n_shared_experts=1, first_k_dense_replace=1,
+        topk_method="greedy", norm_topk_prob=False, routed_scaling_factor=1.0,
+        vocab_size=256, max_position_embeddings=256, tie_word_embeddings=True,
+        aux_loss_alpha=0.0,
+    )
+    torch.manual_seed(5)
+    hf = DeepseekV2ForCausalLM(cfg).eval()
+    hf.save_pretrained(path)
+
+    # latent (default): one shared kv head of kv_lora + qk_rope dims
+    runner = _parity(str(path), hf)
+    assert runner.model_config.num_key_value_heads == 1
+    assert runner.model_config.head_dim == 32 + 8
+    latent_bytes = runner.kv_pool.bytes_per_page()
+
+    # decompressed (opt-out env): per-head K/V at qk_head_dim
+    monkeypatch.setenv("SGLANG_TPU_MLA_DECOMPRESS", "1")
+    runner2 = _parity(str(path), hf)
+    assert runner2.model_config.num_key_value_heads == 4
+    assert latent_bytes < runner2.kv_pool.bytes_per_page()
