@@ -281,16 +281,89 @@ def build_app(state: ServerState) -> web.Application:
             "top_k": body.get("top_k", -1),
             "stop": body.get("stop_sequences"),
         }
+        import uuid as _uuid
+
+        mid = f"msg_{_uuid.uuid4().hex[:24]}"
+        model = body.get("model", state.server_args.served_model_name)
+
+        def _stop_reason(out):
+            return {
+                "length": "max_tokens",
+                "stop": "stop_sequence"
+                if body.get("stop_sequences")
+                else "end_turn",
+                "abort": "end_turn",
+            }.get(out.finish_reason.kind if out.finish_reason else "stop", "end_turn")
+
+        if body.get("stream"):
+            # Anthropic SSE event protocol: message_start, content_block_*
+            # deltas, message_delta (stop reason + usage), message_stop.
+            treq = state.tm.tokenize(
+                GenerateReqInput(text=prompt, sampling_params=sp, stream=True)
+            )
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+
+            async def ev(name, data):
+                await resp.write(
+                    f"event: {name}\ndata: {json.dumps(data)}\n\n".encode()
+                )
+
+            await ev(
+                "message_start",
+                {
+                    "type": "message_start",
+                    "message": {
+                        "id": mid, "type": "message", "role": "assistant",
+                        "model": model, "content": [],
+                        "stop_reason": None, "stop_sequence": None,
+                        "usage": {"input_tokens": 0, "output_tokens": 0},
+                    },
+                },
+            )
+            await ev(
+                "content_block_start",
+                {
+                    "type": "content_block_start", "index": 0,
+                    "content_block": {"type": "text", "text": ""},
+                },
+            )
+            final = None
+            async for out in state.tm.generate_request(treq):
+                final = out
+                if out.new_text:
+                    await ev(
+                        "content_block_delta",
+                        {
+                            "type": "content_block_delta", "index": 0,
+                            "delta": {"type": "text_delta", "text": out.new_text},
+                        },
+                    )
+            await ev("content_block_stop", {"type": "content_block_stop", "index": 0})
+            await ev(
+                "message_delta",
+                {
+                    "type": "message_delta",
+                    "delta": {
+                        "stop_reason": _stop_reason(final) if final else "end_turn",
+                        "stop_sequence": None,
+                    },
+                    "usage": {
+                        "output_tokens": final.completion_tokens if final else 0
+                    },
+                },
+            )
+            await ev("message_stop", {"type": "message_stop"})
+            await resp.write_eof()
+            return resp
+
         treq = state.tm.tokenize(
             GenerateReqInput(text=prompt, sampling_params=sp)
         )
         out = await _collect_raw(state, treq)
-        stop_reason = {
-            "length": "max_tokens",
-            "stop": "stop_sequence" if (body.get("stop_sequences")) else "end_turn",
-            "abort": "end_turn",
-        }.get(out.finish_reason.kind if out.finish_reason else "stop", "end_turn")
-        import uuid as _uuid
+        stop_reason = _stop_reason(out)
 
         return web.json_response(
             {

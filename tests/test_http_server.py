@@ -400,3 +400,38 @@ def test_streaming_chat_with_tools_passthrough(server):
     # (the tiny model's greedy tokens decode to "" — content equality with
     # the no-tools stream is covered by unit tests on the parser itself)
     assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+
+def test_anthropic_messages_streaming(server):
+    import urllib.request
+
+    req = urllib.request.Request(
+        server + "/v1/messages",
+        data=json.dumps(
+            {
+                "model": "m",
+                "max_tokens": 6,
+                "temperature": 0.0,
+                "stream": True,
+                "messages": [{"role": "user", "content": "w1 w2"}],
+            }
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        name = None
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("event: "):
+                name = line[7:]
+            elif line.startswith("data: "):
+                events.append((name, json.loads(line[6:])))
+    names = [n for n, _ in events]
+    assert names[0] == "message_start"
+    assert "content_block_start" in names
+    assert names[-2:] == ["message_delta", "message_stop"]
+    md = dict(events)["message_delta"]
+    assert md["delta"]["stop_reason"] == "max_tokens"
+    assert md["usage"]["output_tokens"] == 6
