@@ -83,6 +83,12 @@ class GrammarBackend:
                 from sglang_tpu.constrained.ebnf import compile_ebnf
 
                 dfa = compile_ebnf(spec)
+            elif kind == "structural_tag":
+                from sglang_tpu.constrained.structural_tag import (
+                    compile_structural_tag,
+                )
+
+                dfa = compile_structural_tag(spec)
             else:
                 raise ValueError(f"unknown grammar kind {kind}")
             fsm = TokenFSM(dfa, self.tokenizer)

@@ -221,7 +221,9 @@ class Scheduler:
             elif sp.ebnf is not None:
                 req.grammar = self.grammar_backend.get("ebnf", sp.ebnf)
             else:
-                raise ValueError("structural_tag is not supported yet")
+                req.grammar = self.grammar_backend.get(
+                    "structural_tag", sp.structural_tag
+                )
         self.waiting_queue.append(req)
         self.reqs[req.rid] = req
         return req

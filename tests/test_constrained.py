@@ -277,3 +277,78 @@ def test_ebnf_constrained_generation(word_engine):
     tok = word_engine.tokenizer
     text = tok.decode(out["output_ids"], skip_special_tokens=True).replace(" ", "")
     assert pyre.fullmatch(r"(red|green)(,(red|green))*", text), text
+
+
+# --------------------------------------------------------- structural tags
+
+
+def _tag_dfa(structures):
+    from sglang_tpu.constrained.structural_tag import compile_structural_tag
+
+    return compile_structural_tag(
+        json.dumps({"type": "structural_tag", "structures": structures})
+    )
+
+
+def _accepts(dfa, s):
+    st = dfa.step_string(0, s)
+    return st >= 0 and dfa.accepting[st]
+
+
+def _alive(dfa, s):
+    return dfa.step_string(0, s) >= 0
+
+
+def test_structural_tag_free_and_triggered():
+    dfa = _tag_dfa(
+        [{"begin": "[fn]", "schema": {"type": "integer"}, "end": "[end]"}]
+    )
+    # pure free text accepts, including partial begin prefixes
+    for s in ["", "hello world", "brackets ] ok [ too", "[f", "[fn"]:
+        assert _accepts(dfa, s), s
+    # once [fn] is emitted the schema+end is FORCED
+    assert not _accepts(dfa, "x[fn]")          # mid-structure: EOS illegal
+    assert not _accepts(dfa, "x[fn]12")        # end missing
+    assert not _alive(dfa, "x[fn]ab")          # schema violated -> dead
+    assert _accepts(dfa, "x[fn]42[end]")       # complete structure
+    assert _accepts(dfa, "x[fn]42[end] more text")   # free text resumes
+    assert _accepts(dfa, "[fn]1[end][fn]2[end]")     # repeatable
+
+
+def test_structural_tag_multiple_structures():
+    dfa = _tag_dfa(
+        [
+            {"begin": "[a]", "schema": {"type": "integer"}, "end": "[/a]"},
+            {"begin": "[b]", "schema": {"type": "boolean"}, "end": "[/b]"},
+        ]
+    )
+    assert _accepts(dfa, "t [a]7[/a] u [b]true[/b] v")
+    assert not _alive(dfa, "[a]true")   # wrong schema for this tag
+    assert not _accepts(dfa, "[b]true") # end required
+
+
+def test_structural_tag_constrained_generation(word_engine):
+    """End-to-end: whatever the model emits, any [fn] region obeys the
+    schema and closes with [end]."""
+    spec = json.dumps(
+        {
+            "type": "structural_tag",
+            "structures": [
+                {"begin": "[9]", "schema": {"type": "integer"}, "end": "[0]"}
+            ],
+        }
+    )
+    out = word_engine.generate(
+        input_ids=[5, 6, 7],
+        sampling_params={
+            "max_new_tokens": 20,
+            "temperature": 1.2,
+            "structural_tag": spec,
+        },
+    )
+    tok = word_engine.tokenizer
+    text = tok.decode(out["output_ids"], skip_special_tokens=True).replace(" ", "")
+    # verify with the same DFA: emitted text must be a live (accepted or
+    # extendable) string of the grammar
+    dfa = _tag_dfa([{"begin": "[9]", "schema": {"type": "integer"}, "end": "[0]"}])
+    assert dfa.step_string(0, text) >= 0, text
