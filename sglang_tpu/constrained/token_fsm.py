@@ -109,6 +109,14 @@ class TokenFSM:
         self._mask_cache[state] = mask
         return mask
 
+    def token_string(self, token_id: int) -> Optional[str]:
+        """Decoded surface string of one token (None for specials)."""
+        if self._token_strs is None:
+            self._token_strs = TokenFSM._trie_cache[id(self.tokenizer)][2]
+        if 0 <= token_id < len(self._token_strs):
+            return self._token_strs[token_id]
+        return None
+
     def advance(self, state: int, token_id: int) -> int:
         """DFA state after consuming `token_id` (or -1 dead / unchanged for
         EOS)."""

@@ -59,6 +59,7 @@ class SchedulerStats:
         self.num_prefill_steps = 0
         self.num_decode_steps = 0
         self.num_hicache_tokens = 0  # tokens reloaded from the host tier
+        self.num_jump_forward_tokens = 0  # grammar-forced tokens injected
 
     def cache_hit_rate(self) -> float:
         total = self.num_prefill_tokens + self.num_cached_tokens
@@ -723,9 +724,19 @@ class Scheduler:
                 n_tok += 1
                 if r.finished():
                     break
-            if r.finished():
+            jumped = False
+            if (
+                not r.finished()
+                and r.grammar is not None
+                and self._inflight is None  # never while a step is in flight
+            ):
+                jumped = self._try_jump_forward(r)
+            if r.finished():  # (a jump may complete it via a stop string)
                 outputs.append(self._finish_req(r))
-            elif r.stream and (
+                continue
+            if jumped:
+                continue
+            if r.stream and (
                 len(r.output_ids) % self.server_args.stream_interval < k_steps
             ):
                 out = self._emit_stream(r)
@@ -734,6 +745,59 @@ class Scheduler:
         self.stats.num_decode_tokens += n_tok
         self.running_batch.filter_finished()
         return outputs
+
+    # --------------------------------------------------------- jump-forward
+
+    JUMP_FORWARD_MIN_CHARS = 4
+
+    def _try_jump_forward(self, r: Req) -> bool:
+        """Constrained decoding jump-forward (reference
+        `jump_forward_cache` / outlines_jump_forward): when the grammar DFA
+        forces a unique character chain, append its tokens without model
+        forwards and re-admit the request through the prefill path (the
+        radix cache holds the computed prefix, so the re-prefill computes
+        only the injected tokens). Returns True if the request was jumped
+        (it left the running batch)."""
+        if self.tokenizer is None or r.grammar.finished:
+            return False
+        js, _ = r.grammar.jump_forward()
+        if len(js) < self.JUMP_FORWARD_MIN_CHARS:
+            return False
+        budget = r.sampling_params.max_new_tokens - len(r.output_ids)
+        toks = self.tokenizer.encode(js, add_special_tokens=False)
+        if not toks or len(toks) >= budget:
+            return False
+        # validate without mutating: the token strings must walk the DFA
+        # through exactly the forced chars (tokenization healing can
+        # produce tokens whose surface differs — abort the jump then)
+        fsm = r.grammar.fsm
+        strs = [fsm.token_string(int(t)) for t in toks]
+        if any(s is None for s in strs) or "".join(strs) != js:
+            return False
+        st = r.grammar.state
+        for t in toks:
+            st = fsm.advance(st, int(t))
+            if st < 0:
+                return False
+        n_appended = 0
+        for t in toks:  # real append: grammar, detok, finish checks
+            self._append_token(r, int(t), 0.0)
+            n_appended += 1
+            if r.finished():
+                break
+        self.stats.num_jump_forward_tokens += n_appended
+        if r.finished():
+            # the jump completed the generation (stop string inside the
+            # forced text); caller emits the finish — no retract needed
+            return False
+        # leave the running batch; re-admission re-prefills the injected
+        # tokens on top of the radix-cached prefix
+        if r in self.running_batch.reqs:
+            self.running_batch.reqs.remove(r)
+        self._release_req(r, insert=True)
+        r.reset_for_retract()
+        self.waiting_queue.insert(0, r)
+        return True
 
     # -------------------------------------------------------- bookkeeping
 
