@@ -103,13 +103,23 @@ def sample(
     info: SamplingBatchInfo,
     rng_key: jax.Array,
     counts: Optional[jax.Array] = None,
+    custom_procs: tuple = (),
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (next_token_ids [B] i32, token_logprobs [B] f32).
 
-    Order (reference `layers/sampler.py:57`): penalties -> logit bias /
-    grammar mask -> temperature -> top-k/top-p/min-p -> draw."""
+    Order (reference `layers/sampler.py:57`): penalties -> custom logit
+    processors -> logit bias / grammar mask -> temperature ->
+    top-k/top-p/min-p -> draw."""
     if info.need_penalties and counts is not None:
         logits = apply_penalties(logits, counts, info)
+    if info.need_custom and custom_procs:
+        # per-row dispatch over registered jittable processors
+        # (reference custom_logit_processor, `sampling_batch_info.py`):
+        # fn(logits [B,V], params [B,P]) -> logits, applied to the rows
+        # that selected it
+        for i, fn in enumerate(custom_procs):
+            sel = (info.proc_ids == i)[:, None]
+            logits = jnp.where(sel, fn(logits, info.proc_params), logits)
     if info.need_bias:
         logits = apply_sparse_bias(logits, info)
     if info.need_grammar:

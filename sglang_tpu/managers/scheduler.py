@@ -225,6 +225,13 @@ class Scheduler:
                 req.grammar = self.grammar_backend.get(
                     "structural_tag", sp.structural_tag
                 )
+        if sp.custom_logit_processor is not None:
+            if sp.custom_logit_processor not in self.runner.custom_proc_index:
+                raise ValueError(
+                    f"unknown custom_logit_processor "
+                    f"{sp.custom_logit_processor!r}; registered: "
+                    f"{sorted(self.runner.custom_proc_index)}"
+                )
         self.waiting_queue.append(req)
         self.reqs[req.rid] = req
         return req
@@ -366,6 +373,17 @@ class Scheduler:
                     grammar_masks[i, : len(m)] = m[:vocab]
                     if len(m) < vocab:
                         grammar_masks[i, len(m):] = False
+        custom_proc_ids = None
+        if any(
+            r.sampling_params.custom_logit_processor is not None for r in reqs
+        ):
+            idx = self.runner.custom_proc_index
+            custom_proc_ids = [
+                idx.get(r.sampling_params.custom_logit_processor, -1)
+                if r.sampling_params.custom_logit_processor is not None
+                else -1
+                for r in reqs
+            ]
         return SamplingBatchInfo.meta_from_reqs(
             [r.sampling_params for r in reqs],
             padded_bs=padded_bs,
@@ -375,6 +393,7 @@ class Scheduler:
             eos_blocked=eos_blocked,
             max_slots=self.max_slots,
             grammar_masks=grammar_masks,
+            custom_proc_ids=custom_proc_ids,
         )
 
     def _forward_extend(self, batch: ScheduleBatch) -> List[ReqStrOutput]:

@@ -122,6 +122,21 @@ class ModelRunner:
                 name, _, path = spec.partition("=")
                 self.lora_manager.load(name, path or name)
         self._init_kv_pool()
+        # custom logit processors: "name=module:attr" -> jittable
+        # fn(logits [B,V], params [B,P]) -> logits (reference
+        # custom_logit_processor; ours are named + registered at launch
+        # so the jitted step can close over them)
+        self.custom_procs: list = []
+        self.custom_proc_index: dict = {}
+        for spec in server_args.custom_logit_processors or []:
+            name, _, target = spec.partition("=")
+            mod, _, attr = target.partition(":")
+            import importlib
+
+            fn = getattr(importlib.import_module(mod), attr)
+            self.custom_proc_index[name] = len(self.custom_procs)
+            self.custom_procs.append(fn)
+        self._custom_procs_t = tuple(self.custom_procs)
         self.rng_key = jax.random.PRNGKey(server_args.random_seed)
         self._step_counter = 0
         self._jit_cache = {}
@@ -358,7 +373,10 @@ class ModelRunner:
                     )
                 sel = hidden[logits_indices]
                 logits = self.model.compute_logits(params, sel)
-                next_ids, tok_lp = sample(logits, sinfo, rng, counts)
+                next_ids, tok_lp = sample(
+                    logits, sinfo, rng, counts,
+                    custom_procs=self._custom_procs_t,
+                )
                 if sinfo.need_penalties:
                     counts = update_counts_sampled(counts, next_ids, sinfo)
                 return next_ids, tok_lp, new_kv, counts
@@ -527,7 +545,13 @@ class ModelRunner:
             *blk,
         ]
         i32_blob, f32_blob = sampling_meta.pack(extra_i32=i32_parts)
-        flags = tuple(sampling_meta.flags[:5]) + (False,)
+        # packed upload excludes grammar masks (flag 5 forced off) but
+        # keeps everything after it (need_custom)
+        flags = (
+            tuple(sampling_meta.flags[:5])
+            + (False,)
+            + tuple(sampling_meta.flags[6:])
+        )
         rng = jax.random.fold_in(self.rng_key, self._step_counter)
         self._step_counter += 1
         key = ("extend_packed", tt, bb, nb, flags)
@@ -585,7 +609,10 @@ class ModelRunner:
                     )
                 logits_idx = jnp.maximum(cu_d[1:] - 1, 0)
                 logits = model.compute_logits(params, hidden[logits_idx])
-                next_ids, tok_lp = sample(logits, sinfo, rng, counts)
+                next_ids, tok_lp = sample(
+                    logits, sinfo, rng, counts,
+                    custom_procs=self._custom_procs_t,
+                )
                 if sinfo.need_penalties:
                     counts = update_counts_sampled(counts, next_ids, sinfo)
                 return next_ids, tok_lp, new_kv, counts
@@ -638,7 +665,13 @@ class ModelRunner:
         i32_blob, f32_blob = sampling_meta.pack(extra_i32=extra)
         i32_dev = jnp.asarray(i32_blob)
         f32_dev = jnp.asarray(f32_blob)
-        flags = tuple(sampling_meta.flags[:5]) + (False,)
+        # packed upload excludes grammar masks (flag 5 forced off) but
+        # keeps everything after it (need_custom)
+        flags = (
+            tuple(sampling_meta.flags[:5])
+            + (False,)
+            + tuple(sampling_meta.flags[6:])
+        )
         rng = jax.random.fold_in(self.rng_key, self._step_counter)
         self._step_counter += k_steps
         # bb and pmax are baked into the closure (blob slicing) — they must
@@ -696,7 +729,10 @@ class ModelRunner:
                     hidden, kv = model.forward(params, kv, fb, backend)
                     logits = model.compute_logits(params, hidden)
                     step_key = jax.random.fold_in(key, k)
-                    next_ids, tok_lp = sample(logits, sinfo, step_key, cnts)
+                    next_ids, tok_lp = sample(
+                        logits, sinfo, step_key, cnts,
+                        custom_procs=self._custom_procs_t,
+                    )
                     if sinfo.need_penalties:
                         cnts = update_counts_sampled(cnts, next_ids, sinfo)
                     return (kv, cnts, next_ids, key), (next_ids, tok_lp)

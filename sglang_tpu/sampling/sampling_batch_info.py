@@ -28,6 +28,7 @@ from sglang_tpu.sampling.sampling_params import TOP_K_ALL, SamplingParams
 
 MAX_BIAS_TOKENS = 32  # per-request logit_bias entries (padded)
 MAX_STOP_TOKENS = 8  # per-request blocked-EOS ids for min_new_tokens
+CUSTOM_PARAMS_DIM = 8  # per-request custom-logit-processor params (padded)
 
 
 @jax.tree_util.register_dataclass
@@ -53,6 +54,9 @@ class SamplingBatchInfo:
     # grammar vocab bitmask, big-endian packed (reference sgl-kernel
     # apply_token_bitmask; [B, 1] dummy when unused)
     vocab_mask_packed: jax.Array = None  # [B, ceil(V/8)] uint8
+    # custom logit processors: per-row registry index (-1 = none) + params
+    proc_ids: jax.Array = None  # [B] i32
+    proc_params: jax.Array = None  # [B, CUSTOM_PARAMS_DIM] f32
     # static flags (select the jit variant)
     is_all_greedy: bool = field(metadata=dict(static=True), default=False)
     need_top_p: bool = field(metadata=dict(static=True), default=False)
@@ -60,6 +64,7 @@ class SamplingBatchInfo:
     need_penalties: bool = field(metadata=dict(static=True), default=False)
     need_bias: bool = field(metadata=dict(static=True), default=False)
     need_grammar: bool = field(metadata=dict(static=True), default=False)
+    need_custom: bool = field(metadata=dict(static=True), default=False)
 
     @classmethod
     def from_reqs(cls, *args, **kwargs) -> "SamplingBatchInfo":
@@ -76,6 +81,7 @@ class SamplingBatchInfo:
         eos_blocked: Optional[List[List[int]]] = None,
         max_slots: int = 0,
         grammar_masks: Optional[np.ndarray] = None,  # [n, V] bool or None
+        custom_proc_ids: Optional[List[int]] = None,  # [n] registry index/-1
     ) -> "SamplingBatchInfo":
         n = len(params_list)
         temperature = np.ones(padded_bs, dtype=np.float32)
@@ -127,6 +133,18 @@ class SamplingBatchInfo:
                 for j, tid in enumerate(eos_blocked[i][:MAX_STOP_TOKENS]):
                     block_ids[i, j] = tid
                     block_mask[i, j] = 1.0
+        proc_ids = np.full(padded_bs, -1, dtype=np.int32)
+        proc_params = np.zeros((padded_bs, CUSTOM_PARAMS_DIM), dtype=np.float32)
+        need_custom = False
+        if custom_proc_ids is not None:
+            for i, pid in enumerate(custom_proc_ids):
+                if pid is None or pid < 0:
+                    continue
+                need_custom = True
+                proc_ids[i] = pid
+                cp = params_list[i].custom_params or []
+                for j, v in enumerate(cp[:CUSTOM_PARAMS_DIM]):
+                    proc_params[i, j] = v
         need_grammar = grammar_masks is not None
         if need_grammar:
             full = np.ones((padded_bs, grammar_masks.shape[1]), dtype=bool)
@@ -150,6 +168,8 @@ class SamplingBatchInfo:
             block_ids=block_ids,
             block_mask=block_mask,
             vocab_mask_packed=packed,
+            proc_ids=proc_ids,
+            proc_params=proc_params,
             flags=(
                 all(sp.is_greedy for sp in params_list),
                 any(sp.top_p < 1.0 for sp in params_list),
@@ -157,6 +177,7 @@ class SamplingBatchInfo:
                 need_penalties,
                 need_bias,
                 need_grammar,
+                need_custom,
             ),
         )
 
@@ -164,7 +185,9 @@ class SamplingBatchInfo:
 # Field split for the two-blob packed upload (decode multi-step): every
 # int-like field rides one i32 blob, every float field one f32 blob — two
 # host->device transfers per chunk instead of fifteen.
-_I32_FIELDS = ("top_k", "slot_ids", "fresh_mask", "bias_ids", "block_ids")
+_I32_FIELDS = (
+    "top_k", "slot_ids", "fresh_mask", "bias_ids", "block_ids", "proc_ids",
+)
 _F32_FIELDS = (
     "temperature",
     "top_p",
@@ -175,6 +198,7 @@ _F32_FIELDS = (
     "count_mask",
     "bias_vals",
     "block_mask",
+    "proc_params",
 )
 
 
@@ -198,7 +222,9 @@ class SamplingMeta:
     block_ids: np.ndarray
     block_mask: np.ndarray
     vocab_mask_packed: np.ndarray
-    flags: tuple  # (is_all_greedy, top_p, min_p, penalties, bias, grammar)
+    flags: tuple  # (greedy, top_p, min_p, penalties, bias, grammar, custom)
+    proc_ids: np.ndarray = None
+    proc_params: np.ndarray = None
 
     @property
     def padded_bs(self) -> int:
@@ -222,25 +248,42 @@ class SamplingMeta:
             block_ids=jnp.asarray(self.block_ids),
             block_mask=jnp.asarray(self.block_mask),
             vocab_mask_packed=jnp.asarray(self.vocab_mask_packed),
+            proc_ids=jnp.asarray(
+                self.proc_ids
+                if self.proc_ids is not None
+                else np.full(self.padded_bs, -1, dtype=np.int32)
+            ),
+            proc_params=jnp.asarray(
+                self.proc_params
+                if self.proc_params is not None
+                else np.zeros((self.padded_bs, CUSTOM_PARAMS_DIM), np.float32)
+            ),
             is_all_greedy=f[0],
             need_top_p=f[1],
             need_min_p=f[2],
             need_penalties=f[3],
             need_bias=f[4],
             need_grammar=f[5],
+            need_custom=f[6] if len(f) > 6 else False,
         )
+
+    def _field(self, name: str) -> np.ndarray:
+        v = getattr(self, name)
+        if v is None:  # optional custom-proc fields default to "none"
+            if name == "proc_ids":
+                return np.full(self.padded_bs, -1, dtype=np.int32)
+            return np.zeros((self.padded_bs, CUSTOM_PARAMS_DIM), np.float32)
+        return np.asarray(v)
 
     def pack(self, extra_i32: list = ()) -> tuple:
         """(i32_blob, f32_blob) numpy arrays; extra_i32 arrays are
         prepended (page tables, seq lens, input ids...)."""
         i32 = [np.asarray(a).ravel().astype(np.int32) for a in extra_i32]
         i32 += [
-            np.asarray(getattr(self, f)).ravel().astype(np.int32)
-            for f in _I32_FIELDS
+            self._field(f).ravel().astype(np.int32) for f in _I32_FIELDS
         ]
         f32 = [
-            np.asarray(getattr(self, f)).ravel().astype(np.float32)
-            for f in _F32_FIELDS
+            self._field(f).ravel().astype(np.float32) for f in _F32_FIELDS
         ]
         return np.concatenate(i32), np.concatenate(f32)
 
@@ -278,6 +321,8 @@ def unpack_sinfo(
             if name == "bias_vals"
             else MAX_STOP_TOKENS
             if name == "block_mask"
+            else CUSTOM_PARAMS_DIM
+            if name == "proc_params"
             else 1
         )
         val = jax.lax.dynamic_slice(f32, (o,), (n,))
@@ -285,6 +330,8 @@ def unpack_sinfo(
             val = val.reshape(b, MAX_BIAS_TOKENS)
         elif name == "block_mask":
             val = val.reshape(b, MAX_STOP_TOKENS)
+        elif name == "proc_params":
+            val = val.reshape(b, CUSTOM_PARAMS_DIM)
         fields[name] = val
         o += n
     return SamplingBatchInfo(
@@ -295,5 +342,6 @@ def unpack_sinfo(
         need_penalties=flags[3],
         need_bias=flags[4],
         need_grammar=False,
+        need_custom=flags[6] if len(flags) > 6 else False,
         **fields,
     )

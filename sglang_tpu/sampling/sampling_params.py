@@ -36,6 +36,10 @@ class SamplingParams:
     json_schema: Optional[str] = None
     ebnf: Optional[str] = None
     structural_tag: Optional[str] = None
+    # named server-registered jittable logit processor + its per-request
+    # parameters (reference custom_logit_processor)
+    custom_logit_processor: Optional[str] = None
+    custom_params: Optional[List[float]] = None
     # Logit bias: token id -> additive bias
     logit_bias: Optional[Dict[int, float]] = None
     n: int = 1

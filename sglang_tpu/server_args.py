@@ -96,6 +96,8 @@ class ServerArgs:
 
     # --- Sampling / constrained decoding ---
     grammar_backend: str = "native"
+    # "name=module:attr" jittable fn(logits, params) -> logits entries
+    custom_logit_processors: Optional[List[str]] = None
     constrained_json_whitespace_pattern: Optional[str] = None
 
     # --- Output parsing (chat API) ---
@@ -209,7 +211,12 @@ class ServerArgs:
                     action="store_true" if not default else "store_false",
                     default=default,
                 )
-            elif f.name in ("decode_bs_buckets", "prefill_token_buckets", "lora_paths"):
+            elif f.name in (
+                "decode_bs_buckets",
+                "prefill_token_buckets",
+                "lora_paths",
+                "custom_logit_processors",
+            ):
                 parser.add_argument(name, nargs="*", default=None)
             else:
                 ann = str(f.type)
