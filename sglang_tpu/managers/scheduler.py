@@ -139,6 +139,13 @@ class Scheduler:
 
             self.draft_worker = EagleWorker(server_args, self.runner)
             self.spec = self.draft_worker
+        elif server_args.speculative_algorithm in ("MTP", "NEXTN"):
+            from sglang_tpu.speculative.eagle_worker import EagleWorker
+
+            self.draft_worker = EagleWorker(
+                server_args, self.runner, mode="mtp"
+            )
+            self.spec = self.draft_worker
 
         self.waiting_queue: List[Req] = []
         self.running_batch = ScheduleBatch(

@@ -258,12 +258,23 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     def forward(self, params, kv_layers, fb, attn_backend):
         c = self.config
-        t = fb.input_ids.shape[0]
-        nh = self.num_q_heads
         h = params["embed"][fb.input_ids]
         new_kv = []
         for i in range(self.num_layers):
-            lp = params["layers"][i]
+            h, kv_i = self.ds_decoder_layer(
+                params["layers"][i], h, kv_layers[i], fb, attn_backend, i
+            )
+            new_kv.append(kv_i)
+        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        return h, new_kv
+
+    def ds_decoder_layer(self, lp, h, kv_layer, fb, attn_backend, i):
+        """One MLA + (dense|MoE) block — shared with the MTP head
+        (`models/deepseek_mtp.py`)."""
+        c = self.config
+        t = h.shape[0]
+        nh = self.num_q_heads
+        if True:
             normed = rms_norm(h, lp["input_norm"], c.rms_norm_eps)
             # ---- MLA attention (decompressed form) ----
             if self.q_lora is None:
@@ -307,9 +318,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     [c_kv[:, None, :], k_pe], axis=-1
                 )  # [t, 1, l + rope]
                 attn_out, kv_i = attn_backend(
-                    q_full, k_lat, k_lat, kv_layers[i], fb, self.sm_scale
+                    q_full, k_lat, k_lat, kv_layer, fb, self.sm_scale
                 )
-                new_kv.append(kv_i)
                 out_lat = attn_out[..., : self.kv_lora]  # [t, n, l]
                 attn_out = jnp.einsum(
                     "tnl,lnd->tnd", out_lat, w_uv,
@@ -330,9 +340,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     v, ((0, 0), (0, 0), (0, self.qk_head_dim - self.v_head_dim))
                 )
                 attn_out, kv_i = attn_backend(
-                    q_full, k, v_pad, kv_layers[i], fb, self.sm_scale
+                    q_full, k, v_pad, kv_layer, fb, self.sm_scale
                 )
-                new_kv.append(kv_i)
                 attn_out = attn_out[..., : self.v_head_dim].reshape(
                     t, nh * self.v_head_dim
                 )
@@ -374,5 +383,4 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     silu_and_mul(gu), lp["down"],
                     preferred_element_type=jnp.float32,
                 ).astype(normed.dtype)
-        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
-        return h, new_kv
+        return h, kv_i

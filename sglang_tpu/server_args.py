@@ -28,7 +28,7 @@ QUANT_METHODS = [None, "int8", "int4", "awq", "gptq", "fp8", "w8a8_int8", "w8a8_
 KV_CACHE_DTYPES = ["auto", "bfloat16", "fp8_e4m3", "fp8_e5m2"]
 ATTENTION_BACKENDS = ["auto", "pallas", "reference"]
 GRAMMAR_BACKENDS = ["native", "none"]
-SPEC_ALGORITHMS = [None, "NGRAM", "EAGLE", "STANDALONE"]
+SPEC_ALGORITHMS = [None, "NGRAM", "EAGLE", "STANDALONE", "MTP", "NEXTN"]
 
 
 @dataclass
@@ -182,7 +182,9 @@ class ServerArgs:
                     f"{self.speculative_algorithm} speculation needs "
                     "--speculative-draft-model-path"
                 )
-            if self.speculative_algorithm not in ("NGRAM", "EAGLE", "STANDALONE"):
+            if self.speculative_algorithm not in (
+                "NGRAM", "EAGLE", "STANDALONE", "MTP", "NEXTN",
+            ):
                 raise ValueError(
                     f"bad speculative_algorithm {self.speculative_algorithm}"
                 )

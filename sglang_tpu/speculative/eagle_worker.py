@@ -48,19 +48,45 @@ class _DraftState:
 
 
 class EagleWorker:
-    def __init__(self, server_args, target_runner):
+    """Feature-level draft worker. mode="eagle": separate EAGLE-1 head
+    checkpoint. mode="mtp": the DeepSeek MTP layer living INSIDE the
+    target checkpoint (reference NEXTN), which carries its own output
+    head."""
+
+    def __init__(self, server_args, target_runner, mode: str = "eagle"):
         self.t_runner = target_runner
+        self.mode = mode
         tcfg = target_runner.model_config
-        cfg = ModelConfig.load(
-            server_args.speculative_draft_model_path,
-            dtype=server_args.dtype,
-            context_length=tcfg.context_length,
-        )
-        assert cfg.vocab_size == tcfg.vocab_size, "EAGLE draft vocab mismatch"
-        assert cfg.hidden_size == tcfg.hidden_size, (
-            "EAGLE draft hidden size must equal the target's (fc concat)"
-        )
-        self.model = EagleLlamaForCausalLM(cfg)
+        if mode == "mtp":
+            from sglang_tpu.models.deepseek_mtp import DeepseekMTPModel
+
+            cfg = tcfg
+            self.model = DeepseekMTPModel(
+                tcfg, layer_index=tcfg.hf_config["num_hidden_layers"]
+            )
+            cfg = self.model.config  # copy with num_hidden_layers=1
+            load_cfg = ModelConfig.load(
+                server_args.speculative_draft_model_path
+                or server_args.model_path,
+                dtype=server_args.dtype,
+                context_length=tcfg.context_length,
+            )
+            load_cfg.model_path = (
+                server_args.speculative_draft_model_path
+                or server_args.model_path
+            )
+            cfg.model_path = load_cfg.model_path
+        else:
+            cfg = ModelConfig.load(
+                server_args.speculative_draft_model_path,
+                dtype=server_args.dtype,
+                context_length=tcfg.context_length,
+            )
+            assert cfg.vocab_size == tcfg.vocab_size, "EAGLE draft vocab mismatch"
+            assert cfg.hidden_size == tcfg.hidden_size, (
+                "EAGLE draft hidden size must equal the target's (fc concat)"
+            )
+            self.model = EagleLlamaForCausalLM(cfg)
         self.params = load_model_weights(
             self.model,
             cfg,
@@ -117,7 +143,10 @@ class EagleWorker:
                     params, kv, fb, self.backend, feats
                 )
                 h_last = h[last_idx]  # [bb, H] draft feature per seq
-                logits = self.t_runner.model.compute_logits(tparams, h_last)
+                if self.mode == "mtp":  # MTP carries its own output head
+                    logits = self.model.compute_logits(params, h_last)
+                else:
+                    logits = self.t_runner.model.compute_logits(tparams, h_last)
                 return jnp.argmax(logits, axis=-1), h_last, new_kv
 
             self._jit_cache[key] = jax.jit(_ext, donate_argnums=(2,))
@@ -131,7 +160,10 @@ class EagleWorker:
                 h, new_kv = self.model.forward_with_features(
                     params, kv, fb, self.backend, feats
                 )
-                logits = self.t_runner.model.compute_logits(tparams, h)
+                if self.mode == "mtp":
+                    logits = self.model.compute_logits(params, h)
+                else:
+                    logits = self.t_runner.model.compute_logits(tparams, h)
                 return jnp.argmax(logits, axis=-1), h, new_kv
 
             self._jit_cache[key] = jax.jit(_dec, donate_argnums=(2,))
