@@ -129,6 +129,19 @@ class ModelConfig:
         quantization: Optional[str] = None,
         kv_cache_dtype: str = "auto",
     ) -> "ModelConfig":
+        if "text_config" in hf and "hidden_size" not in hf:
+            # multimodal wrapper configs (llava, ...): language-model
+            # geometry comes from the nested text_config; the full dict
+            # stays available as hf_config (vision_config etc.)
+            merged = dict(hf["text_config"])
+            for k, v in hf.items():
+                merged.setdefault(k, v)
+            # the wrapper owns the architecture identity
+            if hf.get("architectures"):
+                merged["architectures"] = hf["architectures"]
+            if hf.get("model_type"):
+                merged["model_type"] = hf["model_type"]
+            hf = merged
         n_heads = hf.get("num_attention_heads", 0)
         hidden = hf.get("hidden_size", 0)
         head_dim = hf.get("head_dim") or (hidden // n_heads if n_heads else 0)

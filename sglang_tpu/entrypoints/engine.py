@@ -76,6 +76,7 @@ class Engine:
         rid: Optional[Union[str, List[str]]] = None,
         session_params: Optional[Dict] = None,
         lora_path: Optional[str] = None,
+        image_data=None,
     ) -> Union[Dict, List[Dict], Iterator[Dict]]:
         """Synchronous generation (batch or single). With `stream=True` and a
         single prompt, returns an iterator of incremental dicts."""
@@ -89,6 +90,7 @@ class Engine:
             stream=stream,
             session_params=session_params,
             lora_path=lora_path,
+            image_data=image_data,
         )
         was_batch = gri.is_batch()
         singles = gri.unbatch()
@@ -122,6 +124,23 @@ class Engine:
             if isinstance(g.sampling_params, SamplingParams)
             else SamplingParams.from_dict(g.sampling_params)
         )
+        mm_embeds = mm_positions = None
+        if g.image_data is not None:
+            import numpy as _np
+
+            pix = _np.asarray(g.image_data, dtype=_np.float32)
+            if pix.ndim == 3:
+                pix = pix[None]
+            mm_embeds = self.runner.encode_images(pix)
+            img_tok = getattr(self.runner.model, "image_token_id", None)
+            if img_tok is None:
+                raise ValueError("image_data given but model is text-only")
+            mm_positions = _np.where(_np.asarray(ids) == img_tok)[0]
+            if len(mm_positions) != mm_embeds.shape[0]:
+                raise ValueError(
+                    f"prompt has {len(mm_positions)} image-placeholder "
+                    f"tokens but images produce {mm_embeds.shape[0]} embeddings"
+                )
         return TokenizedGenerateReqInput(
             rid=g.rid or uuid.uuid4().hex,
             input_ids=ids,
@@ -131,6 +150,8 @@ class Engine:
             stream=g.stream,
             lora_path=g.lora_path,
             arrival_time=time.monotonic(),
+            mm_embeds=mm_embeds,
+            mm_positions=mm_positions,
         )
 
     def _run_to_completion(

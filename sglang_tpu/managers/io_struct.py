@@ -29,6 +29,8 @@ class GenerateReqInput:
     lora_path: Optional[str] = None
     session_params: Optional[Dict] = None
     priority: int = 0
+    # multimodal: processor-normalized pixel values [3,S,S] or [N,3,S,S]
+    image_data: object = None
 
     def is_batch(self) -> bool:
         if self.text is not None:
@@ -84,6 +86,9 @@ class TokenizedGenerateReqInput:
     priority: int = 0
     session_id: Optional[str] = None
     arrival_time: float = 0.0
+    # multimodal: precomputed image embeddings + their prompt positions
+    mm_embeds: object = None  # np [M, H]
+    mm_positions: object = None  # np [M] indices into input_ids
 
 
 @dataclass

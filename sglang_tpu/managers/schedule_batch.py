@@ -57,6 +57,8 @@ class Req:
         arrival_time: Optional[float] = None,
         priority: int = 0,
         lora_id: int = -1,
+        mm_embeds=None,
+        mm_positions=None,
     ):
         self.rid = rid
         self.input_ids = list(input_ids)
@@ -70,6 +72,10 @@ class Req:
         self.arrival_time = arrival_time if arrival_time is not None else time.monotonic()
         self.priority = priority
         self.lora_id = lora_id
+        # multimodal (image embeddings can't radix-share on token ids alone,
+        # so mm requests bypass the prefix cache entirely)
+        self.mm_embeds = mm_embeds
+        self.mm_positions = mm_positions
 
         self.status = ReqStatus.WAITING
         self.output_ids: List[int] = []

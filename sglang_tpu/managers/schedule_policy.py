@@ -147,7 +147,9 @@ class PrefillAdder:
             return AddReqResult.NO_TOKEN
         # radix match at admission (reference `handle_generate_request` does
         # the match; the adder consumes it)
-        match = self.radix_cache.match_prefix(req.fill_ids)
+        match = self.radix_cache.match_prefix(
+            [] if req.mm_embeds is not None else req.fill_ids
+        )
         prefix_len = match.length
         # never cache-match the *entire* input: the last token must be
         # computed to produce the first logits (reference does the same trim)

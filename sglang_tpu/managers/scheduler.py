@@ -205,6 +205,8 @@ class Scheduler:
             arrival_time=treq.arrival_time or time.monotonic(),
             priority=treq.priority,
             lora_id=lora_id,
+            mm_embeds=treq.mm_embeds,
+            mm_positions=treq.mm_positions,
         )
         req.max_context_len = self.max_context_len
         # clamp generation to the KV context budget
@@ -418,7 +420,10 @@ class Scheduler:
             [len(r.input_ids) for r in batch.reqs], dtype=np.int32
         )
         lora_active = self._lora_batch(batch.reqs)
-        if not meta.flags[5] and not lora_active:  # single-blob upload path
+        mm_rows, mm_embeds = self._mm_chunk_arrays(batch.reqs)
+        if (
+            not meta.flags[5] and not lora_active and mm_rows is None
+        ):  # single-blob upload path
             next_ids, tok_lp = self.runner.forward_extend_packed(
                 arrays["input_ids"],
                 arrays["positions"],
@@ -446,6 +451,8 @@ class Scheduler:
                 meta.to_sinfo(),
                 output_start=output_start,
                 lora_ids=tok_lora,
+                mm_rows=mm_rows,
+                mm_embeds=mm_embeds,
             )
         for r in batch.reqs:
             r._counts_inited = True
@@ -853,6 +860,30 @@ class Scheduler:
             return
         r.check_finished(stop_str_hit=stop_hit)
 
+    def _mm_chunk_arrays(self, reqs):
+        """(rows, embeds) for image-token positions covered by this extend
+        chunk; None when the batch is text-only (reference mm embedding
+        scatter, `mm_utils.general_mm_embed_routine`)."""
+        if not any(r.mm_embeds is not None for r in reqs):
+            return None, None
+        rows_list, emb_list = [], []
+        row_off = 0
+        for r in reqs:
+            el = r._extend_len
+            if r.mm_embeds is not None:
+                pos = np.asarray(r.mm_positions)
+                sel = (pos >= r.kv_len) & (pos < r.kv_len + el)
+                if sel.any():
+                    rows_list.append(row_off + (pos[sel] - r.kv_len))
+                    emb_list.append(np.asarray(r.mm_embeds)[sel])
+            row_off += el
+        if not rows_list:
+            return None, None
+        return (
+            np.concatenate(rows_list).astype(np.int32),
+            np.concatenate(emb_list).astype(np.float32),
+        )
+
     def _insertable_len(self, r: Req) -> int:
         """Page-aligned span safe to publish: multi-step chunks advance
         kv_len past the kept tokens (over-generated tail is discarded), and
@@ -864,7 +895,7 @@ class Scheduler:
     def _cache_unfinished(self, r: Req) -> None:
         """Insert the page-aligned computed prefix into the radix tree
         (reference `cache_unfinished_req`, `radix_cache.py:490`)."""
-        if self.radix_cache.disable:
+        if self.radix_cache.disable or r.mm_embeds is not None:
             return
         aligned = self._insertable_len(r)
         if aligned > 0:
@@ -881,7 +912,7 @@ class Scheduler:
     def _release_req(self, r: Req, insert: bool) -> None:
         """Return a request's KV to the pool; optionally publish its prefix
         to the radix tree first (reference `cache_finished_req`)."""
-        if insert and not self.radix_cache.disable:
+        if insert and not self.radix_cache.disable and r.mm_embeds is None:
             aligned = self._insertable_len(r)
             if aligned > 0:
                 self.radix_cache.insert(

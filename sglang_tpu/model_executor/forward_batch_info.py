@@ -67,6 +67,10 @@ class ForwardBatch:
     # per-token LoRA adapter slot (None when no adapters are live; the
     # zero-adapter slot absorbs non-LoRA requests)
     lora_ids: jax.Array = None  # [T] int32
+    # multimodal: precomputed image embeddings scattered over packed rows
+    # (None for text-only batches -> its own jit variant via the treedef)
+    mm_embeds: jax.Array = None  # [M, H] f32
+    mm_rows: jax.Array = None  # [M] i32 packed-row index (-1 = padding)
 
     # Ragged-attention block map (host-built; consumed by the Pallas kernel
     # as scalar-prefetch metadata — one entry per (seq, q-block) work unit).

@@ -14,6 +14,7 @@ with kv donated (in-place page scatter) and every shape static.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Optional, Tuple
 
@@ -462,6 +463,8 @@ class ModelRunner:
         sampling_info: SamplingBatchInfo,
         output_start: Optional[np.ndarray] = None,  # [b] prompt lengths
         lora_ids: Optional[np.ndarray] = None,  # [t] per-token adapter slot
+        mm_rows: Optional[np.ndarray] = None,  # [m] packed-row indices
+        mm_embeds: Optional[np.ndarray] = None,  # [m, H] image embeddings
     ) -> Tuple[jax.Array, jax.Array]:
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
@@ -487,10 +490,34 @@ class ModelRunner:
             if lora_ids is not None
             else None,
         )
+        if mm_rows is not None and len(mm_rows) > 0:
+            h = mm_embeds.shape[1]
+            rows = np.full(tt, -1, dtype=np.int32)
+            rows[: len(mm_rows)] = mm_rows
+            emb = np.zeros((tt, h), dtype=np.float32)
+            emb[: len(mm_rows)] = mm_embeds
+            fb = dataclasses.replace(
+                fb, mm_rows=jnp.asarray(rows), mm_embeds=jnp.asarray(emb)
+            )
         # last token of each sequence (pad rows point at token 0)
         li = np.zeros(bb, dtype=np.int32)
         li[:b] = cu[1 : b + 1] - 1
         return self._run(fb, jnp.asarray(li), sampling_info)
+
+    def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
+        """Vision tower + projector (multimodal models): [N,3,S,S] ->
+        [N*n_patches, H] language-space embeddings (one jit per N)."""
+        n = pixel_values.shape[0]
+        key = ("vision", n)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, x: self.model.encode_images(p, x)
+            )
+        return np.asarray(
+            self._jit_cache[key](
+                self.params, jnp.asarray(pixel_values, dtype=jnp.float32)
+            )
+        )
 
     def forward_extend_packed(
         self,

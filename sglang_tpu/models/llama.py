@@ -298,6 +298,20 @@ class LlamaForCausalLM:
         h = h + self.mlp_forward(lp, normed, lora=ll, lora_ids=fb.lora_ids)
         return h, kv_i
 
+    def embed_tokens(self, params: dict, fb: ForwardBatch) -> jax.Array:
+        """Token embeddings with optional multimodal injection: rows named
+        by fb.mm_rows take the precomputed image embeddings (reference
+        `general_mm_embed_routine` embedding merge)."""
+        h = params["embed"][fb.input_ids]  # [T, H]
+        if fb.mm_embeds is not None:
+            valid = fb.mm_rows >= 0
+            rows = jnp.clip(fb.mm_rows, 0, h.shape[0] - 1)
+            new = jnp.where(
+                valid[:, None], fb.mm_embeds.astype(h.dtype), h[rows]
+            )
+            h = h.at[rows].set(new)
+        return h
+
     def forward(
         self,
         params: dict,
@@ -306,7 +320,7 @@ class LlamaForCausalLM:
         attn_backend,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         c = self.config
-        h = params["embed"][fb.input_ids]  # [T, H]
+        h = self.embed_tokens(params, fb)
         new_kv: List[jax.Array] = []
         lora = params.get("lora") if fb.lora_ids is not None else None
         for i in range(self.num_layers):

@@ -52,6 +52,9 @@ def _populate():
     from sglang_tpu.models.gpt_oss import GptOssForCausalLM
 
     register_model(GptOssForCausalLM)
+    from sglang_tpu.models.llava import LlavaForConditionalGeneration
+
+    register_model(LlavaForConditionalGeneration)
 
 
 def get_model_class(config: ModelConfig) -> type:
