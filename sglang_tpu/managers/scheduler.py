@@ -560,15 +560,26 @@ class Scheduler:
         )
         from sglang_tpu.speculative.ngram_worker import accept_draft_greedy
 
+        verify_hidden = getattr(self.runner, "_last_verify_hidden", None)
+        feed_feats = self.draft_worker is not None and hasattr(
+            self.draft_worker, "observe_features"
+        )
         outputs: List[ReqStrOutput] = []
         off = 0
         for r, d in zip(reqs, drafts):
             t_ids = ids[off : off + 1 + len(d)]
+            row0 = off
             off += 1 + len(d)
             acc = accept_draft_greedy(t_ids, d)
             # never overshoot the generation budget
             budget = r.sampling_params.max_new_tokens - len(r.output_ids)
             acc = acc[: max(1, budget)]
+            if feed_feats and verify_hidden is not None and len(acc):
+                # features of the positions committed this round (the
+                # verify rows 0..len(acc)-1 of this request)
+                self.draft_worker.observe_features(
+                    r.rid, r.kv_len, verify_hidden[row0 : row0 + len(acc)]
+                )
             r.kv_len += len(acc)
             r.spec_steps += 1
             r.spec_accept_tokens += len(acc)

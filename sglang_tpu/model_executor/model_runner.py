@@ -819,11 +819,20 @@ class ModelRunner:
                     params, kv_layers, fb, self.attn_backend
                 )
                 logits = self.model.compute_logits(params, hidden)
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_kv
+                return (
+                    jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                    hidden.astype(jnp.float32),
+                    new_kv,
+                )
 
             self._jit_cache["verify"] = jax.jit(_verify, donate_argnums=(1,))
-        ids, new_kv = self._jit_cache["verify"](self.params, self.kv_layers, fb)
+        ids, hidden, new_kv = self._jit_cache["verify"](
+            self.params, self.kv_layers, fb
+        )
         self.kv_layers = new_kv
+        # hidden rows feed EAGLE/MTP draft workers (feature capture — the
+        # reference's spec workers read these instead of recomputing)
+        self._last_verify_hidden = np.asarray(hidden)[:t]
         return np.asarray(ids)[:t]
 
     def forward_embedding(

@@ -40,11 +40,14 @@ logger = get_logger(__name__)
 
 
 class _DraftState:
-    __slots__ = ("pages", "confirmed")
+    __slots__ = ("pages", "confirmed", "feats")
 
     def __init__(self):
         self.pages: List[int] = []
         self.confirmed = 0  # (feature, token) pairs with valid draft KV
+        # target features captured from verify forwards, keyed by position
+        # (pruned below `confirmed` after each catch-up)
+        self.feats: dict = {}
 
 
 class EagleWorker:
@@ -111,6 +114,16 @@ class EagleWorker:
         self._jit_cache: dict = {}
 
     # ----------------------------------------------------------- plumbing
+
+    def observe_features(self, rid: str, start_pos: int, rows) -> None:
+        """Store target features captured by the verify forward (positions
+        start_pos..start_pos+len(rows)-1) — the catch-up extend then skips
+        its target recompute for these positions."""
+        st = self.states.get(rid)
+        if st is None:
+            st = self.states[rid] = _DraftState()
+        for j in range(len(rows)):
+            st.feats[start_pos + j] = rows[j]
 
     def drop(self, rid: str) -> None:
         st = self.states.pop(rid, None)
@@ -260,31 +273,57 @@ class EagleWorker:
         """Target features for pairs [c, P) of each request in `group`,
         then one ragged draft extend over those pairs; fills drafts[gi][0]
         (= d1) and feats_last[gi]."""
-        # target hidden for token positions [c, P) (tokens fill[c:P])
-        t_ids: List[int] = []
-        t_pos: List[int] = []
-        t_loc: List[int] = []
+        # target features for positions [c, P): captured verify features
+        # when available, one recompute forward for the rest (typically
+        # only the first round's prompt positions)
         gb = len(group)
-        t_seq = np.zeros(gb, dtype=np.int32)
-        t_ext = np.zeros(gb, dtype=np.int32)
-        pmax = self.t_runner.max_pages_per_req
-        t_pt = np.zeros((gb, pmax), dtype=np.int32)
-        for j, (gi, r, st, c, P) in enumerate(group):
-            fill = r.fill_ids
-            t_ids.extend(fill[c:P])
-            t_pos.extend(range(c, P))
-            t_loc.extend(self._target_slot(r, p) for p in range(c, P))
-            t_seq[j] = P
-            t_ext[j] = P - c
-            t_pt[j, : len(r.pages)] = r.pages
-        hidden = self.t_runner.forward_extend_hidden(
-            np.asarray(t_ids, dtype=np.int32),
-            np.asarray(t_pos, dtype=np.int32),
-            np.asarray(t_loc, dtype=np.int32),
-            t_pt,
-            t_seq,
-            t_ext,
-        )  # [sum(P-c), H] — feature f_i for each recomputed position i
+        need = [
+            any(p not in st.feats for p in range(c, P))
+            for (_, _, st, c, P) in group
+        ]
+        if any(need):
+            t_ids: List[int] = []
+            t_pos: List[int] = []
+            t_loc: List[int] = []
+            nb = sum(need)
+            t_seq = np.zeros(nb, dtype=np.int32)
+            t_ext = np.zeros(nb, dtype=np.int32)
+            pmax = self.t_runner.max_pages_per_req
+            t_pt = np.zeros((nb, pmax), dtype=np.int32)
+            jj = 0
+            for (gi, r, st, c, P), n_ in zip(group, need):
+                if not n_:
+                    continue
+                fill = r.fill_ids
+                t_ids.extend(fill[c:P])
+                t_pos.extend(range(c, P))
+                t_loc.extend(self._target_slot(r, p) for p in range(c, P))
+                t_seq[jj] = P
+                t_ext[jj] = P - c
+                t_pt[jj, : len(r.pages)] = r.pages
+                jj += 1
+            rec = self.t_runner.forward_extend_hidden(
+                np.asarray(t_ids, dtype=np.int32),
+                np.asarray(t_pos, dtype=np.int32),
+                np.asarray(t_loc, dtype=np.int32),
+                t_pt,
+                t_seq,
+                t_ext,
+            )
+            off_r = 0
+            for (gi, r, st, c, P), n_ in zip(group, need):
+                if not n_:
+                    continue
+                for j, p in enumerate(range(c, P)):
+                    st.feats[p] = rec[off_r + j]
+                off_r += P - c
+        hidden = np.concatenate(
+            [
+                np.stack([st.feats[p] for p in range(c, P)], axis=0)
+                for (gi, r, st, c, P) in group
+            ],
+            axis=0,
+        )  # [sum(P-c), H] — feature f_i per pair position i
 
         # draft extend over pairs i in [c, P): input token fill[i+1], feature f_i
         d_ids: List[int] = []
@@ -339,6 +378,8 @@ class EagleWorker:
             drafts[gi] = [int(d1[j])]
             feats_last[gi] = h_last[j]
             st.confirmed = P
+            # features below `confirmed` can never be needed again
+            st.feats = {p: v for p, v in st.feats.items() if p >= P}
 
 
 def _pad(arr: np.ndarray, n: int, fill=0) -> np.ndarray:

@@ -134,3 +134,48 @@ def test_eagle_long_prompt_chunked_catchup(checkpoints):
     spec, sched = _run(target, draft, prompts, n=8)
     assert spec == base
     assert sched.check_memory() == 0
+
+
+def test_feature_capture_stops_recompute(checkpoints):
+    """After the first round (prompt features), catch-up uses features
+    captured from verify forwards instead of recomputing the target."""
+    target, draft = checkpoints
+    from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from sglang_tpu.managers.scheduler import Scheduler
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    sa = ServerArgs(
+        model_path=target, dtype="float32", device="cpu", page_size=16,
+        context_length=256, max_total_tokens=2048,
+        prefill_token_buckets=[64, 128], decode_bs_buckets=[4, 8],
+        max_running_requests=8, skip_tokenizer_init=True, random_seed=0,
+        log_level="warning", speculative_algorithm="EAGLE",
+        speculative_draft_model_path=draft, speculative_num_draft_tokens=4,
+    )
+    sched = Scheduler(sa)
+    calls = {"n": 0}
+    orig = sched.runner.forward_extend_hidden
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    sched.runner.forward_extend_hidden = counted
+    rid = uuid.uuid4().hex
+    sched.add_request(
+        TokenizedGenerateReqInput(
+            rid=rid, input_ids=list(range(3, 15)),
+            sampling_params=SamplingParams(
+                max_new_tokens=16, temperature=0.0, ignore_eos=True
+            ),
+        )
+    )
+    steps = 0
+    while sched.has_work():
+        sched.step()
+        steps += 1
+        assert steps < 400
+    # exactly ONE recompute (the prompt features, first round); every later
+    # round's features came from verify capture
+    assert calls["n"] == 1, calls["n"]
