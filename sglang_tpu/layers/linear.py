@@ -144,6 +144,8 @@ class Int4Linear(LinearMethod):
     def apply(self, w, x):
         from sglang_tpu.ops.quant_matmul import matmul_int4, use_pallas_matmul
 
+        if "perm" in w:  # GPTQ act-order: gather activations into the
+            x = x[:, w["perm"]]  # group-contiguous row order
         in_features = w["q"].shape[0]
         out_features = w["q"].shape[1]
         g = w["s"].shape[0]

@@ -90,10 +90,18 @@ def _device_put_leafdict(
         return out
 
     if isinstance(leaf, dict):
-        return {
-            k: put(v, spec_tree.get(k, PartitionSpec()), shape_tree[k])
-            for k, v in leaf.items()
-        }
+        out = {}
+        for k, v in leaf.items():
+            if k in shape_tree:
+                out[k] = put(v, spec_tree.get(k, PartitionSpec()), shape_tree[k])
+            else:  # checkpoint-dependent extras (e.g. GPTQ act-order perm)
+                arr = jnp.asarray(np.asarray(v))
+                if mesh is not None:
+                    arr = jax.device_put(
+                        arr, NamedSharding(mesh, PartitionSpec())
+                    )
+                out[k] = arr
+        return out
     return put(leaf, spec_tree, shape_tree)
 
 

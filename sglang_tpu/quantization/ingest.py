@@ -80,22 +80,25 @@ def load_one_awq(index, prefix: str) -> Dict[str, np.ndarray]:
 
 
 def load_one_gptq(index, prefix: str) -> Dict[str, np.ndarray]:
-    if index.has(f"{prefix}.g_idx"):
-        g_idx = np.asarray(index.get(f"{prefix}.g_idx"))
-        group = (
-            g_idx.shape[0] // (int(g_idx.max()) + 1) if g_idx.size else 0
-        )
-        expected = np.arange(g_idx.shape[0]) // max(group, 1)
-        if group and not np.array_equal(g_idx, expected):
-            raise NotImplementedError(
-                "GPTQ act-order (non-trivial g_idx) is not supported"
-            )
     qweight = np.asarray(index.get(f"{prefix}.qweight"))
     qzeros = np.asarray(index.get(f"{prefix}.qzeros"))
     scales = np.asarray(index.get(f"{prefix}.scales"), dtype=np.float32)
     q = unpack_gptq_qweight(qweight)  # [in, out]
     z = unpack_gptq_qzeros(qzeros)  # [g, out]
-    return {"q": q, "z": z, "s": scales}
+    out = {"q": q, "z": z, "s": scales}
+    if index.has(f"{prefix}.g_idx"):
+        g_idx = np.asarray(index.get(f"{prefix}.g_idx")).astype(np.int64)
+        group = q.shape[0] // z.shape[0]
+        expected = np.arange(q.shape[0]) // max(group, 1)
+        if not np.array_equal(g_idx, expected):
+            # act-order (desc_act): rows belong to the group g_idx[i].
+            # Permute rows so groups become contiguous (exllama trick);
+            # the runtime gathers activations with the same permutation,
+            # keeping the original quantization grid EXACT.
+            perm = np.argsort(g_idx, kind="stable")
+            out["q"] = q[perm]
+            out["perm"] = perm.astype(np.int32)
+    return out
 
 
 def to_int4_layout(parts: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -104,11 +107,22 @@ def to_int4_layout(parts: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     q = np.concatenate([p["q"] for p in parts], axis=1)
     z = np.concatenate([p["z"] for p in parts], axis=1)
     s = np.concatenate([p["s"] for p in parts], axis=1)
-    return {
+    out = {
         "q": q.astype(np.int16) - 8,  # loader casts to jnp.int4
         "z": (z.astype(np.int16) - 8).astype(np.int8),
         "s": s.astype(np.float32),
     }
+    perms = [p.get("perm") for p in parts]
+    if any(pm is not None for pm in perms):
+        # fused sources must share the activation permutation (they share
+        # the same input); GPTQ emits identical g_idx for fused q/k/v
+        p0 = next(pm for pm in perms if pm is not None)
+        for pm in perms:
+            assert pm is None or np.array_equal(pm, p0), (
+                "fused GPTQ sources disagree on g_idx"
+            )
+        out["perm"] = p0
+    return out
 
 
 def load_prequantized_weights(model, model_config, mesh) -> dict:

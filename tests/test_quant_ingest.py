@@ -156,3 +156,151 @@ def test_awq_checkpoint_logits_match(awq_checkpoint):
         np.array([len(prompt)]), np.array([len(prompt)]),
     )
     np.testing.assert_allclose(logits, hf_logits, atol=5e-3, rtol=5e-3)
+
+
+def test_gptq_act_order():
+    """desc_act checkpoints (shuffled g_idx): row permutation + runtime
+    activation gather reproduce the exact original quantization grid."""
+    import jax.numpy as jnp
+
+    from sglang_tpu.layers.linear import Int4Linear
+    from sglang_tpu.quantization.ingest import load_one_gptq, to_int4_layout
+
+    rng = np.random.default_rng(0)
+    in_f, out_f, group = 64, 32, 16
+    g = in_f // group
+    q = rng.integers(0, 16, size=(in_f, out_f)).astype(np.uint8)
+    z = rng.integers(6, 10, size=(g, out_f)).astype(np.uint8)
+    s = (rng.random((g, out_f)).astype(np.float32) + 0.5) * 0.1
+    # act-order: rows assigned to groups in a shuffled order
+    g_idx = np.repeat(np.arange(g), group)
+    rng.shuffle(g_idx)
+
+    class Idx:
+        def has(self, name):
+            return True
+
+        def get(self, name):
+            if name.endswith("qweight"):
+                return pack_gptq_qweight(q)
+            if name.endswith("qzeros"):
+                return pack_gptq_qzeros(z)  # packer applies the -1 offset
+            if name.endswith("scales"):
+                return s
+            if name.endswith("g_idx"):
+                return g_idx.astype(np.int32)
+            raise KeyError(name)
+
+    part = load_one_gptq(Idx(), "m")
+    assert "perm" in part
+    w = to_int4_layout([part])
+    m = Int4Linear(group_size=group, has_zeros=True)
+    x = rng.standard_normal((4, in_f)).astype(np.float32)
+    y = np.asarray(
+        m.apply({k: jnp.asarray(v) for k, v in w.items()}, jnp.asarray(x))
+    )
+    # oracle: dequantize with per-row g_idx group lookup (original order)
+    wdeq = (q.astype(np.float32) - z[g_idx].astype(np.float32)) * s[g_idx]
+    ref = x @ wdeq
+    np.testing.assert_allclose(y, ref, rtol=2e-3, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def gptq_actorder_checkpoint(tmp_path_factory):
+    """Tiny llama GPTQ checkpoint with desc_act (shuffled g_idx) on every
+    linear; the HF model is overwritten with the exact dequant oracle."""
+    from safetensors.numpy import save_file
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("gptq_ao_llama")
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    torch.manual_seed(1)
+    hf = LlamaForCausalLM(cfg).eval()
+    rng = np.random.default_rng(7)
+    tensors = {}
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    linear_suffixes = (
+        "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+    )
+    with torch.no_grad():
+        for name, w in sd.items():
+            base = name[: -len(".weight")] if name.endswith(".weight") else name
+            if not any(base.endswith(sfx) for sfx in linear_suffixes):
+                tensors[name] = w
+                continue
+            w_io = np.ascontiguousarray(w.T.astype(np.float32))  # [in, out]
+            in_f, out_f = w_io.shape
+            g = in_f // GROUP
+            # g_idx comes from the layer INPUT's activation order, so
+            # projections sharing an input (q/k/v; gate/up) share it
+            share_key = (base.rsplit(".", 1)[0], in_f)
+            if not hasattr(hf, "_gidx_cache"):
+                hf._gidx_cache = {}
+            if share_key not in hf._gidx_cache:
+                gi_ = np.repeat(np.arange(g), GROUP)
+                rng.shuffle(gi_)
+                hf._gidx_cache[share_key] = gi_
+            g_idx = hf._gidx_cache[share_key]
+            # per-group asymmetric quant over the rows ASSIGNED to it
+            z = np.zeros((g, out_f), np.uint8)
+            s = np.zeros((g, out_f), np.float32)
+            q = np.zeros((in_f, out_f), np.uint8)
+            for gi in range(g):
+                rows = np.where(g_idx == gi)[0]
+                wg = w_io[rows]
+                s_g = ((wg.max(0) - wg.min(0)) / 15.0).clip(min=1e-8)
+                z_g = np.clip(np.round(-wg.min(0) / s_g), 0, 15)
+                q[rows] = np.clip(
+                    np.round(wg / s_g) + z_g, 0, 15
+                ).astype(np.uint8)
+                z[gi] = z_g.astype(np.uint8)
+                s[gi] = s_g.astype(np.float32)
+            deq = (q.astype(np.float32) - z[g_idx]) * s[g_idx]
+            tensors[f"{base}.qweight"] = pack_gptq_qweight(q)
+            tensors[f"{base}.qzeros"] = pack_gptq_qzeros(z)
+            tensors[f"{base}.scales"] = s
+            tensors[f"{base}.g_idx"] = g_idx.astype(np.int32)
+            dict(hf.named_parameters())[name].copy_(torch.tensor(deq.T))
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    d["quantization_config"] = {
+        "quant_method": "gptq", "bits": 4, "group_size": GROUP,
+        "desc_act": True,
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(d, f)
+    return str(path), hf
+
+
+def test_gptq_actorder_checkpoint_logits_match(gptq_actorder_checkpoint):
+    path, hf = gptq_actorder_checkpoint
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_utils import tiny_server_args
+
+    sa = tiny_server_args(model_path=path, load_format="auto", dtype="float32")
+    mc = ModelConfig.from_server_args(sa)
+    assert mc.quantization == "gptq"
+    runner = ModelRunner(sa, mc)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 250, size=11).astype(np.int32)
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(prompt[None].astype(np.int64))).logits[0].numpy()
+    ps = runner.page_size
+    n_pages = -(-len(prompt) // ps)
+    pages = list(range(1, 1 + n_pages))
+    out_loc = np.array(
+        [pages[i // ps] * ps + i % ps for i in range(len(prompt))], dtype=np.int32
+    )
+    pt = np.zeros((1, runner.max_pages_per_req), dtype=np.int32)
+    pt[0, : len(pages)] = pages
+    logits = runner.forward_extend_logits(
+        prompt, np.arange(len(prompt)), out_loc, pt,
+        np.array([len(prompt)]), np.array([len(prompt)]),
+    )
+    np.testing.assert_allclose(logits, hf_logits, atol=5e-3, rtol=5e-3)
