@@ -108,7 +108,14 @@ class Scheduler:
                 * self.runner.num_pages
             )
             self.hicache = HiCacheController(
-                self.runner, self.radix_cache, self.allocator, cap
+                self.runner,
+                self.radix_cache,
+                self.allocator,
+                cap,
+                disk_dir=server_args.hicache_storage_dir,
+                disk_capacity_bytes=int(
+                    server_args.hicache_storage_size * (1 << 30)
+                ),
             )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix_cache)
         from sglang_tpu.constrained import create_grammar_backend

@@ -43,18 +43,41 @@ logger = get_logger(__name__)
 
 
 class HostKVCache:
-    """Host-RAM page store indexed by token-prefix page chains."""
+    """Host-RAM page store indexed by token-prefix page chains, with an
+    optional file-backed third tier (reference HiCache storage backends,
+    `hicache_storage.py` file backend): RAM-LRU evictions spill to disk
+    and promote back on hit."""
 
-    def __init__(self, page_size: int, bytes_per_page: int, capacity_bytes: int):
+    def __init__(
+        self,
+        page_size: int,
+        bytes_per_page: int,
+        capacity_bytes: int,
+        disk_dir: str = None,
+        disk_capacity_bytes: int = 0,
+    ):
         self.page_size = page_size
         self.bytes_per_page = max(1, bytes_per_page)
         self.capacity_pages = max(1, capacity_bytes // self.bytes_per_page)
         # (parent_chain_id, page_tokens) -> chain id; chain id 0 is the root
         self._intern: Dict[Tuple[int, Tuple[int, ...]], int] = {}
         self._store: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self.disk_dir = disk_dir
+        self._disk: "OrderedDict[int, str]" = OrderedDict()  # id -> path
+        self.disk_capacity_pages = (
+            max(1, disk_capacity_bytes // self.bytes_per_page)
+            if disk_dir and disk_capacity_bytes
+            else (1 << 30 if disk_dir else 0)
+        )
+        if disk_dir:
+            import os
+
+            os.makedirs(disk_dir, exist_ok=True)
         self.pages_written = 0
         self.pages_loaded = 0
         self.pages_evicted = 0
+        self.pages_spilled = 0
+        self.pages_promoted = 0
 
     # ------------------------------------------------------------- chains
 
@@ -80,12 +103,13 @@ class HostKVCache:
 
     def match(self, ids: List[int]) -> int:
         """Number of contiguous leading pages of `ids` present in the host
-        store (page-aligned; partial trailing page ignored)."""
+        store or its disk tier (page-aligned; partial trailing page
+        ignored)."""
         n_pages = len(ids) // self.page_size
         chain = self._chain_ids(ids, n_pages, create=False)
         hit = 0
         for cid in chain:
-            if cid not in self._store:
+            if cid not in self._store and cid not in self._disk:
                 break
             hit += 1
         return hit
@@ -100,8 +124,11 @@ class HostKVCache:
         for cid in chain[start_page:]:
             page = self._store.get(cid)
             if page is None:
+                page = self._promote(cid)
+            if page is None:
                 return None
-            self._store.move_to_end(cid)  # LRU refresh
+            if cid in self._store:
+                self._store.move_to_end(cid)  # LRU refresh
             out.append(page)
         self.pages_loaded += n
         return np.stack(out, axis=0)
@@ -122,9 +149,52 @@ class HostKVCache:
             stored += 1
         self.pages_written += stored
         while len(self._store) > self.capacity_pages:
-            self._store.popitem(last=False)
+            cid_e, page_e = self._store.popitem(last=False)
             self.pages_evicted += 1
+            self._spill(cid_e, page_e)
         return stored
+
+    # ---------------------------------------------------------- disk tier
+
+    def _spill(self, cid: int, page: np.ndarray) -> None:
+        if not self.disk_dir or cid in self._disk:
+            return
+        import os
+
+        path = os.path.join(self.disk_dir, f"kv_{cid}.bin")
+        # raw bytes + in-memory (dtype, shape): np.save mangles ml_dtypes
+        # like bfloat16 into void records
+        page = np.ascontiguousarray(page)
+        with open(path, "wb") as f:
+            f.write(page.view(np.uint8).tobytes())
+        self._disk[cid] = (path, page.dtype, page.shape)
+        self.pages_spilled += 1
+        while len(self._disk) > self.disk_capacity_pages:
+            _, (old, _, _) = self._disk.popitem(last=False)
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+
+    def _promote(self, cid: int):
+        entry = self._disk.get(cid)
+        if entry is None:
+            return None
+        path, dtype, shape = entry
+        try:
+            with open(path, "rb") as f:
+                page = np.frombuffer(f.read(), dtype=np.uint8)
+            page = page.view(dtype).reshape(shape)
+        except (OSError, ValueError):
+            self._disk.pop(cid, None)
+            return None
+        self.pages_promoted += 1
+        self._store[cid] = page  # back into RAM (insert handles overflow)
+        while len(self._store) > self.capacity_pages:
+            cid_e, page_e = self._store.popitem(last=False)
+            self.pages_evicted += 1
+            self._spill(cid_e, page_e)
+        return page
 
     @property
     def num_pages(self) -> int:
@@ -136,13 +206,27 @@ class HiCacheController:
     (reference HiCacheController roles: write-through on publish, prefetch
     -and-insert before admission)."""
 
-    def __init__(self, runner, radix_cache, allocator, capacity_bytes: int):
+    def __init__(
+        self,
+        runner,
+        radix_cache,
+        allocator,
+        capacity_bytes: int,
+        disk_dir: str = None,
+        disk_capacity_bytes: int = 0,
+    ):
         self.runner = runner
         self.radix_cache = radix_cache
         self.allocator = allocator
         self.page_size = runner.page_size
         bytes_per_page = runner.kv_pool.bytes_per_page()
-        self.host = HostKVCache(self.page_size, bytes_per_page, capacity_bytes)
+        self.host = HostKVCache(
+            self.page_size,
+            bytes_per_page,
+            capacity_bytes,
+            disk_dir=disk_dir,
+            disk_capacity_bytes=disk_capacity_bytes,
+        )
         logger.info(
             "hicache: host tier %.2f GiB = %d pages",
             capacity_bytes / (1 << 30),

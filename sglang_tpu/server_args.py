@@ -63,6 +63,8 @@ class ServerArgs:
     enable_hierarchical_cache: bool = False
     hicache_size: float = 0.0  # GiB; 0 = 2x the device KV pool
     hicache_write_policy: str = "write_through"
+    hicache_storage_dir: Optional[str] = None  # file-backed L3 tier
+    hicache_storage_size: float = 0.0  # GiB; 0 = unbounded
 
     # --- Scheduling ---
     schedule_policy: str = "lpm"

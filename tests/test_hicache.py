@@ -126,3 +126,46 @@ def test_hicache_partial_prefix_and_batch():
     assert out2.output_ids == base_outs[1]
     assert sched.stats.num_hicache_tokens >= 32
     assert sched.check_memory() == 0
+
+
+def test_disk_tier_spill_and_promote(tmp_path):
+    """RAM-LRU evictions spill to the file tier; later hits promote back
+    (reference HiCache storage file backend)."""
+    hc = HostKVCache(
+        page_size=4, bytes_per_page=_page(0).nbytes,
+        capacity_bytes=2 * _page(0).nbytes,
+        disk_dir=str(tmp_path / "kv"),
+    )
+    a = list(range(8))       # 2 pages
+    b = list(range(100, 108))
+    hc.insert(a, 0, np.stack([_page(1), _page(2)]))
+    hc.insert(b, 0, np.stack([_page(3), _page(4)]))  # evicts a's pages -> disk
+    assert hc.pages_spilled >= 2
+    assert hc.match(a) == 2  # still matchable via the disk tier
+    got = hc.load(a, 0, 2)
+    assert got is not None and got[0, 0, 0, 0, 0] == 1
+    assert hc.pages_promoted >= 2
+
+
+def test_hicache_three_tier_end_to_end(tmp_path):
+    """Device flush + tiny RAM tier: the prefix comes back from DISK and
+    output is unchanged."""
+    sa = tiny_server_args(
+        enable_hierarchical_cache=True,
+        hicache_size=1e-6,  # ~1 page of RAM: force spills
+        hicache_storage_dir=str(tmp_path / "kvdisk"),
+    )
+    sched = Scheduler(sa, tiny_runner(sa))
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(3, 250, size=40).tolist()
+    rid = _submit(sched, prompt)
+    first = _drain(sched)[rid]
+    assert sched.hicache.host.pages_spilled >= 1  # RAM tier overflowed
+
+    assert sched.flush_cache()
+    rid2 = _submit(sched, prompt)
+    second = _drain(sched)[rid2]
+    assert second.output_ids == first.output_ids
+    assert sched.stats.num_hicache_tokens >= 16
+    assert sched.hicache.host.pages_promoted >= 1
+    assert sched.check_memory() == 0
