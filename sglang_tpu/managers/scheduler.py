@@ -305,13 +305,24 @@ class Scheduler:
                 if loaded:
                     self.stats.num_hicache_tokens += loaded
 
+        # with mixed chunk active, reserve row-space in the token bucket so
+        # appended decode rows never spill the batch into the next bucket
+        mix_reserve = (
+            self.runner.extend_seq_bucket
+            if (
+                self.server_args.enable_mixed_chunk
+                and self.running_batch.reqs
+                and self.spec is None
+            )
+            else 0
+        )
         adder = PrefillAdder(
             self.allocator,
             self.radix_cache,
             self.running_batch.reqs,
             max_prefill_tokens=self.server_args.max_prefill_tokens,
             chunked_prefill_size=self.server_args.chunked_prefill_size,
-            max_batch_tokens=self.runner.prefill_token_buckets[-1],
+            max_batch_tokens=self.runner.prefill_token_buckets[-1] - mix_reserve,
             conservativeness=self.server_args.schedule_conservativeness,
             page_size=self.page_size,
         )
@@ -416,18 +427,63 @@ class Scheduler:
         for r in batch.reqs:
             if r.slot is None and self._slot_pool:
                 r.slot = self._slot_pool.pop()
-        arrays = batch.prepare_for_extend()
+        # mixed chunk (reference --enable-mixed-chunk): running requests
+        # ride the prefill forward as 1-token decode rows so decode keeps
+        # progressing through long prefill phases. Their input token was
+        # already penalty-counted at sample time, so the row is marked
+        # prompt-kind (output_start sentinel) — only the NEW sample counts.
+        mixed: List[Req] = []
+        if (
+            self.server_args.enable_mixed_chunk
+            and self.running_batch.reqs
+            and self.spec is None
+        ):
+            from sglang_tpu.utils import pad_to_bucket as _ptb
+
+            prefill_tokens = sum(r._extend_len for r in batch.reqs)
+            # stay within the bucket the prefill tokens already land in
+            budget_tokens = (
+                _ptb(prefill_tokens, self.runner.prefill_token_buckets)
+                - prefill_tokens
+            )
+            for r in self.running_batch.reqs:
+                if (
+                    len(batch.reqs) + len(mixed) >= self.max_extend_reqs
+                    or len(mixed) >= budget_tokens
+                ):
+                    break
+                if r in batch.reqs or r.finished():
+                    continue
+                if not self.running_batch.alloc_for_extend(r, 1):
+                    break
+                r._extend_len = 1
+                mixed.append(r)
+        all_reqs = batch.reqs + mixed
+        exec_batch = (
+            batch
+            if not mixed
+            else ScheduleBatch(
+                all_reqs,
+                self.allocator,
+                self.radix_cache,
+                self.runner.max_pages_per_req,
+            )
+        )
+        arrays = exec_batch.prepare_for_extend()
         meta = self._make_sinfo(
-            batch.reqs,
+            all_reqs,
             padded_bs=self.runner.extend_seq_bucket,
-            count_sample=[not r.is_chunked for r in batch.reqs],
-            fresh=[not r._counts_inited for r in batch.reqs],
+            count_sample=[not r.is_chunked for r in batch.reqs]
+            + [True] * len(mixed),
+            fresh=[not r._counts_inited for r in batch.reqs]
+            + [False] * len(mixed),
         )
         output_start = np.asarray(
-            [len(r.input_ids) for r in batch.reqs], dtype=np.int32
+            [len(r.input_ids) for r in batch.reqs] + [1 << 30] * len(mixed),
+            dtype=np.int32,
         )
-        lora_active = self._lora_batch(batch.reqs)
-        mm_rows, mm_embeds = self._mm_chunk_arrays(batch.reqs)
+        lora_active = self._lora_batch(all_reqs)
+        mm_rows, mm_embeds = self._mm_chunk_arrays(all_reqs)
         if (
             not meta.flags[5] and not lora_active and mm_rows is None
         ):  # single-blob upload path
@@ -442,7 +498,7 @@ class Scheduler:
                 output_start=output_start,
             )
         else:
-            seq_lora = self._lora_ids_per_seq(batch.reqs)
+            seq_lora = self._lora_ids_per_seq(all_reqs)
             tok_lora = (
                 np.repeat(seq_lora, arrays["extend_lens"])
                 if seq_lora is not None
@@ -465,8 +521,10 @@ class Scheduler:
             r._counts_inited = True
         next_ids = np.asarray(next_ids)
         tok_lp = np.asarray(tok_lp)
-        batch.commit_extend()
-        self.stats.num_prefill_tokens += int(arrays["extend_lens"].sum())
+        exec_batch.commit_extend()
+        self.stats.num_prefill_tokens += int(
+            arrays["extend_lens"][: len(batch.reqs)].sum()
+        )
         self.stats.num_prefill_steps += 1
 
         outputs: List[ReqStrOutput] = []
@@ -489,6 +547,21 @@ class Scheduler:
                     if out:
                         outputs.append(out)
         self.running_batch.reqs.extend(to_run)
+        # resolve the mixed decode rows (same handling as a decode step)
+        for j, r in enumerate(mixed):
+            i = len(batch.reqs) + j
+            if r.finished():
+                continue
+            self._append_token(r, int(next_ids[i]), float(tok_lp[i]))
+            self.stats.num_decode_tokens += 1
+            if r.finished():
+                outputs.append(self._finish_req(r))
+            elif r.stream and len(r.output_ids) % self.server_args.stream_interval == 0:
+                out = self._emit_stream(r)
+                if out:
+                    outputs.append(out)
+        if mixed:
+            self.running_batch.filter_finished()
         return outputs
 
     # -------------------------------------------------------------- decode

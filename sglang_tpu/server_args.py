@@ -76,6 +76,10 @@ class ServerArgs:
     disable_radix_cache: bool = False
     enable_overlap_schedule: bool = True
     retract_decode_steps: int = 20
+    # run decode tokens of running requests as 1-token rows inside prefill
+    # extend forwards (reference --enable-mixed-chunk): decode keeps
+    # progressing through long prefill phases
+    enable_mixed_chunk: bool = True
     max_queued_requests: Optional[int] = None
     # decode steps fused into one jitted lax.scan chunk (1 = off). Amortizes
     # host->device dispatch/transfer latency; over-generates up to K-1

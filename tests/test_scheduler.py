@@ -158,3 +158,44 @@ def test_max_running_requests_respected():
         sched.step()
         max_run = max(max_run, len(sched.running_batch.reqs))
     assert max_run <= 2
+
+
+def test_mixed_chunk_equivalence():
+    """Mixed prefill+decode rows (--enable-mixed-chunk) must not change
+    any request's greedy output, while decode progresses during prefill
+    rounds."""
+    import numpy as np
+
+    from tests.test_utils import tiny_runner, tiny_server_args
+
+    rng = np.random.default_rng(5)
+    early = rng.integers(3, 250, size=9).tolist()
+    late = [rng.integers(3, 250, size=100).tolist() for _ in range(3)]
+
+    def run(mixed):
+        sa = tiny_server_args(
+            enable_mixed_chunk=mixed, chunked_prefill_size=64,
+            prefill_token_buckets=[64, 128],
+        )
+        sched = Scheduler(sa, tiny_runner(sa))
+        rids = [submit(sched, early, n=30)]
+        outs, steps = {}, 0
+        started_late = False
+        while sched.has_work() or not started_late:
+            if steps == 2 and not started_late:
+                # long prompts arrive while `early` is decoding
+                rids += [submit(sched, p, n=6) for p in late]
+                started_late = True
+            for o in sched.step():
+                if o.finished:
+                    outs[o.rid] = o
+            steps += 1
+            assert steps < 500
+        assert sched.check_memory() == 0
+        return [outs[r].output_ids for r in rids], sched
+
+    base, _ = run(False)
+    got, sched = run(True)
+    assert got == base
+    # decode tokens were produced during prefill steps (the whole point)
+    assert sched.stats.num_decode_tokens > 0
