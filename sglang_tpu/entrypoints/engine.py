@@ -51,6 +51,9 @@ class Engine:
             server_args = ServerArgs(**kwargs)
         configure_logger(server_args.log_level.upper())
         self.server_args = server_args
+        from sglang_tpu.plugins import load_plugins
+
+        self.plugins = load_plugins(server_args)
         self.tokenizer = _load_tokenizer(server_args)
         self.runner = ModelRunner(server_args)
         self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)

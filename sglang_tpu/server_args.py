@@ -135,6 +135,7 @@ class ServerArgs:
     enable_metrics: bool = False
 
     # --- Misc ---
+    plugins: Optional[List[str]] = None  # modules exposing register(api)
     random_seed: Optional[int] = None
     skip_tokenizer_init: bool = False
     watchdog_timeout: float = 300.0
@@ -224,6 +225,7 @@ class ServerArgs:
                 "prefill_token_buckets",
                 "lora_paths",
                 "custom_logit_processors",
+                "plugins",
             ):
                 parser.add_argument(name, nargs="*", default=None)
             else:
