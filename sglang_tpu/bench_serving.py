@@ -16,10 +16,9 @@ import argparse
 import asyncio
 import json
 import random
-import sys
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import aiohttp
 import numpy as np

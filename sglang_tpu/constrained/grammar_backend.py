@@ -15,7 +15,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from sglang_tpu.constrained.json_schema import schema_to_regex
-from sglang_tpu.constrained.regex_engine import DFA, compile_regex
+from sglang_tpu.constrained.regex_engine import compile_regex
 from sglang_tpu.constrained.token_fsm import TokenFSM
 from sglang_tpu.utils import get_logger
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 WS = r"[ \n\t]{0,8}"  # bounded whitespace (keeps the DFA small)
 

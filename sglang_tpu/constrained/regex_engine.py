@@ -10,7 +10,7 @@ quantifiers `* + ? {m} {m,} {m,n}`, anchors are implicit (full match).
 
 from __future__ import annotations
 
-from typing import Dict, FrozenSet, List, Optional, Sequence, Set, Tuple
+from typing import Dict, FrozenSet, List, Optional, Set, Tuple
 
 MAX_CP = 0x10FFFF
 

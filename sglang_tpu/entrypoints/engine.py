@@ -10,7 +10,6 @@ directly.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 import uuid
 from typing import Any, Dict, Iterator, List, Optional, Union

@@ -29,7 +29,7 @@ import argparse
 import asyncio
 import json
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from sglang_tpu.managers.io_struct import GenerateReqInput
 from sglang_tpu.server_args import ServerArgs

@@ -28,9 +28,7 @@ from sglang_tpu.entrypoints.openai.protocol import (
     usage_dict,
 )
 from sglang_tpu.managers.io_struct import GenerateReqInput
-from sglang_tpu.managers.scheduler import Scheduler
 from sglang_tpu.managers.tokenizer_manager import TokenizerManager
-from sglang_tpu.model_executor.model_runner import ModelRunner
 from sglang_tpu.server_args import ServerArgs
 from sglang_tpu.utils import configure_logger, get_logger
 from sglang_tpu.version import __version__

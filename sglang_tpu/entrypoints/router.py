@@ -28,7 +28,6 @@ pins its chip via env) and then serves the router in front of them.
 from __future__ import annotations
 
 import argparse
-import asyncio
 import hashlib
 import itertools
 import json

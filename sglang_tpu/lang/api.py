@@ -9,8 +9,7 @@ backend, and `select` scores each choice by total logprob (reference
 
 from __future__ import annotations
 
-import copy
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Union
 
 

@@ -8,7 +8,6 @@ attention Pallas kernel serves both extend and decode
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from sglang_tpu.layers.attention.base import AttentionBackend

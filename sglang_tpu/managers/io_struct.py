@@ -8,7 +8,6 @@ host so these are plain dataclasses passed by reference, not ZMQ-pickled.
 
 from __future__ import annotations
 
-import dataclasses
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Union

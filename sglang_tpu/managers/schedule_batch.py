@@ -24,7 +24,7 @@ import numpy as np
 
 from sglang_tpu.managers.io_struct import FinishReason
 from sglang_tpu.mem_cache.allocator import PageAllocator
-from sglang_tpu.mem_cache.radix_cache import MatchResult, RadixCache, TreeNode
+from sglang_tpu.mem_cache.radix_cache import RadixCache, TreeNode
 from sglang_tpu.sampling.sampling_params import SamplingParams
 from sglang_tpu.utils import cdiv, get_logger
 

@@ -14,7 +14,7 @@ step never exceeds a compiled shape.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from sglang_tpu.managers.schedule_batch import Req
 from sglang_tpu.mem_cache.allocator import PageAllocator

@@ -17,10 +17,8 @@ Parity with reference `srt/managers/scheduler.py:332 Scheduler`
 
 from __future__ import annotations
 
-import logging
 import time
-from collections import deque
-from typing import Deque, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -37,7 +35,6 @@ from sglang_tpu.managers.schedule_policy import (
     SchedulePolicy,
 )
 from sglang_tpu.mem_cache.allocator import PageAllocator
-from sglang_tpu.mem_cache.radix_cache import RadixCache
 from sglang_tpu.model_executor.model_runner import ModelRunner
 from sglang_tpu.sampling.sampling_batch_info import SamplingBatchInfo
 from sglang_tpu.server_args import ServerArgs

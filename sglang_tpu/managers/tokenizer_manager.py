@@ -15,7 +15,7 @@ import queue as queue_mod
 import threading
 import time
 import uuid
-from typing import AsyncGenerator, Dict, List, Optional, Tuple
+from typing import AsyncGenerator, Dict, Tuple
 
 from sglang_tpu.managers.io_struct import (
     AbortReq,

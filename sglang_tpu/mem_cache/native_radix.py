@@ -8,7 +8,7 @@ adjusts PageAllocator refcounts from the page lists the tree reports.
 from __future__ import annotations
 
 import ctypes
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -20,9 +20,8 @@ Page-reference protocol (fused with the ref-counting PageAllocator):
 from __future__ import annotations
 
 import time
-from collections import defaultdict
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 from sglang_tpu.mem_cache.allocator import PageAllocator
 

@@ -15,7 +15,6 @@ with kv donated (in-place page scatter) and every shape static.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Optional, Tuple
 
 import jax

@@ -8,7 +8,7 @@ returns a list of `WeightRule`s and the loader executes them, so quantization
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 # How the HF tensor(s) are turned into the target leaf dict / array:

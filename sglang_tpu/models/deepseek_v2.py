@@ -28,7 +28,7 @@ from sglang_tpu.layers.moe import fused_moe, moe_shapes, moe_specs
 from sglang_tpu.layers.norms import rms_norm
 from sglang_tpu.layers.rotary import apply_rope_interleaved, compute_inv_freq
 from sglang_tpu.model_loader.weight_mapping import WeightRule
-from sglang_tpu.models.llama import LlamaForCausalLM, _linear_sharding
+from sglang_tpu.models.llama import LlamaForCausalLM
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):

@@ -11,7 +11,6 @@ and logit cap, so the only new code is the layer wiring.
 
 from __future__ import annotations
 
-import math
 from typing import List, Tuple
 
 import jax
@@ -21,7 +20,7 @@ from jax.sharding import PartitionSpec as P
 from sglang_tpu.configs.model_config import ModelConfig
 from sglang_tpu.layers.activation import gelu_tanh_and_mul
 from sglang_tpu.layers.norms import gemma_rms_norm
-from sglang_tpu.layers.rotary import apply_rope, compute_inv_freq
+from sglang_tpu.layers.rotary import apply_rope
 from sglang_tpu.model_loader.weight_mapping import WeightRule
 from sglang_tpu.models.llama import LlamaForCausalLM
 

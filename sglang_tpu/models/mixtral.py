@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import List
 
-import jax
 import numpy as np
 
 from sglang_tpu.configs.model_config import ModelConfig

@@ -7,7 +7,7 @@ declare `architectures` and are resolved from the HF config.
 
 from __future__ import annotations
 
-from typing import Dict, Type
+from typing import Dict
 
 from sglang_tpu.configs.model_config import ModelConfig
 

@@ -29,7 +29,6 @@ with the single-device `fused_moe`).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

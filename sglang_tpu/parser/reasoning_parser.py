@@ -10,7 +10,7 @@ models treat the stream as reasoning until `</think>`.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclass

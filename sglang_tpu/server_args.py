@@ -15,7 +15,7 @@ import json
 import os
 import random
 import tempfile
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 from sglang_tpu.utils import get_logger, next_power_of_2, round_up

@@ -34,7 +34,7 @@ from sglang_tpu.model_executor.forward_batch_info import (
 )
 from sglang_tpu.model_loader.loader import load_model_weights
 from sglang_tpu.models.eagle import EagleLlamaForCausalLM
-from sglang_tpu.utils import cdiv, get_logger, pad_to_bucket, round_up
+from sglang_tpu.utils import cdiv, get_logger, pad_to_bucket
 
 logger = get_logger(__name__)
 

@@ -15,7 +15,7 @@ decoding, so speculation is a pure latency optimization).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

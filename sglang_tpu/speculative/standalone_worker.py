@@ -16,7 +16,7 @@ needed — rejected positions are simply re-extended next round.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
