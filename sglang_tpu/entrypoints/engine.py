@@ -79,6 +79,7 @@ class Engine:
         session_params: Optional[Dict] = None,
         lora_path: Optional[str] = None,
         image_data=None,
+        input_embeds=None,
     ) -> Union[Dict, List[Dict], Iterator[Dict]]:
         """Synchronous generation (batch or single). With `stream=True` and a
         single prompt, returns an iterator of incremental dicts."""
@@ -93,6 +94,7 @@ class Engine:
             session_params=session_params,
             lora_path=lora_path,
             image_data=image_data,
+            input_embeds=input_embeds,
         )
         was_batch = gri.is_batch()
         singles = gri.unbatch()
@@ -115,6 +117,33 @@ class Engine:
         return outs if was_batch else outs[0]
 
     def _tokenize_one(self, g: GenerateReqInput) -> TokenizedGenerateReqInput:
+        if g.input_embeds is not None:
+            # embedding-level input (reference input_embeds): every prompt
+            # row takes the given vector; token ids are placeholders, and
+            # the request bypasses the prefix cache like any mm request
+            import numpy as _np
+
+            emb = _np.asarray(g.input_embeds, dtype=_np.float32)
+            ids = list(g.input_ids) if g.input_ids is not None else [0] * len(emb)
+            if len(ids) != len(emb):
+                raise ValueError("input_embeds length must match input_ids")
+            sp = (
+                g.sampling_params
+                if isinstance(g.sampling_params, SamplingParams)
+                else SamplingParams.from_dict(g.sampling_params)
+            )
+            return TokenizedGenerateReqInput(
+                rid=g.rid or uuid.uuid4().hex,
+                input_ids=ids,
+                sampling_params=sp,
+                return_logprob=g.return_logprob,
+                top_logprobs_num=g.top_logprobs_num,
+                stream=g.stream,
+                lora_path=g.lora_path,
+                arrival_time=time.monotonic(),
+                mm_embeds=emb,
+                mm_positions=_np.arange(len(emb)),
+            )
         if g.input_ids is not None:
             ids = list(g.input_ids)
         else:

@@ -772,6 +772,37 @@ def build_app(state: ServerState) -> web.Application:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=400)
 
+    async def v1_rerank(request):
+        """Likelihood-based reranking (reference /v1/rerank): score each
+        document's average per-token logprob given the query, return
+        results sorted by relevance."""
+        body = await request.json()
+        query = body.get("query", "")
+        docs = body.get("documents", [])
+        try:
+            scores = await state.tm.run_on_scheduler(
+                lambda: state.engine.score(query, docs)
+            )
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+        results = sorted(
+            (
+                {
+                    "index": i,
+                    "relevance_score": s_,
+                    "document": {"text": d},
+                }
+                for i, (d, s_) in enumerate(zip(docs, scores))
+            ),
+            key=lambda r_: -r_["relevance_score"],
+        )
+        return web.json_response(
+            {
+                "model": body.get("model", state.server_args.served_model_name),
+                "results": results,
+            }
+        )
+
     async def start_profile(request):
         """jax.profiler trace capture (reference `/start_profile` ->
         torch.profiler; xplane traces viewable in TensorBoard/XProf)."""
@@ -797,6 +828,7 @@ def build_app(state: ServerState) -> web.Application:
     r.add_post("/start_profile", start_profile)
     r.add_post("/stop_profile", stop_profile)
     r.add_post("/v1/score", v1_score)
+    r.add_post("/v1/rerank", v1_rerank)
     r.add_post("/update_weights_from_disk", update_weights_from_disk)
     r.add_post("/release_memory_occupation", release_memory)
     r.add_post("/resume_memory_occupation", resume_memory)

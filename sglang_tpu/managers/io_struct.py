@@ -30,6 +30,9 @@ class GenerateReqInput:
     priority: int = 0
     # multimodal: processor-normalized pixel values [3,S,S] or [N,3,S,S]
     image_data: object = None
+    # precomputed input embeddings [T, H] replacing token-id lookup
+    # (reference /generate input_embeds)
+    input_embeds: object = None
 
     def is_batch(self) -> bool:
         if self.text is not None:

@@ -167,3 +167,20 @@ def test_ignore_eos_and_meta(engine):
     assert out["meta_info"]["completion_tokens"] == 5
     info = engine.get_server_info()
     assert info["stats"]["finished"] >= 1
+
+
+def test_input_embeds_matches_token_ids(engine):
+    """input_embeds equal to the embedding rows of a token prompt must
+    produce the same greedy output as the token prompt itself."""
+    import numpy as np
+
+    eng = engine
+    prompt = [5, 9, 13, 21, 2, 7]
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+    ref = eng.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+    table = np.asarray(eng.runner.params["embed"], dtype=np.float32)
+    embeds = table[np.asarray(prompt)]
+    out = eng.generate(input_embeds=embeds, sampling_params=sp)["output_ids"]
+    assert out == ref
+    # cache isolation: embeds requests must not poison the radix tree
+    assert eng.scheduler.check_memory() == 0

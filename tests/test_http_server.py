@@ -435,3 +435,17 @@ def test_anthropic_messages_streaming(server):
     md = dict(events)["message_delta"]
     assert md["delta"]["stop_reason"] == "max_tokens"
     assert md["usage"]["output_tokens"] == 6
+
+
+def test_v1_rerank(server):
+    out = _post(
+        server,
+        "/v1/rerank",
+        {"query": "w1 w2 w3", "documents": ["w4 w5", "w6 w7 w8", "w9"]},
+    )
+    results = out["results"]
+    assert len(results) == 3
+    assert {r["index"] for r in results} == {0, 1, 2}
+    scores = [r["relevance_score"] for r in results]
+    assert scores == sorted(scores, reverse=True)
+    assert all(isinstance(r["document"]["text"], str) for r in results)
