@@ -129,12 +129,16 @@ class ModelConfig:
         quantization: Optional[str] = None,
         kv_cache_dtype: str = "auto",
     ) -> "ModelConfig":
-        if "text_config" in hf and "hidden_size" not in hf:
-            # multimodal wrapper configs (llava, ...): language-model
-            # geometry comes from the nested text_config; the full dict
-            # stays available as hf_config (vision_config etc.)
-            merged = dict(hf["text_config"])
-            for k, v in hf.items():
+        if "text_config" in hf:
+            # multimodal wrapper configs (llava, qwen2-vl, ...): language
+            # -model fields live in the nested text_config. Top-level keys
+            # win when present (qwen2-vl duplicates geometry there); the
+            # nested dict fills the gaps (llava keeps everything nested).
+            tc = hf["text_config"]
+            if not isinstance(tc, dict):
+                tc = tc.to_dict()
+            merged = dict(hf)
+            for k, v in tc.items():
                 merged.setdefault(k, v)
             # the wrapper owns the architecture identity
             if hf.get("architectures"):

@@ -156,16 +156,29 @@ class Engine:
             else SamplingParams.from_dict(g.sampling_params)
         )
         mm_embeds = mm_positions = None
+        mrope_positions = mrope_delta = None
         if g.image_data is not None:
             import numpy as _np
 
-            pix = _np.asarray(g.image_data, dtype=_np.float32)
-            if pix.ndim == 3:
-                pix = pix[None]
-            mm_embeds = self.runner.encode_images(pix)
             img_tok = getattr(self.runner.model, "image_token_id", None)
             if img_tok is None:
                 raise ValueError("image_data given but model is text-only")
+            if isinstance(g.image_data, dict):
+                # grid-native models (Qwen2-VL): patchified pixel rows +
+                # grid_thw; mrope positions derive from the grid
+                pix = _np.asarray(
+                    g.image_data["pixel_values"], dtype=_np.float32
+                )
+                grid = tuple(int(x) for x in g.image_data["grid_thw"])
+                mm_embeds = self.runner.encode_images(pix, grid_thw=grid)
+                mrope_positions, mrope_delta = self.runner.model.get_rope_index(
+                    ids, [grid]
+                )
+            else:
+                pix = _np.asarray(g.image_data, dtype=_np.float32)
+                if pix.ndim == 3:
+                    pix = pix[None]
+                mm_embeds = self.runner.encode_images(pix)
             mm_positions = _np.where(_np.asarray(ids) == img_tok)[0]
             if len(mm_positions) != mm_embeds.shape[0]:
                 raise ValueError(
@@ -183,6 +196,8 @@ class Engine:
             arrival_time=time.monotonic(),
             mm_embeds=mm_embeds,
             mm_positions=mm_positions,
+            mrope_positions=mrope_positions,
+            mrope_delta=mrope_delta,
         )
 
     def _run_to_completion(

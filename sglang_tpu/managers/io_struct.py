@@ -91,6 +91,9 @@ class TokenizedGenerateReqInput:
     # multimodal: precomputed image embeddings + their prompt positions
     mm_embeds: object = None  # np [M, H]
     mm_positions: object = None  # np [M] indices into input_ids
+    # Qwen2-VL M-RoPE: [3, T] prompt positions + the decode-time offset
+    mrope_positions: object = None
+    mrope_delta: object = None
 
 
 @dataclass

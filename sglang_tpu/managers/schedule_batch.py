@@ -59,6 +59,8 @@ class Req:
         lora_id: int = -1,
         mm_embeds=None,
         mm_positions=None,
+        mrope_positions=None,
+        mrope_delta=None,
     ):
         self.rid = rid
         self.input_ids = list(input_ids)
@@ -76,6 +78,8 @@ class Req:
         # so mm requests bypass the prefix cache entirely)
         self.mm_embeds = mm_embeds
         self.mm_positions = mm_positions
+        self.mrope_positions = mrope_positions  # [3, prompt_len] or None
+        self.mrope_delta = mrope_delta  # int or None
 
         self.status = ReqStatus.WAITING
         self.output_ids: List[int] = []

@@ -211,6 +211,8 @@ class Scheduler:
             lora_id=lora_id,
             mm_embeds=treq.mm_embeds,
             mm_positions=treq.mm_positions,
+            mrope_positions=treq.mrope_positions,
+            mrope_delta=treq.mrope_delta,
         )
         req.max_context_len = self.max_context_len
         # clamp generation to the KV context budget
@@ -481,8 +483,12 @@ class Scheduler:
         )
         lora_active = self._lora_batch(all_reqs)
         mm_rows, mm_embeds = self._mm_chunk_arrays(all_reqs)
+        mrope_pos = self._mrope_chunk_arrays(all_reqs)
         if (
-            not meta.flags[5] and not lora_active and mm_rows is None
+            not meta.flags[5]
+            and not lora_active
+            and mm_rows is None
+            and mrope_pos is None
         ):  # single-blob upload path
             next_ids, tok_lp = self.runner.forward_extend_packed(
                 arrays["input_ids"],
@@ -513,6 +519,7 @@ class Scheduler:
                 lora_ids=tok_lora,
                 mm_rows=mm_rows,
                 mm_embeds=mm_embeds,
+                mrope_positions=mrope_pos,
             )
         for r in batch.reqs:
             r._counts_inited = True
@@ -682,6 +689,7 @@ class Scheduler:
         if (
             self.server_args.decode_multi_step > 1
             and self._no_grammar()
+            and self._no_mrope()  # delta offsets need the per-row path
             and not self._lora_batch(self.running_batch.reqs)
         ):
             return self._forward_decode_multi()
@@ -744,6 +752,18 @@ class Scheduler:
             [r.lora_id if r.lora_id >= 0 else zero for r in reqs], dtype=np.int32
         )
 
+    def _mrope_deltas(self, reqs):
+        if not any(r.mrope_delta is not None for r in reqs):
+            return None
+        return np.asarray(
+            [r.mrope_delta or 0 for r in reqs], dtype=np.int32
+        )
+
+    def _no_mrope(self) -> bool:
+        return not any(
+            r.mrope_delta is not None for r in self.running_batch.reqs
+        )
+
     def _no_grammar(self) -> bool:
         """Grammar masks need the sampled token on host before the next
         step, so they force the synchronous single-step path (reference
@@ -803,6 +823,7 @@ class Scheduler:
             arrays["seq_lens"],
             sinfo,
             lora_ids=self._lora_ids_per_seq(batch.reqs),
+            mrope_delta=self._mrope_deltas(batch.reqs),
         )
         batch.commit_decode()
         self.stats.num_decode_steps += 1
@@ -947,6 +968,26 @@ class Scheduler:
         if r.status == ReqStatus.ABORTED:
             return
         r.check_finished(stop_str_hit=stop_hit)
+
+    def _mrope_chunk_arrays(self, reqs):
+        """[3, t] rope positions for this extend chunk, or None when no
+        request uses M-RoPE. Positions beyond the prompt (retraction
+        re-prefill, mixed decode rows) advance all axes by the request's
+        delta."""
+        if not any(r.mrope_positions is not None for r in reqs):
+            return None
+        cols = []
+        for r in reqs:
+            for p in range(r.kv_len, r.kv_len + r._extend_len):
+                if r.mrope_positions is not None:
+                    p3 = np.asarray(r.mrope_positions)
+                    if p < p3.shape[1]:
+                        cols.append(p3[:, p])
+                    else:
+                        cols.append(np.full(3, p + (r.mrope_delta or 0)))
+                else:
+                    cols.append(np.full(3, p))
+        return np.stack(cols, axis=1).astype(np.int32)
 
     def _mm_chunk_arrays(self, reqs):
         """(rows, embeds) for image-token positions covered by this extend

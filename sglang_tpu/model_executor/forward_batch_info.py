@@ -71,6 +71,10 @@ class ForwardBatch:
     # (None for text-only batches -> its own jit variant via the treedef)
     mm_embeds: jax.Array = None  # [M, H] f32
     mm_rows: jax.Array = None  # [M] i32 packed-row index (-1 = padding)
+    # multimodal rotary (Qwen2-VL M-RoPE): 3D positions on extend, or the
+    # per-sequence all-axes offset on decode
+    mrope_positions: jax.Array = None  # [3, T] i32
+    mrope_delta: jax.Array = None  # [B] i32
 
     # Ragged-attention block map (host-built; consumed by the Pallas kernel
     # as scalar-prefetch metadata — one entry per (seq, q-block) work unit).

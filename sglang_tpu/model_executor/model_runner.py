@@ -427,6 +427,7 @@ class ModelRunner:
         seq_lens: np.ndarray,
         sampling_info: SamplingBatchInfo,
         lora_ids: Optional[np.ndarray] = None,
+        mrope_delta: Optional[np.ndarray] = None,  # [b] (Qwen2-VL)
     ) -> Tuple[jax.Array, jax.Array]:
         b = len(seq_lens)
         bb = pad_to_bucket(b, self.decode_bs_buckets)
@@ -448,6 +449,10 @@ class ModelRunner:
             if lora_ids is not None
             else None,
         )
+        if mrope_delta is not None:
+            fb = dataclasses.replace(
+                fb, mrope_delta=jnp.asarray(_pad(mrope_delta, bb))
+            )
         logits_indices = jnp.arange(bb, dtype=jnp.int32)
         return self._run(fb, logits_indices, sampling_info)
 
@@ -464,6 +469,7 @@ class ModelRunner:
         lora_ids: Optional[np.ndarray] = None,  # [t] per-token adapter slot
         mm_rows: Optional[np.ndarray] = None,  # [m] packed-row indices
         mm_embeds: Optional[np.ndarray] = None,  # [m, H] image embeddings
+        mrope_positions: Optional[np.ndarray] = None,  # [3, t] (Qwen2-VL)
     ) -> Tuple[jax.Array, jax.Array]:
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
@@ -498,15 +504,32 @@ class ModelRunner:
             fb = dataclasses.replace(
                 fb, mm_rows=jnp.asarray(rows), mm_embeds=jnp.asarray(emb)
             )
+        if mrope_positions is not None:
+            p3 = np.zeros((3, tt), dtype=np.int32)
+            p3[:, : mrope_positions.shape[1]] = mrope_positions
+            fb = dataclasses.replace(fb, mrope_positions=jnp.asarray(p3))
         # last token of each sequence (pad rows point at token 0)
         li = np.zeros(bb, dtype=np.int32)
         li[:b] = cu[1 : b + 1] - 1
         return self._run(fb, jnp.asarray(li), sampling_info)
 
-    def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
-        """Vision tower + projector (multimodal models): [N,3,S,S] ->
-        [N*n_patches, H] language-space embeddings (one jit per N)."""
+    def encode_images(self, pixel_values: np.ndarray, grid_thw=None) -> np.ndarray:
+        """Vision tower + projector (multimodal models) -> language-space
+        embeddings. Grid-native models (Qwen2-VL) take patchified rows +
+        a (t, h, w) grid; CLIP-style models take [N, 3, S, S]. One jit
+        per input geometry."""
         n = pixel_values.shape[0]
+        if grid_thw is not None:
+            key = ("vision", n, grid_thw)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda p, x, g=grid_thw: self.model.encode_images(p, x, g)
+                )
+            return np.asarray(
+                self._jit_cache[key](
+                    self.params, jnp.asarray(pixel_values, dtype=jnp.float32)
+                )
+            )
         key = ("vision", n)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(

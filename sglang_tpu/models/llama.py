@@ -256,6 +256,7 @@ class LlamaForCausalLM:
         attn_backend,
         ll=None,
         skip_input_norm: bool = False,
+        rope_override=None,  # (cos, sin) [T, hd/2] (M-RoPE models)
     ) -> Tuple[jax.Array, jax.Array]:
         """One pre-norm decoder layer (attn + MLP residual blocks); shared
         with the EAGLE draft head (`models/eagle.py`, whose layer 0 has no
@@ -277,8 +278,15 @@ class LlamaForCausalLM:
         if self.qk_norm:
             q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
-        q = apply_rope(q, fb.positions, self.inv_freq)
-        k = apply_rope(k, fb.positions, self.inv_freq)
+        if rope_override is not None:
+            from sglang_tpu.models.qwen2_vl import apply_mrope
+
+            cos, sin = rope_override
+            q = apply_mrope(q, cos, sin)
+            k = apply_mrope(k, cos, sin)
+        else:
+            q = apply_rope(q, fb.positions, self.inv_freq)
+            k = apply_rope(k, fb.positions, self.inv_freq)
         attn_out, kv_i = attn_backend(
             q,
             k,

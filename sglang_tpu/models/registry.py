@@ -14,9 +14,14 @@ from sglang_tpu.configs.model_config import ModelConfig
 _REGISTRY: Dict[str, type] = {}
 
 
+_TYPE_REGISTRY = {}
+
+
 def register_model(cls) -> type:
     for arch in cls.architectures:
         _REGISTRY[arch] = cls
+    for mt in getattr(cls, "model_types", ()):  # config.model_type fallback
+        _TYPE_REGISTRY[mt] = cls
     return cls
 
 
@@ -55,6 +60,9 @@ def _populate():
     from sglang_tpu.models.llava import LlavaForConditionalGeneration
 
     register_model(LlavaForConditionalGeneration)
+    from sglang_tpu.models.qwen2_vl import Qwen2VLForConditionalGeneration
+
+    register_model(Qwen2VLForConditionalGeneration)
 
 
 def get_model_class(config: ModelConfig) -> type:
@@ -62,6 +70,10 @@ def get_model_class(config: ModelConfig) -> type:
     for arch in config.architectures:
         if arch in _REGISTRY:
             return _REGISTRY[arch]
+    # some configs ship without architectures (e.g. Qwen2-VL wrappers
+    # saved from code): fall back to model_type
+    if config.model_type in _TYPE_REGISTRY:
+        return _TYPE_REGISTRY[config.model_type]
     raise ValueError(
         f"no registered model for architectures {config.architectures}; "
         f"known: {sorted(_REGISTRY)}"
