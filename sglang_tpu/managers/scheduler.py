@@ -589,6 +589,168 @@ class Scheduler:
                 return False
         return True
 
+    def _forward_spec_decode_tree(self) -> List[ReqStrOutput]:
+        """Tree speculation (EAGLE-2-lite): the draft proposes tree_width
+        root-branched candidate paths per request; ALL paths verify in one
+        ragged TARGET_VERIFY forward as independent rows sharing the
+        request's prefix pages (non-canonical paths write their KV to
+        scratch pages, with the shared boundary page copied in). The best
+        -accepting path commits; if it was not path 0, its accepted
+        tokens' KV re-extends into the real pages."""
+        from sglang_tpu.speculative.ngram_worker import accept_draft_greedy
+
+        batch = self.running_batch
+        ps = self.page_size
+        reqs = batch.reqs
+        tk = self.server_args.speculative_eagle_topk
+        trees = self.draft_worker.propose_tree(reqs, tk)
+        capped: List[List[List[int]]] = []
+        for r, paths in zip(reqs, trees):
+            k_cap = min(
+                self.spec.num_draft,
+                self.max_context_len - r.seqlen - 1,
+                r.sampling_params.max_new_tokens - len(r.output_ids) - 1,
+            )
+            cut = [p[: k_cap] for p in paths] if k_cap > 0 else []
+            seen, uniq = set(), []
+            for p_ in cut:
+                if p_ and tuple(p_) not in seen:
+                    seen.add(tuple(p_))
+                    uniq.append(p_)
+            capped.append(uniq)
+        # canonical (path 0) KV lands in the request's real pages
+        for r, paths in zip(reqs, capped):
+            while True:
+                need = 1 + (len(paths[0]) if paths else 0)
+                if batch.alloc_for_extend(r, need):
+                    break
+                if not paths:
+                    return self._forward_decode_normal()
+                paths.clear()
+        input_ids: List[int] = []
+        positions: List[int] = []
+        out_loc: List[int] = []
+        pt_rows: List[np.ndarray] = []
+        seq_l: List[int] = []
+        ext_l: List[int] = []
+        row_info: List[tuple] = []  # (req_index, path or None, row_start)
+        scratch: List[int] = []
+        copy_pairs: List[tuple] = []
+        pmax = self.runner.max_pages_per_req
+        tok_off = 0
+        row_budget = self.runner.extend_seq_bucket
+        for i, (r, paths) in enumerate(zip(reqs, capped)):
+            pend = r.fill_ids[r.kv_len]
+            base_pt = np.zeros(pmax, dtype=np.int32)
+            base_pt[: len(r.pages)] = r.pages
+            plist = paths if paths else [[]]
+            # every remaining request needs at least one verify row
+            room = row_budget - len(pt_rows) - (len(reqs) - 1 - i)
+            plist = plist[: max(1, room)]
+            for pi, path in enumerate(plist):
+                toks = [pend] + path
+                lo = r.kv_len
+                hi = lo + len(toks) - 1
+                if pi == 0:
+                    pt = base_pt
+                    slots = [batch._slot(r, p) for p in range(lo, hi + 1)]
+                else:
+                    i0, i1 = lo // ps, hi // ps
+                    pg = self.allocator.alloc(i1 - i0 + 1)
+                    if pg is None:
+                        continue  # drop this path under page pressure
+                    scratch.extend(pg)
+                    pt = base_pt.copy()
+                    pt[i0 : i1 + 1] = pg
+                    if lo % ps:
+                        copy_pairs.append((int(base_pt[i0]), pg[0], lo % ps))
+                    slots = [
+                        pg[(p // ps) - i0] * ps + p % ps
+                        for p in range(lo, hi + 1)
+                    ]
+                input_ids.extend(toks)
+                positions.extend(range(lo, hi + 1))
+                out_loc.extend(slots)
+                pt_rows.append(pt)
+                seq_l.append(hi + 1)
+                ext_l.append(len(toks))
+                row_info.append((i, path if paths else None, tok_off, pi))
+                tok_off += len(toks)
+        self.runner.copy_partial_pages(copy_pairs)
+        ids = self.runner.forward_verify(
+            np.asarray(input_ids, dtype=np.int32),
+            np.asarray(positions, dtype=np.int32),
+            np.asarray(out_loc, dtype=np.int32),
+            np.stack(pt_rows),
+            np.asarray(seq_l, dtype=np.int32),
+            np.asarray(ext_l, dtype=np.int32),
+            num_draft=self.spec.num_draft,
+        )
+        verify_hidden = getattr(self.runner, "_last_verify_hidden", None)
+        feed_feats = hasattr(self.draft_worker, "observe_features")
+        # best-accepting path per request
+        best: dict = {}
+        for (i, path, off, pi) in row_info:
+            d = path or []
+            acc = accept_draft_greedy(ids[off : off + 1 + len(d)], d)
+            if i not in best or len(acc) > len(best[i][0]):
+                best[i] = (acc, off, pi, d)
+        outputs: List[ReqStrOutput] = []
+        reextend: List[tuple] = []
+        for i, r in enumerate(reqs):
+            acc, off, pi, d = best[i]
+            budget = r.sampling_params.max_new_tokens - len(r.output_ids)
+            acc = acc[: max(1, budget)]
+            if feed_feats and verify_hidden is not None and len(acc):
+                self.draft_worker.observe_features(
+                    r.rid, r.kv_len, verify_hidden[off : off + len(acc)]
+                )
+            if pi != 0 and len(acc) > 1:
+                # accepted draft KV lives on scratch: rewrite into real
+                reextend.append((r, r.kv_len + 1, list(acc[:-1])))
+            r.kv_len += len(acc)
+            r.spec_steps += 1
+            r.spec_accept_tokens += len(acc)
+            self.stats.num_decode_tokens += len(acc)
+            for tok in acc:
+                self._append_token(r, int(tok), 0.0)
+                if r.finished():
+                    break
+            if r.finished():
+                outputs.append(self._finish_req(r))
+            elif r.stream and len(r.output_ids) % self.server_args.stream_interval < len(acc):
+                out = self._emit_stream(r)
+                if out:
+                    outputs.append(out)
+        if scratch:
+            self.allocator.free(scratch)
+        if reextend:
+            t_ids, t_pos, t_loc, t_pt = [], [], [], []
+            t_seq, t_ext = [], []
+            for r, start, toks in reextend:
+                if r.pages == []:  # finished + released before re-extend
+                    continue
+                t_ids.extend(toks)
+                t_pos.extend(range(start, start + len(toks)))
+                t_loc.extend(batch._slot(r, p) for p in range(start, start + len(toks)))
+                row = np.zeros(pmax, dtype=np.int32)
+                row[: len(r.pages)] = r.pages
+                t_pt.append(row)
+                t_seq.append(start + len(toks))
+                t_ext.append(len(toks))
+            if t_ids:
+                self.runner.forward_extend_hidden(
+                    np.asarray(t_ids, dtype=np.int32),
+                    np.asarray(t_pos, dtype=np.int32),
+                    np.asarray(t_loc, dtype=np.int32),
+                    np.stack(t_pt),
+                    np.asarray(t_seq, dtype=np.int32),
+                    np.asarray(t_ext, dtype=np.int32),
+                )
+        self.stats.num_decode_steps += 1
+        batch.filter_finished()
+        return outputs
+
     def _forward_spec_decode(self) -> List[ReqStrOutput]:
         """NGRAM speculative round: one ragged TARGET_VERIFY forward decodes
         up to 1+k tokens per request (reference
@@ -685,6 +847,12 @@ class Scheduler:
     def _forward_decode(self) -> List[ReqStrOutput]:
         if self._spec_eligible():
             outputs = self._resolve_inflight()  # spec needs resolved tokens
+            if (
+                self.server_args.speculative_eagle_topk > 1
+                and self.draft_worker is not None
+                and hasattr(self.draft_worker, "propose_tree")
+            ):
+                return outputs + self._forward_spec_decode_tree()
             return outputs + self._forward_spec_decode()
         if (
             self.server_args.decode_multi_step > 1

@@ -988,6 +988,39 @@ class ModelRunner:
         self.kv_layers = new_kv
         return np.asarray(hidden)[:t]
 
+    def copy_partial_pages(self, pairs) -> None:
+        """Copy the first `off` token-slots of page src into page dst for
+        each (src, dst, off) — tree-verify scratch pages must carry the
+        real KV that shares the boundary page. Donated jit per bucket;
+        pad rows write the garbage page 0."""
+        if not pairs:
+            return
+        m = len(pairs)
+        mb = max(1, next_power_of_2(m))
+        src = np.zeros(mb, np.int32)
+        dst = np.zeros(mb, np.int32)
+        off = np.zeros(mb, np.int32)
+        for i, (s_, d_, o_) in enumerate(pairs):
+            src[i], dst[i], off[i] = s_, d_, o_
+        key = ("pcopy", mb)
+        if key not in self._jit_cache:
+            ps = self.page_size
+
+            def _copy(kv_layers, src, dst, off):
+                rows = jnp.arange(ps)
+                mask = rows[None, :] < off[:, None]
+                return [
+                    l.at[dst].set(
+                        jnp.where(mask[:, :, None, None], l[src], l[dst])
+                    )
+                    for l in kv_layers
+                ]
+
+            self._jit_cache[key] = jax.jit(_copy, donate_argnums=(0,))
+        self.kv_layers = self._jit_cache[key](
+            self.kv_layers, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(off)
+        )
+
     # -------------------------------------------------- KV page host I/O
 
     def gather_kv_pages(self, pages) -> np.ndarray:

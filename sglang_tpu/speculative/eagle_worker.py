@@ -40,11 +40,12 @@ logger = get_logger(__name__)
 
 
 class _DraftState:
-    __slots__ = ("pages", "confirmed", "feats")
+    __slots__ = ("pages", "confirmed", "feats", "scratch")
 
     def __init__(self):
         self.pages: List[int] = []
         self.confirmed = 0  # (feature, token) pairs with valid draft KV
+        self.scratch: List[int] = []  # per-beam draft pages (tree mode)
         # target features captured from verify forwards, keyed by position
         # (pruned below `confirmed` after each catch-up)
         self.feats: dict = {}
@@ -129,6 +130,7 @@ class EagleWorker:
         st = self.states.pop(rid, None)
         if st is not None:
             self.allocator.free(st.pages)
+            self.allocator.free(st.scratch)
 
     def _ensure_pages(self, st: _DraftState, tokens: int) -> bool:
         need = cdiv(tokens, self.page_size) - len(st.pages)
@@ -146,6 +148,25 @@ class EagleWorker:
         return r.pages[pos // self.page_size] * self.page_size + pos % self.page_size
 
     # ------------------------------------------------------------- steps
+
+    def _extend_topk_fn(self, tt: int, bb: int, tk: int):
+        key = ("dext_topk", tt, bb, tk)
+        if key not in self._jit_cache:
+
+            def _ext(params, tparams, kv, fb, feats, last_idx):
+                h, new_kv = self.model.forward_with_features(
+                    params, kv, fb, self.backend, feats
+                )
+                h_last = h[last_idx]
+                if self.mode == "mtp":
+                    logits = self.model.compute_logits(params, h_last)
+                else:
+                    logits = self.t_runner.model.compute_logits(tparams, h_last)
+                _, top_ids = jax.lax.top_k(logits, tk)
+                return top_ids.astype(jnp.int32), h_last, new_kv
+
+            self._jit_cache[key] = jax.jit(_ext, donate_argnums=(2,))
+        return self._jit_cache[key]
 
     def _extend_fn(self, tt: int, bb: int):
         key = ("dext", tt, bb)
@@ -181,6 +202,178 @@ class EagleWorker:
 
             self._jit_cache[key] = jax.jit(_dec, donate_argnums=(2,))
         return self._jit_cache[key]
+
+    # ------------------------------------------------------- tree propose
+
+    def propose_tree(self, reqs, tree_width: int):
+        """Root-branched chains (EAGLE-2-lite): the draft's top-`tree_width`
+        first tokens each continue greedily for k-1 steps on their own
+        scratch page, giving `tree_width` candidate paths per request.
+        Returns per-request List[List[int]] paths (possibly empty)."""
+        k = self.num_draft
+        tk = tree_width
+        max_rows = self.t_runner.extend_seq_bucket
+        max_chain_rows = min(max_rows, self.t_runner.decode_bs_buckets[-1])
+        active = []
+        for r in reqs:
+            if (len(active) + 1) * tk > max_chain_rows:
+                break
+            if len(r.fill_ids) < 2:
+                continue
+            st = self.states.get(r.rid)
+            if st is None:
+                st = self.states[r.rid] = _DraftState()
+            if not self._ensure_pages(st, len(r.fill_ids)):
+                continue
+            while len(st.scratch) < tk:
+                pg = self.allocator.alloc(1)
+                if pg is None:
+                    break
+                st.scratch.extend(pg)
+            if len(st.scratch) < tk:
+                continue
+            active.append((r, st))
+        if not active:
+            return [[] for _ in reqs]
+
+        b = len(active)
+        drafts: List[List[int]] = [[] for _ in range(b)]
+        feats_last = np.zeros((b, self.cfg.hidden_size), dtype=np.float32)
+        # (a)+(b) catch-up with TOPK first tokens
+        max_tokens = self.t_runner.prefill_token_buckets[-1]
+        top1: List[List[int]] = [None] * b
+        while True:
+            pending = [
+                (gi, r, st)
+                for gi, (r, st) in enumerate(active)
+                if st.confirmed < len(r.fill_ids) - 1
+            ]
+            if not pending:
+                break
+            group = []
+            tok_sum = 0
+            for gi, r, st in pending:
+                P = len(r.fill_ids) - 1
+                c = st.confirmed
+                n = P - c
+                if not group and n > max_tokens:
+                    group.append((gi, r, st, c, c + max_tokens))
+                    break
+                if tok_sum + n > max_tokens or len(group) >= max_rows:
+                    break
+                group.append((gi, r, st, c, P))
+                tok_sum += n
+            self._catchup_group(
+                group, drafts, feats_last, topk=tk, topk_out=top1
+            )
+
+        # (c) tk root candidates each continue greedily: rows = b*tk
+        paths = [
+            [[int(top1[i][j])] for j in range(tk)] for i in range(b)
+        ]
+        rows = b * tk
+        bb = pad_to_bucket(rows, self.t_runner.decode_bs_buckets)
+        pmax = self.max_pages_per_req
+        page_table = np.zeros((bb, pmax), dtype=np.int32)
+        copy_pairs = []  # (src_page, dst_page, valid_slots)
+        for i, (r, st) in enumerate(active):
+            P = len(r.fill_ids) - 1
+            idx = P // self.page_size
+            off = P % self.page_size
+            for j in range(tk):
+                row = i * tk + j
+                pt = list(st.pages)
+                # the beam's chain positions live on its scratch page,
+                # which REPLACES P's page in this row's table — so the
+                # confirmed KV sharing that page is copied in first
+                pt[idx] = st.scratch[j]
+                page_table[row, : len(pt)] = pt
+                if off > 0:
+                    copy_pairs.append((st.pages[idx], st.scratch[j], off))
+        self._copy_partial_pages(copy_pairs)
+        # chain depth capped so P..P+depth-1 stays within that one page
+        # (_tree_depth); deeper trees would need a second scratch page.
+        feats_rows = np.repeat(feats_last, tk, axis=0)
+        dec = self._decode_fn(bb)
+        depth = self._tree_depth(active, k)
+        for step in range(depth - 1):
+            ids = np.zeros(bb, dtype=np.int32)
+            pos = np.zeros(bb, dtype=np.int32)
+            loc = np.zeros(bb, dtype=np.int32)
+            sl = np.zeros(bb, dtype=np.int32)
+            for i, (r, st) in enumerate(active):
+                P = len(r.fill_ids) - 1
+                p = st.confirmed + step
+                for j in range(tk):
+                    row = i * tk + j
+                    ids[row] = paths[i][j][-1]
+                    pos[row] = p
+                    loc[row] = st.scratch[j] * self.page_size + p % self.page_size
+                    sl[row] = p + 1
+            fb = make_decode_batch(ids, pos, loc, page_table, sl)
+            feats = np.zeros((bb, self.cfg.hidden_size), dtype=np.float32)
+            feats[:rows] = feats_rows
+            out, h, self.kv_layers = dec(
+                self.params,
+                self.t_runner._params(),
+                self.kv_layers,
+                fb,
+                jnp.asarray(feats, dtype=self.cfg.dtype),
+            )
+            out = np.asarray(out)[:rows]
+            feats_rows = np.asarray(h, dtype=np.float32)[:rows]
+            for i in range(b):
+                for j in range(tk):
+                    paths[i][j].append(int(out[i * tk + j]))
+        by_rid = {r.rid: paths[i] for i, (r, _) in enumerate(active)}
+        return [by_rid.get(r.rid, []) for r in reqs]
+
+    def _copy_partial_pages(self, pairs) -> None:
+        """Copy the first `off` slots of src draft pages into dst scratch
+        pages (beam rows must still see the confirmed KV that shares P's
+        page). One donated jit per count bucket; pad rows target the
+        garbage page 0."""
+        if not pairs:
+            return
+        from sglang_tpu.utils import next_power_of_2
+
+        m = len(pairs)
+        mb = next_power_of_2(m)
+        src = np.zeros(mb, np.int32)
+        dst = np.zeros(mb, np.int32)
+        off = np.zeros(mb, np.int32)
+        for i, (s_, d_, o_) in enumerate(pairs):
+            src[i], dst[i], off[i] = s_, d_, o_
+        key = ("pcopy", mb)
+        if key not in self._jit_cache:
+            ps = self.page_size
+
+            def _copy(kv_layers, src, dst, off):
+                rows = jnp.arange(ps)
+                mask = rows[None, :] < off[:, None]  # [m, ps]
+                out = []
+                for l in kv_layers:
+                    vals = jnp.where(
+                        mask[:, :, None, None], l[src], l[dst]
+                    )
+                    out.append(l.at[dst].set(vals))
+                return out
+
+            self._jit_cache[key] = jax.jit(_copy, donate_argnums=(0,))
+        self.kv_layers = self._jit_cache[key](
+            self.kv_layers, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(off)
+        )
+
+    def _tree_depth(self, active, k: int) -> int:
+        """Chain depth such that draft positions stay within the scratch
+        page that starts at P's page (one page per beam)."""
+        ps = self.page_size
+        depth = k
+        for r, st in active:
+            P = len(r.fill_ids) - 1
+            room = ps - (P % ps)  # slots left in P's page
+            depth = min(depth, room)
+        return max(1, depth)
 
     # ------------------------------------------------------------ propose
 
@@ -269,7 +462,7 @@ class EagleWorker:
         by_rid = {r.rid: d for (r, _), d in zip(active, drafts)}
         return [by_rid.get(r.rid, []) for r in reqs]
 
-    def _catchup_group(self, group, drafts, feats_last) -> None:
+    def _catchup_group(self, group, drafts, feats_last, topk=None, topk_out=None) -> None:
         """Target features for pairs [c, P) of each request in `group`,
         then one ragged draft extend over those pairs; fills drafts[gi][0]
         (= d1) and feats_last[gi]."""
@@ -363,7 +556,10 @@ class EagleWorker:
             cu,
         )
         last_idx = np.maximum(cu[1 : bb + 1] - 1, 0)
-        ext = self._extend_fn(tt, bb)
+        if topk is not None:
+            ext = self._extend_topk_fn(tt, bb, topk)
+        else:
+            ext = self._extend_fn(tt, bb)
         d1, h_last, self.kv_layers = ext(
             self.params,
             self.t_runner._params(),
@@ -375,7 +571,11 @@ class EagleWorker:
         d1 = np.asarray(d1)
         h_last = np.asarray(h_last, dtype=np.float32)
         for j, (gi, r, st, c, P) in enumerate(group):
-            drafts[gi] = [int(d1[j])]
+            if topk is not None:
+                topk_out[gi] = list(d1[j])
+                drafts[gi] = [int(d1[j][0])]
+            else:
+                drafts[gi] = [int(d1[j])]
             feats_last[gi] = h_last[j]
             st.confirmed = P
             # features below `confirmed` can never be needed again

@@ -179,3 +179,61 @@ def test_feature_capture_stops_recompute(checkpoints):
     # exactly ONE recompute (the prompt features, first round); every later
     # round's features came from verify capture
     assert calls["n"] == 1, calls["n"]
+
+
+def test_tree_vs_chain_both_lossless(checkpoints):
+    """Tree speculation (root-branched paths, scratch-page verify) and
+    chain speculation must BOTH equal plain greedy decoding."""
+    target, draft = checkpoints
+    from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from sglang_tpu.managers.scheduler import Scheduler
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from sglang_tpu.server_args import ServerArgs
+
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(3, 250, size=m).tolist() for m in (11, 27, 6)]
+
+    def run(topk):
+        sa = ServerArgs(
+            model_path=target, dtype="float32", device="cpu", page_size=16,
+            context_length=256, max_total_tokens=2048,
+            prefill_token_buckets=[64, 128], decode_bs_buckets=[4, 8],
+            max_running_requests=8, skip_tokenizer_init=True, random_seed=0,
+            log_level="warning",
+            speculative_algorithm="EAGLE" if topk else None,
+            speculative_draft_model_path=draft if topk else None,
+            speculative_num_draft_tokens=4,
+            speculative_eagle_topk=topk or 4,
+        )
+        sched = Scheduler(sa)
+        rids = []
+        for p in prompts:
+            rid = uuid.uuid4().hex
+            sched.add_request(
+                TokenizedGenerateReqInput(
+                    rid=rid, input_ids=p,
+                    sampling_params=SamplingParams(
+                        max_new_tokens=14, temperature=0.0, ignore_eos=True
+                    ),
+                )
+            )
+            rids.append(rid)
+        outs, steps = {}, 0
+        while sched.has_work():
+            for o in sched.step():
+                if o.finished:
+                    outs[o.rid] = o
+            steps += 1
+            assert steps < 600
+        return [outs[r].output_ids for r in rids], sched
+
+    base, _ = run(None)
+    chain, s1 = run(1)
+    tree, s2 = run(3)
+    assert chain == base
+    assert tree == base
+    # all scratch + draft pages reclaimed, no target page leaks
+    for s in (s1, s2):
+        assert not s.draft_worker.states
+        assert s.draft_worker.allocator.check_leaks() == 0
+        assert s.check_memory() == 0
