@@ -36,6 +36,37 @@ from sglang_tpu.version import __version__
 logger = get_logger(__name__)
 
 
+def _extract_images(messages) -> list:
+    """PIL images from chat content parts (data: URLs / raw base64 only —
+    this host has no egress, so remote URLs are rejected)."""
+    import base64
+    import io
+
+    out = []
+    for m in messages:
+        content = getattr(m, "content", None)
+        if not isinstance(content, list):
+            continue
+        for part in content:
+            if part.get("type") not in ("image_url", "image"):
+                continue
+            url = (part.get("image_url") or {}).get("url") or part.get("image")
+            if not url:
+                continue
+            if url.startswith("data:"):
+                b64 = url.split(",", 1)[1]
+            elif url.startswith("http"):
+                raise ValueError(
+                    "remote image URLs are not supported; send a data: URL"
+                )
+            else:
+                b64 = url
+            from PIL import Image
+
+            out.append(Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB"))
+    return out
+
+
 class ServerState:
     def __init__(self, server_args: ServerArgs):
         self.server_args = server_args
@@ -47,6 +78,61 @@ class ServerState:
         self.scheduler = self.engine.scheduler
         self.tm = TokenizerManager(server_args, self.scheduler, self.tokenizer)
         self.start_time = time.time()
+
+    def _get_processor(self):
+        if not hasattr(self, "_processor"):
+            from transformers import AutoProcessor
+
+            self._processor = AutoProcessor.from_pretrained(
+                self.server_args.model_path
+            )
+        return self._processor
+
+    def build_mm_request(self, req, images):
+        """Chat messages + PIL images -> a tokenized multimodal request
+        (reference mm chat path via the model's AutoProcessor)."""
+        proc = self._get_processor()
+        img_tok = getattr(
+            proc, "image_token", None
+        ) or self.tokenizer.convert_ids_to_tokens(
+            self.runner.model.image_token_id
+        )
+        hf_messages = []
+        for m in req.messages:
+            content = m.content
+            if isinstance(content, list):
+                text = "".join(
+                    part.get("text", "")
+                    if part.get("type") == "text"
+                    else img_tok
+                    if part.get("type") in ("image_url", "image")
+                    else ""
+                    for part in content
+                )
+            else:
+                text = content or ""
+            hf_messages.append({"role": m.role, "content": text})
+        prompt = self.tokenizer.apply_chat_template(
+            hf_messages, tokenize=False, add_generation_prompt=True
+        )
+        out = proc(text=prompt, images=images, return_tensors="np")
+        ids = out["input_ids"][0].tolist()
+        if "image_grid_thw" in out:  # grid-native models (Qwen2-VL)
+            image_data = {
+                "pixel_values": out["pixel_values"],
+                "grid_thw": tuple(int(x) for x in out["image_grid_thw"][0]),
+            }
+        else:
+            image_data = out["pixel_values"]
+        from sglang_tpu.managers.io_struct import GenerateReqInput as GRI
+
+        gri = GRI(
+            input_ids=ids,
+            image_data=image_data,
+            sampling_params=req.to_sampling_dict(),
+            stream=req.stream,
+        )
+        return self.engine._tokenize_one(gri)
 
     def apply_chat_template(self, messages, tools=None) -> str:
         hf_messages = []
@@ -551,15 +637,34 @@ def build_app(state: ServerState) -> web.Application:
             return web.Response(status=401, text="unauthorized")
         req = ChatCompletionRequest(**await request.json())
         try:
-            prompt = state.apply_chat_template(req.messages, tools=req.tools)
-        except Exception as e:
-            return web.json_response({"error": f"chat template: {e}"}, status=400)
+            images = _extract_images(req.messages)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
         cid = chat_id()
         created = now()
-        gri = GenerateReqInput(
-            text=prompt, sampling_params=req.to_sampling_dict(), stream=req.stream
-        )
-        treq = state.tm.tokenize(gri)
+        if images:
+            # multimodal chat: the model's AutoProcessor expands image
+            # placeholders and produces pixel inputs; vision encoding runs
+            # on the pump thread (no concurrent device dispatch)
+            try:
+                treq = await state.tm.run_on_scheduler(
+                    lambda: state.build_mm_request(req, images)
+                )
+            except Exception as e:
+                return web.json_response({"error": str(e)}, status=400)
+        else:
+            try:
+                prompt = state.apply_chat_template(req.messages, tools=req.tools)
+            except Exception as e:
+                return web.json_response(
+                    {"error": f"chat template: {e}"}, status=400
+                )
+            gri = GenerateReqInput(
+                text=prompt,
+                sampling_params=req.to_sampling_dict(),
+                stream=req.stream,
+            )
+            treq = state.tm.tokenize(gri)
         model = req.model or state.server_args.served_model_name
 
         if req.stream:
