@@ -165,6 +165,17 @@ class ModelConfig:
                 quantization = qm
             elif qm in ("fp8",):
                 quantization = "fp8"
+            elif qm == "compressed-tensors":
+                # scheme from the first config group (llm-compressor
+                # emits one group for the linear layers)
+                groups = quant_config.get("config_groups", {})
+                g0 = next(iter(groups.values()), {}) if groups else {}
+                wbits = (g0.get("weights") or {}).get("num_bits", 8)
+                acts = g0.get("input_activations")
+                if wbits == 8:
+                    quantization = "w8a8_int8" if acts else "int8"
+                else:
+                    quantization = "int4"
         cfg = cls(
             model_path=model_path,
             hf_config=hf,

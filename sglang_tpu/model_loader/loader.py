@@ -117,6 +117,11 @@ def load_model_weights(
         return load_dummy_weights(model, mesh, seed)
     if load_format == "zeros":
         return load_zero_weights(model, mesh)
+    qc = model_config.quant_config or {}
+    if qc.get("quant_method", "").lower() == "compressed-tensors":
+        from sglang_tpu.quantization.ingest import load_prequantized_weights
+
+        return load_prequantized_weights(model, model_config, mesh)
     if model_config.quantization in ("awq", "gptq") and model_config.quant_config:
         from sglang_tpu.quantization.ingest import load_prequantized_weights
 

@@ -125,6 +125,23 @@ def to_int4_layout(parts: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_one_compressed(index, prefix: str) -> Dict[str, np.ndarray]:
+    """llm-compressor / compressed-tensors int8 linear: `weight` [out, in]
+    int8 + `weight_scale` [out, 1] f32 -> our [in, out] int8 layout with
+    [1, out] scales (reference compressed_tensors W8A8/W8A16 schemes)."""
+    q = np.asarray(index.get(f"{prefix}.weight")).T.astype(np.int8)  # [in, out]
+    s_ = np.asarray(index.get(f"{prefix}.weight_scale"), dtype=np.float32)
+    s_ = s_.reshape(1, -1)  # [1, out]
+    return {"q": q, "s": s_}
+
+
+def _concat_int8(parts: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {
+        "q": np.concatenate([p["q"] for p in parts], axis=1),
+        "s": np.concatenate([p["s"] for p in parts], axis=1),
+    }
+
+
 def load_prequantized_weights(model, model_config, mesh) -> dict:
     """Execute the model's weight rules against an AWQ/GPTQ checkpoint."""
     from sglang_tpu.model_loader.loader import (
@@ -134,7 +151,9 @@ def load_prequantized_weights(model, model_config, mesh) -> dict:
     )
     from sglang_tpu.model_loader.weight_mapping import get_in_tree, set_in_tree
 
-    method = model_config.quantization  # "awq" | "gptq"
+    method = model_config.quantization  # "awq" | "gptq" | int8 schemes
+    qc = model_config.quant_config or {}
+    compressed = qc.get("quant_method", "").lower() == "compressed-tensors"
     loader_fn = load_one_awq if method == "awq" else load_one_gptq
     index = SafetensorsIndex(model_config.model_path)
     specs = model.param_specs()
@@ -144,7 +163,11 @@ def load_prequantized_weights(model, model_config, mesh) -> dict:
     for rule in model.weight_rules():
         if rule.kind == "linear":
             prefixes = [s[: -len(".weight")] for s in rule.sources]
-            if index.has(f"{prefixes[0]}.qweight"):
+            if compressed and index.has(f"{prefixes[0]}.weight_scale"):
+                value = _concat_int8(
+                    [load_one_compressed(index, p) for p in prefixes]
+                )
+            elif index.has(f"{prefixes[0]}.qweight"):
                 parts = [loader_fn(index, p) for p in prefixes]
                 value = to_int4_layout(parts)
             else:  # unquantized module inside a quantized checkpoint

@@ -304,3 +304,78 @@ def test_gptq_actorder_checkpoint_logits_match(gptq_actorder_checkpoint):
         np.array([len(prompt)]), np.array([len(prompt)]),
     )
     np.testing.assert_allclose(logits, hf_logits, atol=5e-3, rtol=5e-3)
+
+
+def test_compressed_tensors_checkpoint(tmp_path):
+    """llm-compressor W8A8-int8 checkpoints (compressed-tensors format):
+    int8 weight + per-channel weight_scale load into the int8 layout and
+    runner logits match the dequant-oracle HF model."""
+    from safetensors.numpy import save_file
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    torch.manual_seed(2)
+    hf = LlamaForCausalLM(cfg).eval()
+    tensors = {}
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    linear_suffixes = (
+        "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+    )
+    with torch.no_grad():
+        for name, w in sd.items():
+            base = name[: -len(".weight")] if name.endswith(".weight") else name
+            if not any(base.endswith(sfx) for sfx in linear_suffixes):
+                tensors[name] = w
+                continue
+            wf = w.astype(np.float32)  # [out, in]
+            scale = (np.abs(wf).max(axis=1, keepdims=True) / 127.0).clip(1e-8)
+            q = np.clip(np.round(wf / scale), -128, 127).astype(np.int8)
+            tensors[f"{base}.weight"] = q
+            tensors[f"{base}.weight_scale"] = scale.astype(np.float32)
+            dict(hf.named_parameters())[name].copy_(
+                torch.tensor(q.astype(np.float32) * scale)
+            )
+    save_file(tensors, os.path.join(tmp_path, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    d["quantization_config"] = {
+        "quant_method": "compressed-tensors",
+        "config_groups": {
+            "group_0": {
+                "weights": {"num_bits": 8, "symmetric": True},
+                "input_activations": None,
+                "targets": ["Linear"],
+            }
+        },
+    }
+    with open(os.path.join(tmp_path, "config.json"), "w") as f:
+        json.dump(d, f)
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_utils import tiny_server_args
+
+    sa = tiny_server_args(model_path=str(tmp_path), load_format="auto", dtype="float32")
+    mc = ModelConfig.from_server_args(sa)
+    assert mc.quantization == "int8"  # weight-only scheme (no act quant)
+    runner = ModelRunner(sa, mc)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 250, size=10).astype(np.int32)
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(prompt[None].astype(np.int64))).logits[0].numpy()
+    ps = runner.page_size
+    pages = list(range(1, 1 + -(-len(prompt) // ps)))
+    out_loc = np.array(
+        [pages[i // ps] * ps + i % ps for i in range(len(prompt))], dtype=np.int32
+    )
+    pt = np.zeros((1, runner.max_pages_per_req), dtype=np.int32)
+    pt[0, : len(pages)] = pages
+    logits = runner.forward_extend_logits(
+        prompt, np.arange(len(prompt)), out_loc, pt,
+        np.array([len(prompt)]), np.array([len(prompt)]),
+    )
+    np.testing.assert_allclose(logits, hf_logits, atol=5e-3, rtol=5e-3)
