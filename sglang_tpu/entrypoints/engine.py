@@ -59,6 +59,7 @@ class Engine:
         from sglang_tpu.managers.session import SessionManager
 
         self.sessions = SessionManager()
+        self.tm = None  # lazy pump thread for the async API
         logger.info(
             "engine ready: %s, kv capacity %d tokens",
             server_args.model_path,
@@ -200,9 +201,91 @@ class Engine:
             mrope_delta=mrope_delta,
         )
 
+    # -------------------------------------------------------------- async
+
+    def _ensure_tm(self):
+        """Lazily start the pump thread (TokenizerManager). Once live, ALL
+        generation — sync included — routes through it, so the scheduler
+        is only ever stepped from one thread."""
+        if getattr(self, "tm", None) is None:
+            from sglang_tpu.managers.tokenizer_manager import TokenizerManager
+
+            self.tm = TokenizerManager(
+                self.server_args, self.scheduler, self.tokenizer
+            )
+        return self.tm
+
+    async def async_generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        stream: bool = False,
+        rid: Optional[str] = None,
+        lora_path: Optional[str] = None,
+        image_data=None,
+    ):
+        """Asyncio-native generation (reference Engine.async_generate):
+        awaitable single/batch results, or an async iterator of
+        incremental dicts with stream=True (single prompt)."""
+        tm = self._ensure_tm()
+        gri = GenerateReqInput(
+            text=prompt,
+            input_ids=input_ids,
+            sampling_params=sampling_params,
+            rid=rid,
+            stream=stream,
+            lora_path=lora_path,
+            image_data=image_data,
+        )
+        was_batch = gri.is_batch()
+        singles = gri.unbatch()
+        if image_data is not None or any(
+            g.image_data is not None for g in singles
+        ):
+            treqs = [
+                await tm.run_on_scheduler(lambda g=g: self._tokenize_one(g))
+                for g in singles
+            ]
+        else:
+            treqs = [self._tokenize_one(g) for g in singles]
+        if stream and not was_batch:
+            async def _aiter():
+                async for out in tm.generate_request(treqs[0]):
+                    yield self._to_dict(out)
+
+            return _aiter()
+
+        async def _one(treq):
+            final = None
+            async for out in tm.generate_request(treq):
+                final = out
+            return self._to_dict(final)
+
+        import asyncio
+
+        outs = await asyncio.gather(*(_one(t) for t in treqs))
+        return list(outs) if was_batch else outs[0]
+
     def _run_to_completion(
         self, treqs: List[TokenizedGenerateReqInput]
     ) -> Dict[str, ReqStrOutput]:
+        tm = getattr(self, "tm", None)
+        if tm is not None:
+            # the pump thread owns the scheduler now: route through it
+            import asyncio
+
+            async def _all():
+                async def _one(t):
+                    final = None
+                    async for out in tm.generate_request(t):
+                        final = out
+                    return final
+
+                outs = await asyncio.gather(*(_one(t) for t in treqs))
+                return {t.rid: o for t, o in zip(treqs, outs)}
+
+            return asyncio.run(_all())
         pending = set()
         for t in treqs:
             self.scheduler.add_request(t)
@@ -467,6 +550,8 @@ class Engine:
         }
 
     def shutdown(self):
+        if getattr(self, "tm", None) is not None:
+            self.tm.shutdown()
         pass  # single-process: nothing to tear down
 
 

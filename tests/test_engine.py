@@ -184,3 +184,36 @@ def test_input_embeds_matches_token_ids(engine):
     assert out == ref
     # cache isolation: embeds requests must not poison the radix tree
     assert eng.scheduler.check_memory() == 0
+
+
+def test_async_generate(engine):
+    """async_generate (reference Engine.async_generate): awaitable
+    results identical to the sync path, streaming async-iterator, and
+    sync generate still works after the pump thread starts."""
+    import asyncio
+
+    prompt = [7, 11, 13]
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+    sync_out = engine.generate(input_ids=prompt, sampling_params=sp)
+
+    async def main():
+        single = await engine.async_generate(input_ids=prompt, sampling_params=sp)
+        batch = await engine.async_generate(
+            input_ids=[prompt, [5, 6]], sampling_params=sp
+        )
+        chunks = []
+        it = await engine.async_generate(
+            input_ids=prompt, sampling_params=sp, stream=True
+        )
+        async for c in it:
+            chunks.append(c)
+        return single, batch, chunks
+
+    single, batch, chunks = asyncio.run(main())
+    assert single["output_ids"] == sync_out["output_ids"]
+    assert batch[0]["output_ids"] == sync_out["output_ids"]
+    assert len(batch) == 2
+    assert chunks[-1]["output_ids"] == sync_out["output_ids"]
+    # sync path still serves through the pump thread
+    again = engine.generate(input_ids=prompt, sampling_params=sp)
+    assert again["output_ids"] == sync_out["output_ids"]
