@@ -78,11 +78,53 @@ class Worker:
 
 
 class Router:
-    def __init__(self, worker_urls: List[str], policy: str = "cache_aware"):
+    def __init__(
+        self,
+        worker_urls: List[str],
+        policy: str = "cache_aware",
+        kv_event_addrs: Optional[Dict[str, str]] = None,
+        page_size: int = 64,
+    ):
         assert policy in ("cache_aware", "least_inflight", "round_robin"), policy
         self.workers: List[Worker] = [Worker(u) for u in worker_urls]
         self.policy = policy
         self._rr = itertools.count()
+        self.page_size = page_size
+        # exact prefix tracking: one KVEventMirror per worker fed by its
+        # ZMQ kv-event stream (reference rust router's cache-aware mode
+        # tracks worker radix contents the same way)
+        self.mirrors: Dict[str, object] = {}
+        if kv_event_addrs:
+            for url, addr in kv_event_addrs.items():
+                self._subscribe(url.rstrip("/"), addr)
+
+    def _subscribe(self, worker_url: str, zmq_addr: str) -> None:
+        import json as _json
+        import threading
+
+        from sglang_tpu.mem_cache.kv_events import (
+            KVEventMirror,
+            KVEventPublisher,
+        )
+
+        pub = KVEventPublisher()  # local re-publisher feeding the mirror
+        mirror = KVEventMirror(pub)
+        self.mirrors[worker_url] = mirror
+
+        def _pump():
+            import zmq
+
+            ctx = zmq.Context.instance()
+            sock = ctx.socket(zmq.SUB)
+            sock.connect(zmq_addr)
+            sock.setsockopt_string(zmq.SUBSCRIBE, "")
+            while True:
+                try:
+                    pub._emit(_json.loads(sock.recv_string()))
+                except Exception:
+                    return
+
+        threading.Thread(target=_pump, daemon=True).start()
 
     # ------------------------------------------------------------- choice
 
@@ -113,6 +155,26 @@ class Router:
             return live[next(self._rr) % len(live)]
         least = min(live, key=lambda w: w.inflight)
         if self.policy == "least_inflight":
+            return least
+        # exact cache-awareness when kv-event mirrors are wired: route to
+        # the worker whose radix tree actually holds the longest prefix
+        ids = payload.get("input_ids")
+        if ids and isinstance(ids[0], list):
+            ids = ids[0]
+        if self.mirrors and ids:
+            scored = [
+                (
+                    self.mirrors[w.url].match_prefix_pages(ids, self.page_size)
+                    if w.url in self.mirrors
+                    else 0,
+                    -w.inflight,
+                    w,
+                )
+                for w in live
+            ]
+            best = max(scored, key=lambda t: (t[0], t[1]))
+            if best[0] > 0:
+                return best[2]
             return least
         key = self._prefix_key(payload)
         if key is None:
@@ -311,10 +373,25 @@ def main(argv=None):
         default="cache_aware",
         choices=["cache_aware", "least_inflight", "round_robin"],
     )
+    parser.add_argument(
+        "--kv-events",
+        nargs="*",
+        default=None,
+        help="worker_url=zmq_addr pairs for exact prefix tracking",
+    )
+    parser.add_argument("--page-size", type=int, default=64)
     args = parser.parse_args(argv)
     from aiohttp import web
 
-    router = Router(args.worker_urls, policy=args.policy)
+    kv_addrs = None
+    if args.kv_events:
+        kv_addrs = dict(spec.split("=", 1) for spec in args.kv_events)
+    router = Router(
+        args.worker_urls,
+        policy=args.policy,
+        kv_event_addrs=kv_addrs,
+        page_size=args.page_size,
+    )
     app = build_router_app(router)
     logger.info(
         "router on %s:%d over %d workers (%s)",

@@ -209,3 +209,56 @@ def test_router_failover_and_worker_mgmt(fleet):
                      {"url": "http://127.0.0.1:1"})["success"]
     info = json.loads(urllib.request.urlopen(router_url + "/get_server_info").read())
     assert info["max_total_tokens"] > 0
+
+
+def test_exact_cache_aware_via_kv_events():
+    """With KV-event mirrors wired, the router routes a prompt to the
+    worker whose radix tree ACTUALLY holds its prefix (unit-level: feed
+    the mirrors directly)."""
+    from sglang_tpu.mem_cache.kv_events import KVEventMirror, KVEventPublisher
+
+    r = Router(["http://a", "http://b"], policy="cache_aware")
+    pubs = {}
+    for url in ("http://a", "http://b"):
+        pub = KVEventPublisher()
+        r.mirrors[url] = KVEventMirror(pub)
+        pubs[url] = pub
+    r.page_size = 4
+    prompt = list(range(40, 52))  # 3 pages
+    # worker B holds the prefix
+    pubs["http://b"].block_stored(prompt, [7, 8, 9], page_size=4)
+    assert r.pick({"input_ids": prompt}).url == "http://b"
+    # unknown prefix -> least inflight
+    r.workers[1].inflight = 5
+    assert r.pick({"input_ids": [1, 2, 3, 4, 5, 6, 7, 8]}).url == "http://a"
+    # eviction on B flips routing (no stale stickiness)
+    pubs["http://b"].block_removed([7, 8, 9])
+    r.workers[1].inflight = 0
+    pubs["http://a"].block_stored(prompt[:8], [3, 4], page_size=4)
+    assert r.pick({"input_ids": prompt}).url == "http://a"
+
+
+def test_kv_events_over_zmq_to_router():
+    """End-to-end transport: a worker-side publisher bound to a ZMQ socket
+    feeds the router's mirror across the wire."""
+    import time as _time
+
+    zmq = pytest.importorskip("zmq")
+    from sglang_tpu.mem_cache.kv_events import KVEventPublisher
+
+    port = _free_port()
+    pub = KVEventPublisher(f"tcp://127.0.0.1:{port}")
+    r = Router(
+        ["http://w"], policy="cache_aware",
+        kv_event_addrs={"http://w": f"tcp://127.0.0.1:{port}"},
+        page_size=4,
+    )
+    _time.sleep(0.4)  # SUB connect (slow joiner)
+    prompt = list(range(16))
+    deadline = _time.time() + 5
+    while _time.time() < deadline:
+        pub.block_stored(prompt, [1, 2, 3, 4], page_size=4)
+        if r.mirrors["http://w"].match_prefix_pages(prompt, 4) == 4:
+            break
+        _time.sleep(0.2)
+    assert r.mirrors["http://w"].match_prefix_pages(prompt, 4) == 4
