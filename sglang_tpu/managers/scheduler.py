@@ -36,7 +36,10 @@ from sglang_tpu.managers.schedule_policy import (
 )
 from sglang_tpu.mem_cache.allocator import PageAllocator
 from sglang_tpu.model_executor.model_runner import ModelRunner
-from sglang_tpu.sampling.sampling_batch_info import SamplingBatchInfo
+from sglang_tpu.sampling.sampling_batch_info import (
+    MAX_STOP_TOKENS,
+    SamplingBatchInfo,
+)
 from sglang_tpu.server_args import ServerArgs
 from sglang_tpu.utils import get_logger, round_down
 
@@ -256,9 +259,18 @@ class Scheduler:
         if req is None:
             return False
         if req.status == ReqStatus.WAITING:
-            self.waiting_queue.remove(req)
-            req.abort()
-            self.reqs.pop(rid, None)
+            if req is self.chunked_req:
+                # mid-chunked-prefill: removed from the waiting queue at
+                # admission but still WAITING, holding allocated pages
+                self.chunked_req = None
+                req.abort()
+                self._release_req(req, insert=True)
+                self.reqs.pop(rid, None)
+            else:
+                if req in self.waiting_queue:
+                    self.waiting_queue.remove(req)
+                req.abort()
+                self.reqs.pop(rid, None)
         else:
             req.abort()  # released + emitted at the next step boundary
         return True
@@ -383,12 +395,19 @@ class Scheduler:
         count_sample: Optional[List[bool]] = None,
         fresh: Optional[List[bool]] = None,
     ) -> SamplingBatchInfo:
-        eos_blocked = [
-            sorted(r.eos_token_ids)[:8]
-            if len(r.output_ids) < r.sampling_params.min_new_tokens
-            else []
-            for r in reqs
-        ]
+        eos_blocked = []
+        for r in reqs:
+            if len(r.output_ids) < r.sampling_params.min_new_tokens:
+                ids = sorted(r.eos_token_ids)
+                if len(ids) > MAX_STOP_TOKENS:
+                    logger.warning(
+                        "request %s has %d eos/stop token ids; only the "
+                        "first %d are blocked for min_new_tokens",
+                        r.rid, len(ids), MAX_STOP_TOKENS,
+                    )
+                eos_blocked.append(ids[:MAX_STOP_TOKENS])
+            else:
+                eos_blocked.append([])
         grammar_masks = None
         if any(r.grammar is not None for r in reqs):
             vocab = self.runner.model_config.vocab_size
@@ -585,6 +604,11 @@ class Scheduler:
                 or sp.presence_penalty != 0.0
                 or sp.repetition_penalty != 1.0
                 or sp.min_new_tokens > len(r.output_ids)
+                # the verify forwards take no lora_ids / mrope / mm inputs,
+                # so speculation would silently run the base model instead
+                or getattr(r, "lora_id", -1) >= 0
+                or r.mrope_positions is not None
+                or r.mm_embeds is not None
             ):
                 return False
         return True
@@ -1196,15 +1220,11 @@ class Scheduler:
             return
         aligned = self._insertable_len(r)
         if aligned > 0:
+            # KV events are published from inside radix insert with the
+            # pages the tree actually retained (never request duplicates)
             self.radix_cache.insert(
                 r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
             )
-            if self.kv_events is not None:
-                self.kv_events.block_stored(
-                    r.fill_ids[:aligned],
-                    r.pages[: aligned // self.page_size],
-                    self.page_size,
-                )
 
     def _release_req(self, r: Req, insert: bool) -> None:
         """Return a request's KV to the pool; optionally publish its prefix
@@ -1215,12 +1235,6 @@ class Scheduler:
                 self.radix_cache.insert(
                     r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
                 )
-                if self.kv_events is not None:
-                    self.kv_events.block_stored(
-                        r.fill_ids[:aligned],
-                        r.pages[: aligned // self.page_size],
-                        self.page_size,
-                    )
                 if self.hicache is not None:
                     self.hicache.write_through(
                         r.fill_ids[:aligned], r.pages[: aligned // self.page_size]

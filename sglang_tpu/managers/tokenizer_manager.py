@@ -73,9 +73,12 @@ class TokenizerManager:
             elif not moved:
                 try:
                     item = self._inbox.get(timeout=0.02)
-                    self._handle_inbox_item(item)
                 except queue_mod.Empty:
-                    pass
+                    continue
+                try:
+                    self._handle_inbox_item(item)
+                except Exception:
+                    logger.exception("inbox item failed")
 
     def _watchdog_loop(self):
         timeout = self.server_args.watchdog_timeout
@@ -102,7 +105,11 @@ class TokenizerManager:
                 item = self._inbox.get_nowait()
             except queue_mod.Empty:
                 return moved
-            self._handle_inbox_item(item)
+            try:
+                self._handle_inbox_item(item)
+            except Exception:
+                # never let a malformed control item kill the pump thread
+                logger.exception("inbox item failed")
             moved = True
 
     def _handle_inbox_item(self, item):

@@ -120,31 +120,39 @@ class KVEventMirror:
     def __init__(self, publisher: KVEventPublisher):
         self.blocks: Dict[str, dict] = {}  # hash -> block
         self.page_to_hash: Dict[int, str] = {}
+        # events arrive on the subscriber (ZMQ pump) thread while a router
+        # reads via match_prefix_pages on its own thread
+        self._lock = threading.Lock()
         publisher.subscribe(self._on_event)
 
     def _on_event(self, e: dict) -> None:
-        if e["event"] == "block_stored":
-            for b in e["blocks"]:
-                self.blocks[b["hash"]] = b
-                for p in b["pages"]:
-                    self.page_to_hash[p] = b["hash"]
-        elif e["event"] == "block_removed":
-            for p in e["pages"]:
-                h = self.page_to_hash.pop(p, None)
-                if h:
-                    self.blocks.pop(h, None)
-        elif e["event"] == "all_cleared":
-            self.blocks.clear()
-            self.page_to_hash.clear()
+        with self._lock:
+            if e["event"] == "block_stored":
+                for b in e["blocks"]:
+                    self.blocks[b["hash"]] = b
+                    for p in b["pages"]:
+                        self.page_to_hash[p] = b["hash"]
+            elif e["event"] == "block_removed":
+                for p in e["pages"]:
+                    h = self.page_to_hash.pop(p, None)
+                    if h:
+                        self.blocks.pop(h, None)
+            elif e["event"] == "all_cleared":
+                self.blocks.clear()
+                self.page_to_hash.clear()
 
     def match_prefix_pages(self, ids: List[int], page_size: int) -> int:
         """How many leading pages of `ids` the mirrored cache holds."""
         parent = None
         hit = 0
-        for p in range(len(ids) // page_size):
-            h = page_chain_hash(parent, ids[p * page_size : (p + 1) * page_size])
-            if h not in self.blocks:
-                break
-            hit += 1
-            parent = h
+        with self._lock:
+            blocks = self.blocks
+            for p in range(len(ids) // page_size):
+                h = page_chain_hash(
+                    parent, ids[p * page_size : (p + 1) * page_size]
+                )
+                if h not in blocks:
+                    break
+                hit += 1
+                parent = h
         return hit

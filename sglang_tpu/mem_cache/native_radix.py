@@ -91,6 +91,15 @@ class NativeRadixCache:
         new_pages = self._scratch[:n_new].tolist()
         if new_pages:
             self.allocator.inc_ref(new_pages)
+        if self.events is not None:
+            # announce the pages the tree ACTUALLY retained along this
+            # prefix (existing spans win over caller duplicates); re-read
+            # them from the tree rather than trusting the caller's list
+            m = self.match_prefix(list(ids))
+            if m.length > 0:
+                self.events.block_stored(
+                    list(ids)[: m.length], m.pages, self.page_size
+                )
         return len(new_pages)
 
     def evict(self, num_pages: int) -> int:

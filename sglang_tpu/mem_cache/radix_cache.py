@@ -163,6 +163,11 @@ class RadixCache:
         node = self.root
         pos = 0
         new_refs = 0
+        # the pages the tree ACTUALLY holds along the walked path — may
+        # differ from the caller's `pages` where existing spans win; KV
+        # events must announce these, never the caller duplicates (which
+        # get freed later with no block_removed)
+        tree_pages: List[int] = []
         while pos < aligned:
             child = node.children.get(self._child_key(ids, pos))
             if child is None:
@@ -174,7 +179,9 @@ class RadixCache:
                 self._evictable_pages += len(leaf.pages)
                 self._total_pages += len(leaf.pages)
                 new_refs += len(leaf.pages)
-                return new_refs
+                tree_pages.extend(leaf.pages)
+                pos = aligned
+                break
             n = len(child.key)
             common = 0
             limit = min(n, aligned - pos)
@@ -184,12 +191,15 @@ class RadixCache:
             if common == 0:
                 # first page tokens matched dict key but diverged within the
                 # page (can't happen: key == first page); defensive
-                return new_refs
+                break
             if common < n:
                 child = self._split_node(child, common)
             child.last_access_time = time.monotonic()
+            tree_pages.extend(child.pages)
             pos += common
             node = child
+        if self.events is not None and pos > 0:
+            self.events.block_stored(ids[:pos], tree_pages, ps)
         return new_refs
 
     # ---------------------------------------------------------------- evict

@@ -56,7 +56,10 @@ def unpack_gptq_qzeros(packed: np.ndarray) -> np.ndarray:
     p = packed.astype(np.uint32)
     for k in range(8):
         out[:, :, k] = (p >> (4 * k)) & 0xF
-    return (out.reshape(g, c8 * 8) + 1) & 0xF
+    # +1 per GPTQ convention; the stored value 15 legitimately maps to
+    # zero-point 16, so do NOT re-mask to 4 bits (asymmetric checkpoints
+    # with max zero-points would dequantize those groups wrong by 16*scale)
+    return out.reshape(g, c8 * 8) + 1
 
 
 def dequant_reference(q: np.ndarray, z: np.ndarray, s: np.ndarray, group: int):

@@ -27,7 +27,7 @@ import numpy as np
 from sglang_tpu.sampling.sampling_params import TOP_K_ALL, SamplingParams
 
 MAX_BIAS_TOKENS = 32  # per-request logit_bias entries (padded)
-MAX_STOP_TOKENS = 8  # per-request blocked-EOS ids for min_new_tokens
+MAX_STOP_TOKENS = 32  # per-request blocked-EOS ids for min_new_tokens
 CUSTOM_PARAMS_DIM = 8  # per-request custom-logit-processor params (padded)
 
 

@@ -199,3 +199,19 @@ def test_mixed_chunk_equivalence():
     assert got == base
     # decode tokens were produced during prefill steps (the whole point)
     assert sched.stats.num_decode_tokens > 0
+
+
+def test_abort_chunked_request_releases_pages():
+    """Regression: aborting a request mid-chunked-prefill (it is WAITING
+    but no longer in the waiting queue) must not raise, must drop it as
+    the chunked req, and must return its pages to the pool."""
+    sched = make_scheduler(chunked_prefill_size=32, max_prefill_tokens=32)
+    long_prompt = np.random.default_rng(3).integers(3, 250, size=100)
+    rid = submit(sched, [int(x) for x in long_prompt], max_new_tokens=3)
+    sched.step()  # first chunk: request becomes sched.chunked_req
+    assert sched.chunked_req is not None and sched.chunked_req.rid == rid
+    assert sched.abort_request(rid)
+    assert sched.chunked_req is None
+    assert rid not in sched.reqs
+    assert not sched.has_work()
+    assert sched.check_memory() == 0
