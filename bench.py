@@ -162,7 +162,9 @@ def main():
         chunked_prefill_size=4096,
         # few buckets: each (bucket, variant) pair is one XLA compile, and
         # decode is weight-read-bound so padded rows are nearly free
-        decode_bs_buckets=[32, 128, 256] if not tiny else [8, 16, 32],
+        # KV pool (~46k tokens) caps concurrency near 70 at this workload's
+        # lengths, so bs>128 buckets never run — don't warm/compile them
+        decode_bs_buckets=[32, 128] if not tiny else [8, 16, 32],
         prefill_token_buckets=[2048, 4096] if not tiny else [512],
         max_running_requests=256,
         device="cpu" if tiny else "auto",
@@ -225,6 +227,24 @@ def main():
     elapsed = time.perf_counter() - t1
     assert done == num_prompts, f"{done}/{num_prompts} finished"
     toks_per_s = gen_tokens / elapsed
+    # where the scheduler thread spent the measured window (host view;
+    # "dispatch" includes device wait when the pipeline is not deep enough)
+    stages = dict(sched.stats.stage_time)
+    accounted = sum(stages.values())
+    stages["untracked"] = elapsed - accounted
+    print(
+        "# stage times: "
+        + ", ".join(f"{k}={v:.2f}s" for k, v in sorted(stages.items())),
+        file=sys.stderr,
+    )
+    print(
+        f"# prefill {sched.stats.num_prefill_tokens} tok in "
+        f"{sched.stats.num_prefill_steps} rounds; decode "
+        f"{sched.stats.num_decode_tokens} tok in "
+        f"{sched.stats.num_decode_steps} steps; "
+        f"retractions {sched.stats.num_retractions}",
+        file=sys.stderr,
+    )
 
     kv_tag = "" if kv_dtype == "auto" else "_kvfp8"
     result = {

@@ -6,11 +6,13 @@ TPU design: a backend is a pure function family used inside the jitted model
 step; there is no CUDA-graph capture hook because bucketed `jax.jit` *is*
 the graph capture.
 
-KV page layout (all backends): `[num_pages, page_size, 2 * kv_heads, head_dim]`
-with K heads first (indices 0..kvh-1) and V heads second (kvh..2kvh-1) — one
-contiguous page holds K and V for all heads so a single DMA streams both,
-and K/V are contiguous sub-blocks (unit-stride slices inside a Pallas
-kernel's VMEM buffer).
+KV page layout (all backends): `[num_pages, 2 * kv_heads, page_size, head_dim]`
+(HEAD-major) with K heads first (indices 0..kvh-1) and V heads second
+(kvh..2kvh-1) — one contiguous page holds K and V for all heads so a single
+DMA streams both, and each head's K/V is a contiguous (page_size, head_dim)
+plane: Pallas kernels slice heads on the free outer dim of their VMEM
+scratch (token-major layout forced a sublane-gather relayout per head per
+KV chunk, 2.3-2.8x slower decode attention).
 """
 
 from __future__ import annotations
@@ -29,15 +31,30 @@ def write_kv_pages(
 ) -> jax.Array:
     """Scatter new K/V into the paged pool (in-place when `pages` is donated).
 
-    pages: [num_pages, page_size, 2*kv_heads, head_dim]
+    pages: [num_pages, 2*kv_heads, page_size, head_dim] (head-major)
     k_new/v_new: [T, kv_heads, head_dim]; out_cache_loc: [T] flat slot ids.
     Reference analogue: `memory_pool.py set_kv_buffer`.
     """
-    num_pages, page_size, two_kvh, d = pages.shape
+    import os
+
+    if os.environ.get("SGLANG_TPU_SKIP_KV_WRITE") == "1":  # ablation only
+        return pages
+    num_pages, two_kvh, page_size, d = pages.shape
     t, kvh, _ = k_new.shape
     kv = jnp.concatenate([k_new, v_new], axis=1)  # [T, 2kvh, d], K block first
-    flat = pages.reshape(num_pages * page_size, two_kvh, d)
-    flat = flat.at[out_cache_loc].set(kv.astype(flat.dtype))
+    page = out_cache_loc // page_size
+    off = out_cache_loc % page_size
+    # flat-row scatter: row index of (token, head) in the [P*2kvh*ps, d]
+    # view. The 2D formulation keeps XLA on the default layout — a
+    # mixed slice/gather scatter (pages.at[page, :, off]) made XLA pick a
+    # {3,1,2,0} layout for the pool, breaking donation aliasing (full KV
+    # copy per step -> OOM).
+    h = jnp.arange(two_kvh, dtype=out_cache_loc.dtype)
+    rows = (page[:, None] * two_kvh + h[None, :]) * page_size + off[:, None]
+    flat = pages.reshape(num_pages * two_kvh * page_size, d)
+    flat = flat.at[rows.reshape(-1)].set(
+        kv.reshape(t * two_kvh, d).astype(pages.dtype)
+    )
     return flat.reshape(pages.shape)
 
 

@@ -16,6 +16,7 @@ from sglang_tpu.model_executor.forward_batch_info import (
     EXTEND_QBLK,
     ForwardBatch,
 )
+from sglang_tpu.ops.paged_decode_attention import paged_decode_attention
 from sglang_tpu.ops.ragged_paged_attention import ragged_paged_attention
 
 
@@ -52,10 +53,33 @@ class PallasAttentionBackend(AttentionBackend):
         self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
         logit_cap=0.0, sinks=None,
     ):
-        return self._attend(
-            q, pages, fb, DECODE_QBLK, sm_scale, sliding_window, logit_cap,
+        # decode-specialized kernel: 8 rows per grid block with a global
+        # (row, chunk) DMA stream — 2.3-2.8x the unified kernel's decode
+        # bandwidth (scripts/bench_decode_kernel.py)
+        import os
+
+        if os.environ.get("SGLANG_TPU_DECODE_KERNEL") == "unified":
+            return self._attend(
+                q, pages, fb, DECODE_QBLK, sm_scale, sliding_window,
+                logit_cap, sinks=sinks,
+            )
+        b = q.shape[0]
+        pad = (-b) % 8
+        q_pad = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        sl = jnp.pad(fb.seq_lens, (0, pad))
+        pt = jnp.pad(fb.page_table, ((0, pad), (0, 0)))
+        out = paged_decode_attention(
+            q_pad,
+            pages,
+            sl,
+            pt,
+            sm_scale=float(sm_scale),
+            logit_cap=float(logit_cap),
+            window=int(sliding_window),
+            interpret=self.interpret,
             sinks=sinks,
         )
+        return out[:b]
 
     def forward_extend(
         self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,

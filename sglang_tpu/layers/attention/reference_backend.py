@@ -18,11 +18,12 @@ _NEG = -1e30
 
 
 def _gather_kv(pages: jax.Array, page_table: jax.Array):
-    """pages [P, ps, 2kvh, d], page_table [B, Pmax] -> k, v: [B, K, kvh, d]."""
+    """pages [P, 2kvh, ps, d] (head-major), page_table [B, Pmax] ->
+    k, v: [B, K, kvh, d]."""
     b, pmax = page_table.shape
-    _, ps, two_kvh, d = pages.shape
-    kv = pages[page_table]  # [B, Pmax, ps, 2kvh, d]
-    kv = kv.reshape(b, pmax * ps, two_kvh, d)
+    _, two_kvh, ps, d = pages.shape
+    kv = pages[page_table]  # [B, Pmax, 2kvh, ps, d]
+    kv = jnp.transpose(kv, (0, 1, 3, 2, 4)).reshape(b, pmax * ps, two_kvh, d)
     kvh = two_kvh // 2
     k = kv[:, :, :kvh, :]
     v = kv[:, :, kvh:, :]
@@ -64,7 +65,7 @@ class ReferenceAttentionBackend(AttentionBackend):
         logit_cap=0.0, sinks=None,
     ):
         b, qh, d = q.shape
-        kvh = pages.shape[2] // 2
+        kvh = pages.shape[1] // 2
         qpk = qh // kvh
         k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
         kmax = k.shape[1]
@@ -84,7 +85,7 @@ class ReferenceAttentionBackend(AttentionBackend):
         logit_cap=0.0, sinks=None,
     ):
         t, qh, d = q.shape
-        kvh = pages.shape[2] // 2
+        kvh = pages.shape[1] // 2
         qpk = qh // kvh
         k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
         k = k[fb.token_to_seq]  # [T, K, kvh, d]

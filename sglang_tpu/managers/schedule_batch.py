@@ -339,16 +339,21 @@ class ScheduleBatch:
             r.kv_len += 1
 
     def prepare_for_decode_multi(
-        self, k_steps: int, with_input_ids: bool = True
+        self, k_steps: int, with_input_ids: bool = True,
+        lookahead_tokens: int = 0,
     ) -> Optional[Dict[str, np.ndarray]]:
         """Metadata for a K-step fused decode chunk: pages are allocated to
-        cover kv_len + k_steps tokens per request up front; per-step slot
-        ids are derived on device from the page table."""
+        cover kv_len + k_steps (+ lookahead_tokens, for zero-upload chained
+        chunks whose page table must stay valid) per request up front;
+        per-step slot ids are derived on device from the page table."""
         ps = self.page_size
         need: List[Tuple[Req, int]] = []
         total = 0
         for r in self.reqs:
-            cap = min(r.kv_len + k_steps, self.max_pages_per_req * ps)
+            cap = min(
+                r.kv_len + k_steps + lookahead_tokens,
+                self.max_pages_per_req * ps,
+            )
             n = cdiv(cap, ps) - len(r.pages)
             if n > 0:
                 need.append((r, n))

@@ -60,10 +60,37 @@ class SchedulerStats:
         self.num_decode_steps = 0
         self.num_hicache_tokens = 0  # tokens reloaded from the host tier
         self.num_jump_forward_tokens = 0  # grammar-forced tokens injected
+        # per-stage wall time (reference per-stage time stats,
+        # `observability/req_time_stats.py`): where the scheduler thread
+        # spends its time, exported at /metrics and printed by bench traces
+        from collections import defaultdict
+
+        self.stage_time = defaultdict(float)
 
     def cache_hit_rate(self) -> float:
         total = self.num_prefill_tokens + self.num_cached_tokens
         return self.num_cached_tokens / total if total else 0.0
+
+
+class _StageTimer:
+    """`with stats.timed("decode_dispatch"): ...` wall-clock accumulator."""
+
+    __slots__ = ("stats", "name", "t0")
+
+    def __init__(self, stats: SchedulerStats, name: str):
+        self.stats = stats
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.stats.stage_time[self.name] += time.perf_counter() - self.t0
+        return False
+
+
+SchedulerStats.timed = lambda self, name: _StageTimer(self, name)
 
 
 class Scheduler:
@@ -288,15 +315,105 @@ class Scheduler:
     def step(self) -> List[ReqStrOutput]:
         """Run one scheduling iteration. Returns incremental outputs."""
         self._step_i += 1
-        batch = self._get_new_batch_prefill()
+        pre_outputs: List[ReqStrOutput] = []
+        if self.server_args.waiting_queue_timeout > 0 and self.waiting_queue:
+            pre_outputs += self._abort_stale_waiting()
+        if self.server_args.enable_priority_preemption:
+            pre_outputs += self._maybe_preempt()
+        with self.stats.timed("prefill_sched"):
+            batch = self._get_new_batch_prefill()
         if batch is not None:
             # prefill changes the running batch: resolve any in-flight
             # decode first so batch state is exact
-            outputs = self._resolve_inflight()
-            return outputs + self._forward_extend(batch)
+            with self.stats.timed("decode_resolve"):
+                outputs = self._resolve_inflight()
+            return pre_outputs + outputs + self._forward_extend(batch)
         if self.running_batch.reqs:
-            return self._forward_decode()
-        return self._resolve_inflight()
+            return pre_outputs + self._forward_decode()
+        with self.stats.timed("decode_resolve"):
+            return pre_outputs + self._resolve_inflight()
+
+    def _abort_stale_waiting(self) -> List[ReqStrOutput]:
+        """Abort requests queued longer than `waiting_queue_timeout` s
+        (reference request-age aborts, `srt/managers/scheduler.py:1537`)."""
+        now = time.monotonic()
+        limit = self.server_args.waiting_queue_timeout
+        outputs: List[ReqStrOutput] = []
+        for r in list(self.waiting_queue):
+            if now - r.arrival_time > limit:
+                self.waiting_queue.remove(r)
+                r.abort(
+                    f"aborted: queued longer than waiting_queue_timeout "
+                    f"({limit:.1f}s)"
+                )
+                outputs.append(self._finish_req(r))
+                logger.warning("aborted stale waiting request %s", r.rid)
+        return outputs
+
+    def _maybe_preempt(self) -> List[ReqStrOutput]:
+        """Priority preemption: when the best waiting request has strictly
+        higher priority than the lowest-priority running request and
+        admission is blocked (pages or slots), retract lower-priority
+        running requests to make room (reference
+        `srt/managers/schedule_policy.py:1008 preempt_to_schedule`)."""
+        if (
+            self.server_args.schedule_policy != "priority"
+            or not self.waiting_queue
+            or not self.running_batch.reqs
+        ):
+            return []
+        top = min(
+            self.waiting_queue, key=lambda r: (-r.priority, r.arrival_time)
+        )
+        ps = self.page_size
+        need_pages = -(
+            -min(
+                len(top.fill_ids) - top.kv_len,
+                self.server_args.chunked_prefill_size,
+            )
+            // ps
+        )
+        slots_blocked = (
+            len(self.running_batch.reqs) >= self.max_running_requests
+        )
+        pages_blocked = self.allocator.available_pages() < need_pages
+        if not (slots_blocked or pages_blocked):
+            return []
+        # lowest priority first; among equals, newest (least progress) first
+        victims = sorted(
+            (
+                r
+                for r in self.running_batch.reqs
+                if r.priority < top.priority
+            ),
+            key=lambda r: (r.priority, -r.arrival_time),
+        )
+        if not victims:
+            return []
+        # retraction invalidates the in-flight decode chain state
+        with self.stats.timed("decode_resolve"):
+            outputs = self._resolve_inflight()
+        for v in victims:
+            if (
+                self.allocator.available_pages() >= need_pages
+                and len(self.running_batch.reqs) < self.max_running_requests
+            ):
+                break
+            if v not in self.running_batch.reqs:
+                continue  # finished during resolve
+            self.running_batch.reqs.remove(v)
+            self._release_req(v, insert=False)
+            v.reset_for_retract()
+            self.waiting_queue.insert(0, v)
+            self.stats.num_retractions += 1
+            logger.info(
+                "preempted %s (prio %d) for waiting %s (prio %d)",
+                v.rid,
+                v.priority,
+                top.rid,
+                top.priority,
+            )
+        return outputs
 
     # ------------------------------------------------------------- prefill
 
@@ -442,6 +559,7 @@ class Scheduler:
         )
 
     def _forward_extend(self, batch: ScheduleBatch) -> List[ReqStrOutput]:
+        _t_prep0 = time.perf_counter()
         for r in batch.reqs:
             if r.slot is None and self._slot_pool:
                 r.slot = self._slot_pool.pop()
@@ -503,6 +621,8 @@ class Scheduler:
         lora_active = self._lora_batch(all_reqs)
         mm_rows, mm_embeds = self._mm_chunk_arrays(all_reqs)
         mrope_pos = self._mrope_chunk_arrays(all_reqs)
+        _t_run0 = time.perf_counter()
+        self.stats.stage_time["prefill_prep"] += _t_run0 - _t_prep0
         if (
             not meta.flags[5]
             and not lora_active
@@ -544,6 +664,8 @@ class Scheduler:
             r._counts_inited = True
         next_ids = np.asarray(next_ids)
         tok_lp = np.asarray(tok_lp)
+        _t_post0 = time.perf_counter()
+        self.stats.stage_time["prefill_run"] += _t_post0 - _t_run0
         exec_batch.commit_extend()
         self.stats.num_prefill_tokens += int(
             arrays["extend_lens"][: len(batch.reqs)].sum()
@@ -585,6 +707,7 @@ class Scheduler:
                     outputs.append(out)
         if mixed:
             self.running_batch.filter_finished()
+        self.stats.stage_time["prefill_post"] += time.perf_counter() - _t_post0
         return outputs
 
     # -------------------------------------------------------------- decode
@@ -898,39 +1021,77 @@ class Scheduler:
             self._inflight is not None and self._inflight[0] == batch.reqs
         )
         if self._inflight is not None and not chained:
-            outputs += self._resolve_inflight()
+            with self.stats.timed("decode_resolve"):
+                outputs += self._resolve_inflight()
             if not batch.reqs:
                 return outputs
-        arrays = batch.prepare_for_decode_multi(k, with_input_ids=not chained)
-        if arrays is None:
-            # K-token up-front allocation failed: the single-step path makes
-            # progress with 1-token granularity (and owns retraction)
-            outputs += self._resolve_inflight()
-            if not batch.reqs:
-                return outputs
-            return outputs + self._forward_decode_normal()
-        meta = self._make_sinfo(
-            batch.reqs,
-            padded_bs=_bucket(len(batch.reqs), self.runner.decode_bs_buckets),
-        )
-        first_ids = self._inflight[3] if chained else arrays["input_ids"]
-        all_ids, all_lp, last_ids = self.runner.forward_decode_multi(
-            first_ids,
-            arrays["base_seq_lens"],
-            arrays["page_table"],
-            meta,
-            k,
-        )
-        batch.commit_decode_multi(k)
+        _t_prep0 = time.perf_counter()
+        if chained and self.runner.decode_chain_ready():
+            # zero-upload dispatch: page table, sampling state, first ids,
+            # base seq lens, and rng are all device-resident
+            _t_disp0 = time.perf_counter()
+            all_ids, all_lp, last_ids = (
+                self.runner.forward_decode_multi_chained()
+            )
+            batch.commit_decode_multi(k)
+        else:
+            # pre-allocate pages for several chunks ahead when the pool has
+            # slack, so the following chunks dispatch with zero uploads
+            horizon = 1
+            avail = self.allocator.available_pages() * self.page_size
+            chunk_need = k * len(batch.reqs)
+            if avail > 8 * chunk_need:
+                horizon = 4
+            elif avail > 4 * chunk_need:
+                horizon = 2
+            arrays = batch.prepare_for_decode_multi(
+                k,
+                with_input_ids=not chained,
+                lookahead_tokens=(horizon - 1) * k,
+            )
+            if arrays is None and horizon > 1:
+                horizon = 1
+                arrays = batch.prepare_for_decode_multi(
+                    k, with_input_ids=not chained
+                )
+            if arrays is None:
+                # K-token up-front allocation failed: the single-step path
+                # makes progress with 1-token granularity (owns retraction)
+                outputs += self._resolve_inflight()
+                if not batch.reqs:
+                    return outputs
+                return outputs + self._forward_decode_normal()
+            meta = self._make_sinfo(
+                batch.reqs,
+                padded_bs=_bucket(
+                    len(batch.reqs), self.runner.decode_bs_buckets
+                ),
+            )
+            first_ids = self._inflight[3] if chained else arrays["input_ids"]
+            _t_disp0 = time.perf_counter()
+            self.stats.stage_time["decode_prep"] += _t_disp0 - _t_prep0
+            all_ids, all_lp, last_ids = self.runner.forward_decode_multi(
+                first_ids,
+                arrays["base_seq_lens"],
+                arrays["page_table"],
+                meta,
+                k,
+                horizon=horizon,
+            )
+            batch.commit_decode_multi(k)
         self.stats.num_decode_steps += k
+        self.stats.stage_time["decode_dispatch"] += (
+            time.perf_counter() - _t_disp0
+        )
         prev = self._inflight if chained else None
         inflight = (list(batch.reqs), all_ids, all_lp, last_ids)
-        if self.enable_overlap:
-            self._inflight = inflight
-            if prev is not None:
-                outputs += self._process_decode_result(prev)
-            return outputs
-        outputs += self._process_decode_result(inflight)
+        with self.stats.timed("decode_resolve"):
+            if self.enable_overlap:
+                self._inflight = inflight
+                if prev is not None:
+                    outputs += self._process_decode_result(prev)
+                return outputs
+            outputs += self._process_decode_result(inflight)
         return outputs
 
     def _lora_batch(self, reqs) -> bool:

@@ -96,7 +96,12 @@ class KVCachePool:
         self.store_dtype = KV_DTYPE_MAP[kv_cache_dtype] or dtype
         self.kv_cache_dtype = kv_cache_dtype
         self.sharding = sharding
-        shape = (num_pages, page_size, 2 * num_kv_heads, head_dim)
+        # head-major page layout [P, 2*kvh, ps, d]: per-head K/V planes are
+        # contiguous (ps, d) blocks, so Pallas kernels DMA a page into a
+        # head-major VMEM scratch and slice heads on the FREE outer dim
+        # (token-major [P, ps, 2*kvh, d] forced a sublane-gather relayout
+        # per head per KV chunk — measured 2.3-2.8x slower decode attention)
+        shape = (num_pages, 2 * num_kv_heads, page_size, head_dim)
 
         def _make():
             return [

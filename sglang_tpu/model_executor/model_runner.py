@@ -72,7 +72,12 @@ class ModelRunner:
             # persistent compilation cache = persistent "CUDA graphs"
             try:
                 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+                # cache EVERYTHING: on a tunneled runtime even a trivial
+                # convert/broadcast costs a ~0.4 s remote-compile round trip,
+                # and startup runs ~100 of them (weight upload, pool init)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.0
+                )
             except Exception:
                 pass
         if server_args.nnodes > 1 and mesh is None:
@@ -140,6 +145,7 @@ class ModelRunner:
         self.rng_key = jax.random.PRNGKey(server_args.random_seed)
         self._step_counter = 0
         self._jit_cache = {}
+        self._chain = None  # device-resident decode-chunk chain state
 
         # bucket ladders
         self.decode_bs_buckets = list(server_args.decode_bs_buckets)
@@ -213,7 +219,7 @@ class ModelRunner:
             store_dtype,
             max_total_tokens=sa.max_total_tokens,
         )
-        kv_sharding = NamedSharding(self.mesh, P(None, None, "model", None))
+        kv_sharding = NamedSharding(self.mesh, P(None, "model", None, None))
         if mc.num_key_value_heads * 2 % max(1, self.tp_size):
             kv_sharding = NamedSharding(self.mesh, P())
         self.kv_pool = KVCachePool(
@@ -429,6 +435,7 @@ class ModelRunner:
         lora_ids: Optional[np.ndarray] = None,
         mrope_delta: Optional[np.ndarray] = None,  # [b] (Qwen2-VL)
     ) -> Tuple[jax.Array, jax.Array]:
+        self._chain = None
         b = len(seq_lens)
         bb = pad_to_bucket(b, self.decode_bs_buckets)
         if isinstance(input_ids, jax.Array):
@@ -471,6 +478,7 @@ class ModelRunner:
         mm_embeds: Optional[np.ndarray] = None,  # [m, H] image embeddings
         mrope_positions: Optional[np.ndarray] = None,  # [3, t] (Qwen2-VL)
     ) -> Tuple[jax.Array, jax.Array]:
+        self._chain = None
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
         bb = pad_to_bucket(b, [self.extend_seq_bucket])
@@ -561,6 +569,7 @@ class ModelRunner:
         )
         from sglang_tpu.sampling.sampling_batch_info import unpack_sinfo
 
+        self._chain = None
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
         bb = pad_to_bucket(b, [self.extend_seq_bucket])
@@ -681,72 +690,26 @@ class ModelRunner:
         self._put_counts(need_pen, counts)
         return next_ids, tok_lp
 
-    def forward_decode_multi(
-        self,
-        first_input_ids,  # [b] numpy or [bb] device array (overlap chain)
-        base_seq_lens: np.ndarray,  # [b] kv length after the FIRST step
-        page_table: np.ndarray,  # [b, Pmax] covering kv_len + k_steps tokens
-        sampling_meta,  # SamplingMeta (host-side numpy)
-        k_steps: int,
-    ):
-        """K fused decode steps in one jitted lax.scan (reference
-        CUDA-graph'd multi-step decode; here it also amortizes dispatch/
-        transfer latency). Slot/position metadata per step is derived ON
-        DEVICE from the page table, and ALL host metadata — page table,
-        seq lens, sampling state — ships as ONE i32 blob + ONE f32 blob, so
-        a whole K-token chunk costs two uploads and one readback.
-
-        Returns (all_ids [K, bb] dev, all_lp [K, bb] dev, last_ids [bb] dev).
-        """
+    def _get_multi_fn(self, k_steps: int, flags, bb: int, pmax: int):
+        """One jitted K-step decode scan shared by fresh and chained
+        dispatches: every cross-chunk quantity (first ids, base seq lens,
+        rng key) is an explicit device argument, so a chained chunk costs
+        ZERO host->device uploads."""
         from sglang_tpu.sampling.sampling_batch_info import unpack_sinfo
 
-        b = len(base_seq_lens)
-        bb = pad_to_bucket(b, self.decode_bs_buckets)
-        assert sampling_meta.padded_bs == bb
-        pmax = self.max_pages_per_req
-        chained = isinstance(first_input_ids, jax.Array)
-        extra = [
-            _pad2(page_table, bb, pmax),
-            _pad(base_seq_lens, bb),
-        ]
-        if not chained:
-            extra.append(_pad(first_input_ids, bb))
-        i32_blob, f32_blob = sampling_meta.pack(extra_i32=extra)
-        i32_dev = jnp.asarray(i32_blob)
-        f32_dev = jnp.asarray(f32_blob)
-        # packed upload excludes grammar masks (flag 5 forced off) but
-        # keeps everything after it (need_custom)
-        flags = (
-            tuple(sampling_meta.flags[:5])
-            + (False,)
-            + tuple(sampling_meta.flags[6:])
-        )
-        rng = jax.random.fold_in(self.rng_key, self._step_counter)
-        self._step_counter += k_steps
-        # bb and pmax are baked into the closure (blob slicing) — they must
-        # key the cache alongside the static sampling flags
-        key = ("multi", k_steps, chained, flags, bb, pmax)
+        key = ("multi", k_steps, flags, bb, pmax)
         if key not in self._jit_cache:
             ps = self.page_size
             ctx = self.model_config.context_length
             model, backend = self.model, self.attn_backend
 
-            def _multi(params, kv_layers, counts, i32, f32, ids0_dev, rng):
+            def _multi(params, kv_layers, counts, i32, f32, ids0, base, rng):
                 nbb = bb
-                # unpack the blob: page table, base seq lens, (first ids)
-                o = 0
+                # i32 blob: page table then packed sampling state
                 pt = jax.lax.dynamic_slice(i32, (0,), (nbb * pmax,)).reshape(
                     nbb, pmax
                 )
-                o += nbb * pmax
-                base = jax.lax.dynamic_slice(i32, (o,), (nbb,))
-                o += nbb
-                if chained:
-                    ids0 = ids0_dev
-                else:
-                    ids0 = jax.lax.dynamic_slice(i32, (o,), (nbb,))
-                    o += nbb
-                sinfo = unpack_sinfo(i32, f32, o, nbb, flags)
+                sinfo = unpack_sinfo(i32, f32, nbb * pmax, nbb, flags)
                 rows = jnp.arange(nbb, dtype=jnp.int32)
                 valid = base > 0
 
@@ -791,17 +754,116 @@ class ModelRunner:
                     (kv_layers, counts, ids0, rng),
                     jnp.arange(k_steps, dtype=jnp.int32),
                 )
-                return all_ids, all_lp, last_ids, kv_layers, counts
+                # device-side carry for the next chained chunk
+                new_base = jnp.where(valid, base + k_steps, base)
+                rng_next = jax.random.fold_in(rng, k_steps)
+                return (
+                    all_ids,
+                    all_lp,
+                    last_ids,
+                    new_base,
+                    rng_next,
+                    kv_layers,
+                    counts,
+                )
 
             self._jit_cache[key] = jax.jit(_multi, donate_argnums=(1, 2))
+        return self._jit_cache[key]
+
+    def decode_chain_ready(self) -> bool:
+        """True when a chained multi-step chunk can dispatch with zero
+        uploads (device state present and the page-table horizon covers
+        another k tokens per row)."""
+        c = getattr(self, "_chain", None)
+        return c is not None and c["horizon_left"] > 0
+
+    def invalidate_decode_chain(self) -> None:
+        self._chain = None
+
+    def forward_decode_multi(
+        self,
+        first_input_ids,  # [b] numpy or [bb] device array (overlap chain)
+        base_seq_lens: np.ndarray,  # [b] kv length after the FIRST step
+        page_table: np.ndarray,  # [b, Pmax] covering kv_len+horizon*k tokens
+        sampling_meta,  # SamplingMeta (host-side numpy)
+        k_steps: int,
+        horizon: int = 1,
+    ):
+        """K fused decode steps in one jitted lax.scan (reference
+        CUDA-graph'd multi-step decode; here it also amortizes dispatch/
+        transfer latency). Slot/position metadata per step is derived ON
+        DEVICE from the page table; host metadata ships as ONE i32 + ONE
+        f32 blob. With `horizon` > 1 the page table covers horizon*k
+        tokens ahead and the next horizon-1 chunks dispatch via
+        `forward_decode_multi_chained` with NO uploads at all — base seq
+        lens, first ids, and the rng key all carry on device.
+
+        Returns (all_ids [K, bb] dev, all_lp [K, bb] dev, last_ids [bb] dev).
+        """
+        b = len(base_seq_lens)
+        bb = pad_to_bucket(b, self.decode_bs_buckets)
+        assert sampling_meta.padded_bs == bb
+        pmax = self.max_pages_per_req
+        chained_ids = isinstance(first_input_ids, jax.Array)
+        i32_blob, f32_blob = sampling_meta.pack(
+            extra_i32=[_pad2(page_table, bb, pmax)]
+        )
+        i32_dev = jnp.asarray(i32_blob)
+        f32_dev = jnp.asarray(f32_blob)
+        base_dev = jnp.asarray(_pad(base_seq_lens, bb))
+        ids0 = (
+            first_input_ids
+            if chained_ids
+            else jnp.asarray(_pad(first_input_ids, bb))
+        )
+        # packed upload excludes grammar masks (flag 5 forced off) but
+        # keeps everything after it (need_custom)
+        flags = (
+            tuple(sampling_meta.flags[:5])
+            + (False,)
+            + tuple(sampling_meta.flags[6:])
+        )
+        rng = jax.random.fold_in(self.rng_key, self._step_counter)
+        self._step_counter += k_steps * horizon
+        fn = self._get_multi_fn(k_steps, flags, bb, pmax)
         need_pen = sampling_meta.flags[3]
         counts = self._get_counts(need_pen)
-        ids0_dev = first_input_ids if chained else jnp.zeros(bb, jnp.int32)
-        all_ids, all_lp, last_ids, new_kv, counts = self._jit_cache[key](
-            self.params, self.kv_layers, counts, i32_dev, f32_dev, ids0_dev, rng
+        all_ids, all_lp, last_ids, new_base, rng_next, new_kv, counts = fn(
+            self.params, self.kv_layers, counts, i32_dev, f32_dev, ids0,
+            base_dev, rng,
         )
         self.kv_layers = new_kv
         self._put_counts(need_pen, counts)
+        self._chain = {
+            "fn": fn,
+            "i32": i32_dev,
+            "f32": f32_dev,
+            "ids": last_ids,
+            "base": new_base,
+            "rng": rng_next,
+            "need_pen": need_pen,
+            "k": k_steps,
+            "horizon_left": horizon - 1,
+        }
+        return all_ids, all_lp, last_ids
+
+    def forward_decode_multi_chained(self):
+        """Dispatch the next K-step chunk entirely from device-resident
+        state — zero host->device transfers (the zero-overhead analogue of
+        reference CUDA-graph replay chains)."""
+        c = self._chain
+        assert c is not None and c["horizon_left"] > 0
+        counts = self._get_counts(c["need_pen"])
+        all_ids, all_lp, last_ids, new_base, rng_next, new_kv, counts = c["fn"](
+            self.params, self.kv_layers, counts, c["i32"], c["f32"],
+            c["ids"], c["base"], c["rng"],
+        )
+        self.kv_layers = new_kv
+        self._put_counts(c["need_pen"], counts)
+        c.update(
+            ids=last_ids, base=new_base, rng=rng_next,
+            horizon_left=c["horizon_left"] - 1,
+        )
         return all_ids, all_lp, last_ids
 
     def forward_verify(
@@ -819,6 +881,7 @@ class ModelRunner:
         unified ragged extend serves as the verify kernel)."""
         from sglang_tpu.model_executor.forward_batch_info import ForwardMode
 
+        self._chain = None
         t, b = len(input_ids), len(seq_lens)
         bb = pad_to_bucket(b, self.decode_bs_buckets)
         tt = bb * (1 + num_draft)
@@ -869,6 +932,7 @@ class ModelRunner:
     ) -> np.ndarray:
         """Pooled hidden states per sequence (reference `/encode` +
         `serving_embedding.py`; pooling: last-token or mean)."""
+        self._chain = None
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
         bb = pad_to_bucket(b, [self.extend_seq_bucket])
@@ -920,6 +984,7 @@ class ModelRunner:
     ) -> np.ndarray:
         """All-token logits for an extend batch (HF-parity tests, /v1/score,
         prompt logprobs — reference LogitsProcessor extend-logprob path)."""
+        self._chain = None
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
         bb = pad_to_bucket(b, [self.extend_seq_bucket])
@@ -961,6 +1026,7 @@ class ModelRunner:
         `hidden_states` through the spec worker). Rewrites the same KV
         values at out_cache_loc, so re-running over committed tokens is
         harmless."""
+        self._chain = None
         t, b = len(input_ids), len(seq_lens)
         tt = pad_to_bucket(t, self.prefill_token_buckets)
         bb = pad_to_bucket(b, [self.extend_seq_bucket])
@@ -995,6 +1061,7 @@ class ModelRunner:
         pad rows write the garbage page 0."""
         if not pairs:
             return
+        self._chain = None
         m = len(pairs)
         mb = max(1, next_power_of_2(m))
         src = np.zeros(mb, np.int32)
@@ -1008,10 +1075,11 @@ class ModelRunner:
 
             def _copy(kv_layers, src, dst, off):
                 rows = jnp.arange(ps)
-                mask = rows[None, :] < off[:, None]
+                mask = rows[None, :] < off[:, None]  # [m, ps]
+                # pages are head-major [P, 2kvh, ps, d]: token dim is axis 2
                 return [
                     l.at[dst].set(
-                        jnp.where(mask[:, :, None, None], l[src], l[dst])
+                        jnp.where(mask[:, None, :, None], l[src], l[dst])
                     )
                     for l in kv_layers
                 ]
@@ -1045,6 +1113,7 @@ class ModelRunner:
         """Write host KV pages ([n, L, page, 2*kvh, hd]) into the device
         pool (HiCache load path). Donates the pool so XLA updates in place;
         padding rows target page 0 (the garbage page) harmlessly."""
+        self._chain = None
         n = len(pages)
         nb = max(1, next_power_of_2(n))
         key = ("kv_scatter", nb)

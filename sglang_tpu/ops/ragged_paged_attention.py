@@ -93,10 +93,12 @@ def _rpa_kernel(
         q_dma.start()
 
         def kv_dma(chunk, slot, p):
+            # head-major page [2kvh, ps, d] -> head-major VMEM scratch
+            # [2, 2kvh, kvblk, d]: head slices are free outer-dim refs
             page_id = page_table_ref[i, chunk * pblk + p]
             return pltpu.make_async_copy(
                 pages_hbm.at[page_id],
-                kv_v.at[slot, pl.ds(p * ps, ps)],
+                kv_v.at[slot, :, pl.ds(p * ps, ps), :],
                 kv_sems.at[slot, p],
             )
 
@@ -140,8 +142,8 @@ def _rpa_kernel(
             for h in range(kvh):
                 # compute dtype follows q (f32 in parity tests, bf16 serving);
                 # fp8-stored KV upcasts here — dequant rides the kernel
-                k_h = kv_v[slot, :, h, :].astype(q_v.dtype)  # [kvblk, d]
-                v_h = kv_v[slot, :, kvh + h, :].astype(q_v.dtype)
+                k_h = kv_v[slot, h].astype(q_v.dtype)  # [kvblk, d]
+                v_h = kv_v[slot, kvh + h].astype(q_v.dtype)
                 qf = q_v[:, h * g : (h + 1) * g, :].reshape(qg, d)
                 s = jax.lax.dot_general(
                     k_h,
@@ -200,7 +202,7 @@ def _rpa_kernel(
 )
 def ragged_paged_attention(
     q: jax.Array,  # [Tp, qh, d] — caller MUST pad rows so qoff+qblk <= Tp
-    pages: jax.Array,  # [P, ps, 2*kvh, d]
+    pages: jax.Array,  # [P, 2*kvh, ps, d] (head-major pool layout)
     blk_seq: jax.Array,  # [NB]
     blk_qoff: jax.Array,
     blk_nrows: jax.Array,
@@ -215,7 +217,7 @@ def ragged_paged_attention(
     sinks: jax.Array = None,  # [qh] f32 per-q-head attention sinks
 ) -> jax.Array:
     tp, qh, d = q.shape
-    num_pages, ps, two_kvh, _ = pages.shape
+    num_pages, two_kvh, ps, _ = pages.shape
     kvh = two_kvh // 2
     g = qh // kvh
     nb = blk_seq.shape[0]
@@ -240,7 +242,7 @@ def ragged_paged_attention(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((qblk, qh, d), q.dtype),  # q_v
-            pltpu.VMEM((2, kvblk, two_kvh, d), pages.dtype),  # kv_v
+            pltpu.VMEM((2, two_kvh, kvblk, d), pages.dtype),  # kv_v
             pltpu.VMEM((qblk, qh, d), q.dtype),  # o_v
             pltpu.VMEM((kvh, 1, qg), jnp.float32),  # m
             pltpu.VMEM((kvh, 1, qg), jnp.float32),  # l

@@ -68,6 +68,13 @@ class ServerArgs:
 
     # --- Scheduling ---
     schedule_policy: str = "lpm"
+    # priority preemption: a strictly-higher-priority waiting request may
+    # retract lower-priority running ones when admission is blocked
+    # (reference `schedule_policy.py:1008 preempt_to_schedule`)
+    enable_priority_preemption: bool = False
+    # abort requests stuck in the waiting queue longer than this many
+    # seconds (0 = disabled; reference request-age aborts `scheduler.py:1537`)
+    waiting_queue_timeout: float = 0.0
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
     max_prefill_tokens: int = 8192

@@ -103,7 +103,7 @@ class EagleWorker:
         ps = self.page_size
         # draft KV is 1-2 layers — size it like the target's pool
         self.num_pages = target_runner.num_pages
-        shape = (self.num_pages, ps, 2 * cfg.num_key_value_heads, cfg.head_dim)
+        shape = (self.num_pages, 2 * cfg.num_key_value_heads, ps, cfg.head_dim)
         self.kv_layers = [
             jnp.zeros(shape, dtype=cfg.dtype) for _ in range(cfg.num_hidden_layers)
         ]
@@ -352,9 +352,10 @@ class EagleWorker:
                 rows = jnp.arange(ps)
                 mask = rows[None, :] < off[:, None]  # [m, ps]
                 out = []
+                # head-major pages [P, 2kvh, ps, d]: token dim is axis 2
                 for l in kv_layers:
                     vals = jnp.where(
-                        mask[:, :, None, None], l[src], l[dst]
+                        mask[:, None, :, None], l[src], l[dst]
                     )
                     out.append(l.at[dst].set(vals))
                 return out

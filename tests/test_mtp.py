@@ -144,4 +144,4 @@ def test_mtp_model_loads_head_weights(ckpt):
     assert "eh_proj" in w.params and "lm_head" in w.params
     assert w.params["layers"][0]["kv_a"].shape == (64, 40)
     # draft KV pool uses the latent single-head geometry
-    assert w.kv_layers[0].shape[2:] == (2 * 1, 32 + 8)
+    assert w.kv_layers[0].shape[1] == 2 * 1 and w.kv_layers[0].shape[3] == 32 + 8

@@ -27,7 +27,7 @@ def _setup(seq_lens, q_lens, qh=4, kvh=2, num_pages=64, dtype=jnp.float32, seed=
     rng = np.random.default_rng(seed)
     b = len(seq_lens)
     pmax = 16  # multiple of pblk (128//16=8)
-    pages = rng.standard_normal((num_pages, PS, 2 * kvh, D)) * 0.5
+    pages = rng.standard_normal((num_pages, 2 * kvh, PS, D)) * 0.5
     page_table = np.zeros((b, pmax), dtype=np.int32)
     next_page = 1
     for i, sl in enumerate(seq_lens):

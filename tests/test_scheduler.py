@@ -215,3 +215,72 @@ def test_abort_chunked_request_releases_pages():
     assert rid not in sched.reqs
     assert not sched.has_work()
     assert sched.check_memory() == 0
+
+
+def test_priority_preemption():
+    """A strictly-higher-priority waiting request retracts low-priority
+    running ones when the pool blocks admission (reference
+    `schedule_policy.py:1008 preempt_to_schedule`)."""
+    sched = make_scheduler(
+        max_total_tokens=128,
+        page_size=16,
+        schedule_policy="priority",
+        enable_priority_preemption=True,
+    )
+    rng = np.random.default_rng(3)
+    # two low-priority requests that fill the pool
+    low = [
+        submit(sched, rng.integers(3, 250, size=48).tolist(), max_new_tokens=60)
+        for _ in range(2)
+    ]
+    for _ in range(6):
+        sched.step()  # admit + run a few decode rounds
+    assert len(sched.running_batch.reqs) == 2
+    # high-priority request arrives; pool is full
+    hi_rid = uuid.uuid4().hex
+    sched.add_request(
+        TokenizedGenerateReqInput(
+            rid=hi_rid,
+            input_ids=rng.integers(3, 250, size=48).tolist(),
+            sampling_params=SamplingParams(
+                max_new_tokens=8, ignore_eos=True, temperature=0.0
+            ),
+            priority=10,
+        )
+    )
+    preempted = False
+    for _ in range(40):
+        sched.step()
+        running_rids = {r.rid for r in sched.running_batch.reqs}
+        if hi_rid in running_rids and len(running_rids & set(low)) < 2:
+            preempted = True
+            break
+    assert preempted, "high-priority request did not preempt"
+    outs = run_all(sched, max_steps=3000)
+    assert hi_rid in outs
+    for rid in low:  # preempted requests still finish eventually
+        assert rid in outs
+        assert len(outs[rid].output_ids) == 60
+    assert sched.check_memory() == 0
+
+
+def test_waiting_queue_timeout_abort():
+    """Requests stuck in the waiting queue longer than the limit abort
+    with an abort finish reason (reference `scheduler.py:1537`)."""
+    import time as _time
+
+    sched = make_scheduler(
+        max_total_tokens=128, page_size=16, waiting_queue_timeout=0.05,
+        max_running_requests=1,
+    )
+    rng = np.random.default_rng(4)
+    r1 = submit(sched, rng.integers(3, 250, size=40).tolist(), max_new_tokens=50)
+    sched.step()  # admit r1
+    r2 = submit(sched, rng.integers(3, 250, size=40).tolist(), max_new_tokens=4)
+    _time.sleep(0.08)
+    outs = run_all(sched, max_steps=3000)
+    assert r1 in outs and len(outs[r1].output_ids) == 50
+    assert r2 in outs
+    assert outs[r2].finish_reason is not None
+    assert outs[r2].finish_reason.type == "abort"
+    assert sched.check_memory() == 0
