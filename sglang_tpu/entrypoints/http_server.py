@@ -259,6 +259,16 @@ def build_app(state: ServerState) -> web.Application:
         state.tm.abort_request(body.get("rid", ""))
         return web.json_response({"success": True})
 
+    async def pause_generation(request):
+        # reference /pause_generation: stop stepping; control ops keep
+        # working; in-flight requests stay queued in place
+        state.tm.paused = True
+        return web.json_response({"message": "paused", "status": "ok"})
+
+    async def continue_generation(request):
+        state.tm.paused = False
+        return web.json_response({"message": "continued", "status": "ok"})
+
     # ---------------------------------------------------------- generate
 
     async def generate(request):
@@ -949,6 +959,8 @@ def build_app(state: ServerState) -> web.Application:
     r.add_get("/get_server_info", get_server_info)
     r.add_get("/metrics", metrics)
     r.add_post("/flush_cache", flush_cache)
+    r.add_post("/pause_generation", pause_generation)
+    r.add_post("/continue_generation", continue_generation)
     r.add_post("/abort_request", abort_request)
     r.add_post("/generate", generate)
     r.add_post("/v1/messages", v1_messages)
@@ -1009,6 +1021,8 @@ CompletionRequest.stream_options_include_usage = _include_usage
 def launch_server(server_args: ServerArgs):
     configure_logger(server_args.log_level.upper())
     state = ServerState(server_args)
+    # gRPC OpenAI pass-through RPCs re-enter the HTTP app over loopback
+    state.http_base_url = f"http://127.0.0.1:{server_args.port}"
     app = build_app(state)
     if server_args.grpc_port:
         from sglang_tpu.entrypoints.grpc_server import build_grpc_server

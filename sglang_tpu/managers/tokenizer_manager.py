@@ -37,6 +37,10 @@ class TokenizerManager:
         self.scheduler = scheduler
         self.tokenizer = tokenizer
         self._inbox: queue_mod.Queue = queue_mod.Queue()
+        # pause/continue generation (reference /pause_generation route +
+        # gRPC PauseGeneration): while paused the pump keeps serving
+        # control items but does not step the scheduler
+        self.paused = False
         self._subscribers: Dict[str, Tuple[asyncio.AbstractEventLoop, asyncio.Queue]] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -60,6 +64,11 @@ class TokenizerManager:
         `scheduler.py:1586`), driven on one thread."""
         while not self._stop.is_set():
             moved = self._drain_inbox()
+            if self.paused:
+                if not moved:
+                    time.sleep(0.005)
+                self._last_heartbeat = time.monotonic()
+                continue
             if self.scheduler.has_work():
                 try:
                     outputs = self.scheduler.step()

@@ -449,3 +449,118 @@ def test_v1_rerank(server):
     scores = [r["relevance_score"] for r in results]
     assert scores == sorted(scores, reverse=True)
     assert all(isinstance(r["document"]["text"], str) for r in results)
+
+
+# ---------------------------------------------------------------------------
+# Wire-compatible sglang.runtime.v1.SglangService (reference
+# proto/sglang/runtime/v1/sglang.proto:4). The client below is built ONLY
+# from the vendored proto descriptors — the same bytes any reference
+# generated-stub client puts on the wire.
+# ---------------------------------------------------------------------------
+
+
+def _proto_stub():
+    import grpc
+
+    from sglang_tpu.entrypoints.proto import SERVICE_NAME, get_pb
+
+    pb = get_pb()
+    channel = grpc.insecure_channel(f"127.0.0.1:{_PORTS['grpc']}")
+
+    def unary(method):
+        _, resp_cls, _ = pb.method_types(method)
+        return channel.unary_unary(
+            f"/{SERVICE_NAME}/{method}",
+            request_serializer=lambda m: m.SerializeToString(),
+            response_deserializer=resp_cls.FromString,
+        )
+
+    def stream(method):
+        _, resp_cls, _ = pb.method_types(method)
+        return channel.unary_stream(
+            f"/{SERVICE_NAME}/{method}",
+            request_serializer=lambda m: m.SerializeToString(),
+            response_deserializer=resp_cls.FromString,
+        )
+
+    return pb, unary, stream
+
+
+def test_proto_generate_and_stream(server):
+    pb, unary, stream = _proto_stub()
+    req = pb.TextGenerateRequest(text="w1 w2 w3")
+    req.sampling_params.max_new_tokens = 6
+    req.sampling_params.temperature = 0.0
+    req.sampling_params.ignore_eos = True
+    resps = list(stream("TextGenerate")(req, timeout=120))
+    assert len(resps) == 1 and resps[0].finished
+    assert resps[0].meta_info["completion_tokens"] == "6"
+    assert resps[0].text
+
+    sreq = pb.TextGenerateRequest(text="w4 w5", stream=True)
+    sreq.sampling_params.max_new_tokens = 8
+    sreq.sampling_params.temperature = 0.0
+    sreq.sampling_params.ignore_eos = True
+    chunks = list(stream("TextGenerate")(sreq, timeout=120))
+    assert chunks[-1].finished
+    assert int(chunks[-1].meta_info["completion_tokens"]) == 8
+
+
+def test_proto_tokenize_roundtrip(server):
+    pb, unary, stream = _proto_stub()
+    t = unary("Tokenize")(
+        pb.TokenizeRequest(text="w1 w2 w9", add_special_tokens=False),
+        timeout=30,
+    )
+    assert t.count == 3 and t.max_model_len == 512
+    d = unary("Detokenize")(pb.DetokenizeRequest(tokens=t.tokens), timeout=30)
+    assert "w9" in d.text
+
+
+def test_proto_info_rpcs(server):
+    import json as _json
+
+    pb, unary, stream = _proto_stub()
+    assert unary("HealthCheck")(pb.HealthCheckRequest(), timeout=30).healthy
+    info = unary("GetModelInfo")(pb.GetModelInfoRequest(), timeout=30)
+    assert _json.loads(info.json_info)["context_length"] == 512
+    load = unary("GetLoad")(pb.GetLoadRequest(), timeout=30)
+    assert "running_requests" in load.json_info
+    assert len(unary("ListModels")(pb.ListModelsRequest(), timeout=30).models) == 1
+    fc = unary("FlushCache")(pb.FlushCacheRequest(), timeout=60)
+    assert fc.success in (True, False)
+
+
+def test_proto_pause_continue(server):
+    pb, unary, stream = _proto_stub()
+    r = unary("PauseGeneration")(
+        pb.PauseGenerationRequest(mode="in_place"), timeout=30
+    )
+    assert r.message == "paused"
+    req = pb.GenerateRequest(input_ids=[3, 4])
+    req.sampling_params.max_new_tokens = 2
+    req.sampling_params.ignore_eos = True
+    call = stream("Generate")(req, timeout=60)
+    time.sleep(0.3)
+    r2 = unary("ContinueGeneration")(pb.ContinueGenerationRequest(), timeout=30)
+    assert r2.message == "continued"
+    resps = list(call)
+    assert resps and resps[-1].finished
+
+
+def test_proto_openai_passthrough(server):
+    pb, unary, stream = _proto_stub()
+    body = json.dumps(
+        {
+            "model": "default",
+            "prompt": "w1 w2",
+            "max_tokens": 4,
+            "temperature": 0,
+        }
+    ).encode()
+    chunks = list(
+        stream("Complete")(pb.OpenAIRequest(json_body=body), timeout=120)
+    )
+    assert chunks[-1].finished
+    payload = json.loads(chunks[0].json_chunk)
+    assert payload["choices"][0]["text"]
