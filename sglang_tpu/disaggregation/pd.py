@@ -30,33 +30,22 @@ from sglang_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 
-def transfer_prefix_kv(src_engine, dst_engine, token_ids: List[int]) -> int:
-    """Move the page-aligned KV prefix for `token_ids` from src to dst.
-
-    Returns tokens transferred (0 if src has nothing cached). The pages
-    land in dst's radix tree (tree-owned, evictable), exactly like a
-    HiCache prefetch — dst's scheduler sees them as local cache.
-    """
-    src_sched = src_engine.scheduler
+def receive_prefix_kv(backend, dst_engine, token_ids: List[int]) -> int:
+    """Pull the page-aligned KV prefix for `token_ids` through a transfer
+    backend (`disaggregation/conn.py`) and publish it into dst's radix
+    tree (tree-owned, evictable) — dst's scheduler then sees it as an
+    ordinary local cache hit. Returns tokens transferred."""
     dst_sched = dst_engine.scheduler
-    ps = src_sched.page_size
-    assert ps == dst_sched.page_size, "page_size must match across PD pair"
-
+    ps = dst_sched.page_size
     aligned = (len(token_ids) // ps) * ps
     if aligned <= 0:
         return 0
-    m = src_sched.radix_cache.match_prefix(token_ids[:aligned])
-    n_pages = m.length // ps
-    if n_pages == 0:
-        return 0
-    # skip what dst already has
-    md = dst_sched.radix_cache.match_prefix(token_ids[: m.length])
+    md = dst_sched.radix_cache.match_prefix(token_ids[:aligned])
     have = md.length // ps
-    if have >= n_pages:
+    r = backend.fetch(token_ids, have)
+    if r is None:
         return 0
-    src_pages = list(m.pages[:n_pages])
-
-    data = src_engine.runner.gather_kv_pages(src_pages[have:n_pages])
+    n_pages, data = r
     new_pages = dst_sched.allocator.alloc(n_pages - have)
     if new_pages is None:
         return 0
@@ -70,16 +59,36 @@ def transfer_prefix_kv(src_engine, dst_engine, token_ids: List[int]) -> int:
     return moved
 
 
+def transfer_prefix_kv(src_engine, dst_engine, token_ids: List[int]) -> int:
+    """Same-process PD pair: pull through the in-process fast path."""
+    from sglang_tpu.disaggregation.conn import LocalKVBackend
+
+    assert src_engine.scheduler.page_size == dst_engine.scheduler.page_size
+    return receive_prefix_kv(
+        LocalKVBackend(src_engine), dst_engine, token_ids
+    )
+
+
 class PDOrchestrator:
     """Conduct one request across a prefill engine and a decode engine
     (reference `disaggregation` PrefillBootstrapQueue + DecodeQueue roles,
     in-process)."""
 
-    def __init__(self, prefill_engine, decode_engine):
+    def __init__(self, prefill_engine, decode_engine, backend=None):
+        """`backend` is a `conn.KVTransferBackend` (TCP for cross-host,
+        fake for tests); defaults to the in-process fast path."""
         self.prefill = prefill_engine
         self.decode = decode_engine
+        self.backend = backend
         self.tokens_transferred = 0
         self.requests_served = 0
+
+    def _backend(self):
+        if self.backend is None:
+            from sglang_tpu.disaggregation.conn import LocalKVBackend
+
+            self.backend = LocalKVBackend(self.prefill)
+        return self.backend
 
     def generate(
         self,
@@ -100,11 +109,16 @@ class PDOrchestrator:
             self.requests_served += 1
             return first
 
-        # 2) move the prefix KV to the decode engine
+        # 2) move the prefix KV to the decode engine; a transfer failure
+        # degrades to recompute on the decode side (correctness is
+        # radix-natural: missing prefix KV just means a longer prefill)
         full = list(input_ids) + first_ids
-        self.tokens_transferred += transfer_prefix_kv(
-            self.prefill, self.decode, full
-        )
+        try:
+            self.tokens_transferred += receive_prefix_kv(
+                self._backend(), self.decode, full
+            )
+        except (ConnectionError, TimeoutError, OSError) as e:
+            logger.warning("pd transfer failed, decode recomputes: %s", e)
 
         # 3) decode engine continues from prompt + first token
         sp_decode = dict(sp, max_new_tokens=max_new - 1)

@@ -132,6 +132,11 @@ class TokenizerManager:
             except Exception as e:  # propagate to the awaiting coroutine
                 loop.call_soon_threadsafe(fut.set_exception, e)
             return
+        if isinstance(item, tuple) and item and item[0] == "call_sync":
+            # same, for plain-thread callers (PD KV transfer server):
+            # the callable handles its own result/exception delivery
+            item[1]()
+            return
         if isinstance(item, TokenizedGenerateReqInput):
             try:
                 self.scheduler.add_request(item)

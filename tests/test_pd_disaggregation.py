@@ -74,3 +74,46 @@ def test_pd_decode_engine_hits_transferred_prefix(engines):
     # idempotent: a second transfer moves nothing new
     assert transfer_prefix_kv(prefill, decode, prompt) == 0
     assert decode.scheduler.check_memory() == 0
+
+
+def test_pd_tcp_transport_identical_output(engines):
+    """Cross-host transport: KV pages move over a real TCP socket
+    (reference `mooncake/conn.py` role; the server is `conn.py
+    KVTransferServer`). Two-process-equivalent: byte-identical output."""
+    from sglang_tpu.disaggregation import PDOrchestrator
+    from sglang_tpu.disaggregation.conn import KVTransferServer, TCPKVBackend
+
+    prefill, decode, single = engines
+    server = KVTransferServer(prefill, host="127.0.0.1")
+    backend = TCPKVBackend(f"127.0.0.1:{server.port}")
+    try:
+        pd = PDOrchestrator(prefill, decode, backend=backend)
+        rng = np.random.default_rng(123)
+        sp = {"max_new_tokens": 12, "temperature": 0.0, "ignore_eos": True}
+        prompt = rng.integers(3, 250, size=37).tolist()
+        ref = single.generate(input_ids=prompt, sampling_params=sp)
+        got = pd.generate(prompt, sp)
+        assert got["output_ids"] == ref["output_ids"]
+        assert pd.tokens_transferred >= 32  # aligned prefix moved over TCP
+    finally:
+        backend.close()
+        server.close()
+
+
+def test_pd_fake_backend_failure_degrades_to_recompute(engines):
+    """Transfer failures must not corrupt output — the decode engine
+    recomputes the prompt (reference fake/conn.py failure seam)."""
+    from sglang_tpu.disaggregation import PDOrchestrator
+    from sglang_tpu.disaggregation.conn import FakeKVBackend, LocalKVBackend
+
+    prefill, decode, single = engines
+    backend = FakeKVBackend(LocalKVBackend(prefill), fail_every=1)
+    pd = PDOrchestrator(prefill, decode, backend=backend)
+    rng = np.random.default_rng(9)
+    sp = {"max_new_tokens": 10, "temperature": 0.0, "ignore_eos": True}
+    prompt = rng.integers(3, 250, size=33).tolist()
+    ref = single.generate(input_ids=prompt, sampling_params=sp)
+    got = pd.generate(prompt, sp)
+    assert got["output_ids"] == ref["output_ids"]
+    assert len(backend.calls) == 1  # the fetch was attempted and failed
+    assert pd.tokens_transferred == 0
