@@ -74,8 +74,8 @@ class Req:
         self.arrival_time = arrival_time if arrival_time is not None else time.monotonic()
         self.priority = priority
         self.lora_id = lora_id
-        # multimodal (image embeddings can't radix-share on token ids alone,
-        # so mm requests bypass the prefix cache entirely)
+        # multimodal: radix keys use `cache_ids` (content-hash surrogate
+        # ids at image positions), so identical image contexts share KV
         self.mm_embeds = mm_embeds
         self.mm_positions = mm_positions
         self.mrope_positions = mrope_positions  # [3, prompt_len] or None
@@ -126,6 +126,34 @@ class Req:
     def fill_ids(self) -> List[int]:
         """All tokens that must eventually be in KV (prompt + generated)."""
         return self.input_ids + self.output_ids
+
+    @property
+    def cache_ids(self) -> List[int]:
+        """Radix-cache key: fill_ids with each multimodal placeholder
+        replaced by a content-derived surrogate id, so identical images
+        share KV and different images never collide (reference RadixKey
+        extra_key, `srt/mem_cache/radix_cache.py:66`). Surrogates live in
+        [2^30, 2^31) — disjoint from any real vocab id and still int32
+        for the native tree."""
+        if self.mm_embeds is None:
+            return self.fill_ids
+        if getattr(self, "_cache_ids_prompt", None) is None:
+            import hashlib
+
+            import numpy as _np
+
+            ids = list(self.input_ids)
+            emb = _np.ascontiguousarray(self.mm_embeds)
+            pos = _np.asarray(self.mm_positions).reshape(-1)
+            for i, p in enumerate(pos):
+                h = hashlib.blake2b(
+                    emb[i].tobytes(), digest_size=4
+                ).digest()
+                ids[int(p)] = (
+                    int.from_bytes(h, "little") & 0x3FFFFFFF
+                ) | 0x40000000
+            self._cache_ids_prompt = ids
+        return self._cache_ids_prompt + self.output_ids
 
     @property
     def seqlen(self) -> int:

@@ -53,7 +53,7 @@ class SchedulePolicy:
             # Longest-prefix-match first: re-match each waiting request
             # against the current tree (reference `schedule_policy.py:164`).
             for r in waiting_queue:
-                m = self.radix_cache.match_prefix(r.fill_ids)
+                m = self.radix_cache.match_prefix(r.cache_ids)
                 r._match_len = m.length
             waiting_queue.sort(key=lambda r: (-r._match_len, r.arrival_time))
         else:
@@ -147,9 +147,9 @@ class PrefillAdder:
             return AddReqResult.NO_TOKEN
         # radix match at admission (reference `handle_generate_request` does
         # the match; the adder consumes it)
-        match = self.radix_cache.match_prefix(
-            [] if req.mm_embeds is not None else req.fill_ids
-        )
+        # mm requests key on cache_ids (content-hash surrogates at image
+        # positions), so identical image contexts radix-share
+        match = self.radix_cache.match_prefix(req.cache_ids)
         prefix_len = match.length
         # never cache-match the *entire* input: the last token must be
         # computed to produce the first logits (reference does the same trim)

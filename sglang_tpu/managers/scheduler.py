@@ -429,7 +429,7 @@ class Scheduler:
             # adder sees them as ordinary radix hits
             headroom = self.page_size * (running + 1)
             for r in self.waiting_queue[:8]:
-                loaded = self.hicache.prefetch(r.fill_ids, headroom)
+                loaded = self.hicache.prefetch(r.cache_ids, headroom)
                 if loaded:
                     self.stats.num_hicache_tokens += loaded
 
@@ -1376,29 +1376,31 @@ class Scheduler:
 
     def _cache_unfinished(self, r: Req) -> None:
         """Insert the page-aligned computed prefix into the radix tree
-        (reference `cache_unfinished_req`, `radix_cache.py:490`)."""
-        if self.radix_cache.disable or r.mm_embeds is not None:
+        (reference `cache_unfinished_req`, `radix_cache.py:490`).
+        Multimodal requests key on `cache_ids` (content-hash surrogates
+        at image positions), so multi-turn VLM chats hit cache."""
+        if self.radix_cache.disable:
             return
         aligned = self._insertable_len(r)
         if aligned > 0:
             # KV events are published from inside radix insert with the
             # pages the tree actually retained (never request duplicates)
             self.radix_cache.insert(
-                r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
+                r.cache_ids[:aligned], r.pages[: aligned // self.page_size]
             )
 
     def _release_req(self, r: Req, insert: bool) -> None:
         """Return a request's KV to the pool; optionally publish its prefix
         to the radix tree first (reference `cache_finished_req`)."""
-        if insert and not self.radix_cache.disable and r.mm_embeds is None:
+        if insert and not self.radix_cache.disable:
             aligned = self._insertable_len(r)
             if aligned > 0:
                 self.radix_cache.insert(
-                    r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
+                    r.cache_ids[:aligned], r.pages[: aligned // self.page_size]
                 )
                 if self.hicache is not None:
                     self.hicache.write_through(
-                        r.fill_ids[:aligned], r.pages[: aligned // self.page_size]
+                        r.cache_ids[:aligned], r.pages[: aligned // self.page_size]
                     )
         if r.last_node is not None:
             self.radix_cache.unlock(r.last_node)

@@ -141,3 +141,40 @@ def test_text_only_request_on_llava(setup):
                          "ignore_eos": True},
     )
     assert out["output_ids"] == ref
+
+
+def test_same_image_second_request_hits_cache(setup):
+    """MM prefix caching (reference RadixKey extra_key,
+    `srt/mem_cache/radix_cache.py:66`): the radix key hashes image
+    content, so a second request with the SAME image hits cache, and the
+    output still matches HF exactly."""
+    hf, eng = setup
+    rng = np.random.default_rng(5)
+    # long enough for a page-aligned (16) prefix
+    ids = _prompt(rng, n_pre=20, n_post=18)
+    pix = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor([ids]), pixel_values=torch.tensor(pix),
+            max_new_tokens=6, do_sample=False, pad_token_id=0,
+            eos_token_id=None,
+        )[0, len(ids):].tolist()
+    out1 = eng.generate(input_ids=ids, image_data=pix, sampling_params=sp)
+    out2 = eng.generate(input_ids=ids, image_data=pix, sampling_params=sp)
+    assert out1["output_ids"] == ref
+    assert out2["output_ids"] == ref
+    # the whole aligned prompt prefix came from cache on the second turn
+    assert out2["meta_info"]["cached_tokens"] >= (len(ids) // 16) * 16 - 16
+    # a DIFFERENT image with the same token ids must NOT hit that prefix
+    pix2 = -pix
+    out3 = eng.generate(input_ids=ids, image_data=pix2, sampling_params=sp)
+    with torch.no_grad():
+        ref2 = hf.generate(
+            input_ids=torch.tensor([ids]), pixel_values=torch.tensor(pix2),
+            max_new_tokens=6, do_sample=False, pad_token_id=0,
+            eos_token_id=None,
+        )[0, len(ids):].tolist()
+    assert out3["output_ids"] == ref2
+    assert out3["meta_info"]["cached_tokens"] <= 16  # only the text-only first page may hit; image pages must not
+    assert eng.scheduler.check_memory() == 0

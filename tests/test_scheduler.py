@@ -282,5 +282,5 @@ def test_waiting_queue_timeout_abort():
     assert r1 in outs and len(outs[r1].output_ids) == 50
     assert r2 in outs
     assert outs[r2].finish_reason is not None
-    assert outs[r2].finish_reason.type == "abort"
+    assert outs[r2].finish_reason.kind == "abort"
     assert sched.check_memory() == 0
