@@ -164,7 +164,7 @@ def main():
         # decode is weight-read-bound so padded rows are nearly free
         # KV pool (~46k tokens) caps concurrency near 70 at this workload's
         # lengths, so bs>128 buckets never run — don't warm/compile them
-        decode_bs_buckets=[32, 128] if not tiny else [8, 16, 32],
+        decode_bs_buckets=[32, 64, 96, 128] if not tiny else [8, 16, 32],
         prefill_token_buckets=[2048, 4096] if not tiny else [512],
         max_running_requests=256,
         device="cpu" if tiny else "auto",

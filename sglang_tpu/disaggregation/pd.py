@@ -46,7 +46,12 @@ def receive_prefix_kv(backend, dst_engine, token_ids: List[int]) -> int:
     if r is None:
         return 0
     n_pages, data = r
-    new_pages = dst_sched.allocator.alloc(n_pages - have)
+    rank = (
+        dst_sched.allocator.page_rank(md.pages[0])
+        if have
+        else dst_sched.allocator.least_loaded_rank()
+    )
+    new_pages = dst_sched.allocator.alloc(n_pages - have, rank=rank)
     if new_pages is None:
         return 0
     dst_engine.runner.scatter_kv_pages(new_pages, data)

@@ -88,6 +88,8 @@ class Req:
         # --- KV state ---
         # pages this request holds an allocator ref on, in order
         self.pages: List[int] = []
+        # DP-attention region owning this request's pages (0 when dp off)
+        self.dp_rank = 0
         # tokens whose KV has been written (prompt prefix + decoded-1)
         self.kv_len = 0
         # radix-matched prefix length at (latest) admission
@@ -276,7 +278,7 @@ class ScheduleBatch:
         if need > self.max_pages_per_req:
             return False
         if need > have:
-            new = self.allocator.alloc(need - have)
+            new = self.allocator.alloc(need - have, rank=req.dp_rank)
             if new is None:
                 return False
             req.pages.extend(new)
@@ -338,10 +340,19 @@ class ScheduleBatch:
             r for r in self.reqs if r.kv_len + 1 > len(r.pages) * ps
         ]
         if needs:
-            pages = self.allocator.alloc(len(needs))
-            if pages is None:
-                return None
-            for r, p in zip(needs, pages):
+            # all-or-nothing across DP regions: group by each request's rank
+            by_rank: Dict[int, List[Req]] = {}
+            for r in needs:
+                by_rank.setdefault(r.dp_rank, []).append(r)
+            granted: List[Tuple[Req, int]] = []
+            for rank, rs in by_rank.items():
+                pages = self.allocator.alloc(len(rs), rank=rank)
+                if pages is None:
+                    for r, p in granted:
+                        self.allocator.free([p])
+                    return None
+                granted.extend(zip(rs, pages))
+            for r, p in granted:
                 r.pages.append(p)
         b = len(self.reqs)
         input_ids = np.zeros(b, dtype=np.int32)
@@ -387,13 +398,27 @@ class ScheduleBatch:
                 need.append((r, n))
                 total += n
         if total:
-            pages = self.allocator.alloc(total)
-            if pages is None:
-                return None
-            off = 0
+            by_rank: Dict[int, List[Tuple[Req, int]]] = {}
             for r, n in need:
-                r.pages.extend(pages[off : off + n])
-                off += n
+                by_rank.setdefault(r.dp_rank, []).append((r, n))
+            granted: List[Tuple[Req, List[int]]] = []
+            ok = True
+            for rank, items in by_rank.items():
+                want = sum(n for _, n in items)
+                pages = self.allocator.alloc(want, rank=rank)
+                if pages is None:
+                    ok = False
+                    break
+                off = 0
+                for r, n in items:
+                    granted.append((r, pages[off : off + n]))
+                    off += n
+            if not ok:
+                for _, pgs in granted:
+                    self.allocator.free(pgs)
+                return None
+            for r, pgs in granted:
+                r.pages.extend(pgs)
         b = len(self.reqs)
         input_ids = np.zeros(b, dtype=np.int32)
         base_seq_lens = np.zeros(b, dtype=np.int32)

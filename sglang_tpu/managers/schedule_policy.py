@@ -172,7 +172,18 @@ class PrefillAdder:
             if take <= 0:
                 return AddReqResult.NO_TOKEN
 
-        # commit: take refs on the matched prefix + record geometry
+        # commit: take refs on the matched prefix + record geometry.
+        # DP-attention rank: pinned by the matched prefix's region (pages
+        # never cross regions), else least-loaded region, else keep the
+        # rank of pages the request already holds (chunked re-admission).
+        alloc = self.radix_cache.allocator
+        if getattr(alloc, "dp_size", 1) > 1:
+            if prefix_len > 0:
+                req.dp_rank = alloc.page_rank(match.pages[0])
+            elif req.pages:
+                req.dp_rank = alloc.page_rank(req.pages[0])
+            else:
+                req.dp_rank = alloc.least_loaded_rank()
         match.pages = match.pages[: prefix_len // self.page_size]
         match.length = prefix_len
         self.radix_cache.lock_and_ref(match)

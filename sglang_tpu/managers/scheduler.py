@@ -105,7 +105,11 @@ class Scheduler:
         self.runner = model_runner or ModelRunner(server_args)
         self.page_size = server_args.page_size
 
-        self.allocator = PageAllocator(self.runner.num_pages, self.page_size)
+        self.allocator = PageAllocator(
+            self.runner.num_pages,
+            self.page_size,
+            dp_size=self.runner.dp_size,
+        )
         from sglang_tpu.mem_cache.native_radix import create_radix_cache
 
         self.radix_cache = create_radix_cache(
@@ -717,6 +721,9 @@ class Scheduler:
         request is greedy with no penalties/grammar/logprobs."""
         if self.spec is None:
             return False
+        if self.runner.dp_size > 1:
+            # draft KV pools are not DP-region-partitioned yet
+            return False
         for r in self.running_batch.reqs:
             sp = r.sampling_params
             if (
@@ -803,7 +810,7 @@ class Scheduler:
                     slots = [batch._slot(r, p) for p in range(lo, hi + 1)]
                 else:
                     i0, i1 = lo // ps, hi // ps
-                    pg = self.allocator.alloc(i1 - i0 + 1)
+                    pg = self.allocator.alloc(i1 - i0 + 1, rank=r.dp_rank)
                     if pg is None:
                         continue  # drop this path under page pressure
                     scratch.extend(pg)

@@ -9,6 +9,16 @@ fusing refcounts into the allocator keeps eviction and retraction simple).
 
 Page 0 is reserved as the garbage page: padded tokens in a bucketed batch
 write their KV there.
+
+DP-attention (reference --enable-dp-attention, `layers/dp_attention.py:53`):
+with `dp_size > 1` the page space is range-partitioned into dp regions —
+region r owns pages [r*ppr, (r+1)*ppr) where ppr = num_pages // dp — and
+the pool array is sharded over the "data" mesh axis on the page dim, so a
+region's pages live on one DP group's chips. Every region reserves its
+FIRST page (r*ppr) as a rank-local garbage page (the shard-local analogue
+of page 0): rows owned by other ranks redirect their KV writes there
+inside the sharded attention kernel. A request's pages all come from one
+region (`rank=` at alloc), so its attention runs entirely on that group.
 """
 
 from __future__ import annotations
@@ -19,42 +29,61 @@ import numpy as np
 
 
 class PageAllocator:
-    def __init__(self, num_pages: int, page_size: int):
+    def __init__(self, num_pages: int, page_size: int, dp_size: int = 1):
         assert num_pages > 1
         self.num_pages = num_pages
         self.page_size = page_size
-        # LIFO free list of page ids (1..num_pages-1); page 0 reserved.
-        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        self.dp_size = dp_size
+        self.pages_per_rank = num_pages // dp_size
+        assert self.pages_per_rank > 1
         self._ref = np.zeros(num_pages, dtype=np.int32)
-        self._ref[0] = 1  # garbage page permanently held
-        # Optional eviction hook: called with the page shortfall before an
+        # LIFO free list per DP region; page r*ppr reserved as that
+        # region's garbage page (region 0's is the global page 0).
+        self._free: List[List[int]] = []
+        for r in range(dp_size):
+            lo = r * self.pages_per_rank
+            hi = (r + 1) * self.pages_per_rank if r < dp_size - 1 else num_pages
+            self._free.append(list(range(hi - 1, lo, -1)))
+            self._ref[lo] = 1  # garbage page permanently held
+        # Optional eviction hook: called with (shortfall, rank) before an
         # alloc fails, so the radix cache can LRU-evict into the free list
         # (reference interleaves this in `PrefillAdder` / `evict` calls).
         self.evict_callback = None
 
     # ------------------------------------------------------------ queries
 
-    def available_pages(self) -> int:
-        return len(self._free)
+    def available_pages(self, rank: int = None) -> int:
+        if rank is None:
+            return sum(len(f) for f in self._free)
+        return len(self._free[rank])
 
-    def available_tokens(self) -> int:
-        return len(self._free) * self.page_size
+    def available_tokens(self, rank: int = None) -> int:
+        return self.available_pages(rank) * self.page_size
 
     @property
     def total_pages(self) -> int:
-        return self.num_pages - 1
+        return self.num_pages - self.dp_size
+
+    def page_rank(self, page: int) -> int:
+        """DP region owning a page id."""
+        return min(page // self.pages_per_rank, self.dp_size - 1)
+
+    def least_loaded_rank(self) -> int:
+        """Region with the most free pages (admission-time assignment)."""
+        return max(range(self.dp_size), key=lambda r: len(self._free[r]))
 
     # ------------------------------------------------------------ alloc/free
 
-    def alloc(self, n_pages: int) -> Optional[List[int]]:
-        if n_pages > len(self._free) and self.evict_callback is not None:
-            self.evict_callback(n_pages - len(self._free))
-        if n_pages > len(self._free):
+    def alloc(self, n_pages: int, rank: int = 0) -> Optional[List[int]]:
+        free = self._free[rank]
+        if n_pages > len(free) and self.evict_callback is not None:
+            self.evict_callback(n_pages - len(free), rank)
+        if n_pages > len(free):
             return None
         if n_pages == 0:
             return []
-        pages = self._free[-n_pages:]
-        del self._free[-n_pages:]
+        pages = free[-n_pages:]
+        del free[-n_pages:]
         for p in pages:
             self._ref[p] = 1
         return pages
@@ -66,18 +95,18 @@ class PageAllocator:
 
     def free(self, pages: Sequence[int]) -> None:
         for p in pages:
-            if p == 0:
-                continue
+            if p % self.pages_per_rank == 0:
+                continue  # a region's garbage page is never freed
             r = self._ref[p]
             assert r > 0, f"double free of page {p}"
             self._ref[p] = r - 1
             if r == 1:
-                self._free.append(p)
+                self._free[self.page_rank(p)].append(p)
 
     def ref_count(self, page: int) -> int:
         return int(self._ref[page])
 
     def check_leaks(self) -> int:
-        """Pages still held (excluding garbage page). 0 when fully idle
+        """Pages still held (excluding garbage pages). 0 when fully idle
         (reference `scheduler.py:3349 is_fully_idle` leak check)."""
-        return self.total_pages - len(self._free)
+        return self.total_pages - sum(len(f) for f in self._free)

@@ -266,7 +266,12 @@ class HiCacheController:
         data = self.host.load(ids, dev_pages, host_pages)
         if data is None:
             return 0
-        new_pages = self.allocator.alloc(host_pages)
+        rank = (
+            self.allocator.page_rank(m.pages[0])
+            if dev_pages
+            else self.allocator.least_loaded_rank()
+        )
+        new_pages = self.allocator.alloc(host_pages, rank=rank)
         if new_pages is None:
             return 0
         self.runner.scatter_kv_pages(new_pages, data)

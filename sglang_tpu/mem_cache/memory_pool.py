@@ -87,6 +87,7 @@ class KVCachePool:
         dtype,
         kv_cache_dtype: str = "auto",
         sharding: Optional[jax.sharding.NamedSharding] = None,
+        stacked_sharding: Optional[jax.sharding.NamedSharding] = None,
     ):
         self.num_pages = num_pages
         self.page_size = page_size
@@ -108,14 +109,26 @@ class KVCachePool:
                 jnp.zeros(shape, dtype=self.store_dtype) for _ in range(num_layers)
             ]
 
-        if sharding is not None:
+        self.stacked = None
+        if stacked_sharding is not None:
+            # PP mode: one [L, P, 2kvh, ps, d] array, layer axis sharded
+            # over "pipe" — each stage owns its layers' planes for every
+            # page, so the (global-page-id) allocator is stage-agnostic
+            self.stacked = jax.device_put(
+                jnp.zeros((num_layers,) + shape, dtype=self.store_dtype),
+                stacked_sharding,
+            )
+            self.layers = None
+            nbytes = self.stacked.nbytes
+        elif sharding is not None:
             self.layers = [
                 jax.device_put(jnp.zeros(shape, dtype=self.store_dtype), sharding)
                 for _ in range(num_layers)
             ]
+            nbytes = sum(x.nbytes for x in self.layers)
         else:
             self.layers = _make()
-        nbytes = sum(x.nbytes for x in self.layers)
+            nbytes = sum(x.nbytes for x in self.layers)
         logger.info(
             "KV pool: %d pages x %d tokens, %d layers, %s, %.2f GiB",
             num_pages,

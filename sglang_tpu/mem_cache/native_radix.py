@@ -102,7 +102,10 @@ class NativeRadixCache:
                 )
         return len(new_pages)
 
-    def evict(self, num_pages: int) -> int:
+    def evict(self, num_pages: int, rank: int = None) -> int:
+        # the C++ tree has no DP-region filter; create_radix_cache selects
+        # the Python tree when dp_size > 1, so rank here is always the
+        # single region 0
         if self.disable or num_pages <= 0:
             return 0
         freed = self.lib.rt_evict(
@@ -134,7 +137,10 @@ def create_radix_cache(allocator: PageAllocator, page_size: int, disable: bool):
 
     from sglang_tpu.mem_cache.radix_cache import RadixCache
 
-    if os.environ.get("SGLANG_TPU_DISABLE_NATIVE") != "1":
+    if (
+        os.environ.get("SGLANG_TPU_DISABLE_NATIVE") != "1"
+        and getattr(allocator, "dp_size", 1) == 1
+    ):
         try:
             return NativeRadixCache(allocator, page_size, disable)
         except Exception:

@@ -212,9 +212,12 @@ class RadixCache:
     def total_pages(self) -> int:
         return self._total_pages
 
-    def evict(self, num_pages: int) -> int:
+    def evict(self, num_pages: int, rank: int = None) -> int:
         """LRU-evict leaves until `num_pages` pages are freed (reference
-        `radix_cache.py:563`). Returns pages actually freed."""
+        `radix_cache.py:563`). Returns pages actually freed. With DP
+        attention, `rank` restricts eviction to nodes whose pages live in
+        that DP region (freeing another region's pages cannot satisfy a
+        region-local alloc)."""
         if self.disable or num_pages <= 0:
             return 0
         import heapq
@@ -223,6 +226,11 @@ class RadixCache:
             (n.last_access_time, id(n), n)
             for n in self._iter_nodes()
             if n.evictable
+            and (
+                rank is None
+                or not n.pages
+                or self.allocator.page_rank(n.pages[0]) == rank
+            )
         ]
         heapq.heapify(leaves)
         freed = 0
@@ -238,7 +246,15 @@ class RadixCache:
             self._total_pages -= len(node.pages)
             parent = node.parent
             del parent.children[tuple(node.key[: self.page_size])]
-            if parent is not self.root and parent.evictable:
+            if (
+                parent is not self.root
+                and parent.evictable
+                and (
+                    rank is None
+                    or not parent.pages
+                    or self.allocator.page_rank(parent.pages[0]) == rank
+                )
+            ):
                 heapq.heappush(leaves, (parent.last_access_time, id(parent), parent))
         if self.events is not None and freed_pages:
             self.events.block_removed(freed_pages)

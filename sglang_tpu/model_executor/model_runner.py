@@ -90,8 +90,14 @@ class ModelRunner:
                 num_processes=server_args.nnodes,
                 process_id=server_args.node_rank,
             )
+        self.pp_size = server_args.pp_size
+        self.dp_size = (
+            server_args.dp_size if server_args.enable_dp_attention else 1
+        )
         self.mesh = mesh if mesh is not None else create_mesh(
-            tp_size=server_args.tp_size, dp_size=1
+            tp_size=server_args.tp_size,
+            dp_size=self.dp_size,
+            pp_size=self.pp_size,
         )
         self.tp_size = server_args.tp_size
 
@@ -114,6 +120,24 @@ class ModelRunner:
             load_format=server_args.load_format,
             seed=server_args.random_seed,
         )
+        # forward dispatch: pp>1 swaps in the GPipe pipelined forward
+        # (stacked layer params + stacked KV, sharded over "pipe")
+        self._model_forward = self.model.forward
+        if self.pp_size > 1:
+            from sglang_tpu.parallel.pp_executor import PPForward, stack_layers
+
+            self.params["layers"] = stack_layers(
+                self.params["layers"],
+                self.model.param_shardings()["layers"][0],
+                self.mesh,
+            )
+            self._pp_forward = PPForward(
+                self.model,
+                self.mesh,
+                self.pp_size,
+                microbatches=server_args.pp_microbatches,
+            )
+            self._model_forward = self._pp_forward
         self.lora_manager = None
         if server_args.lora_paths:
             from sglang_tpu.lora.lora_manager import LoRAManager
@@ -219,9 +243,24 @@ class ModelRunner:
             store_dtype,
             max_total_tokens=sa.max_total_tokens,
         )
-        kv_sharding = NamedSharding(self.mesh, P(None, "model", None, None))
-        if mc.num_key_value_heads * 2 % max(1, self.tp_size):
-            kv_sharding = NamedSharding(self.mesh, P())
+        head_spec = (
+            "model"
+            if mc.num_key_value_heads * 2 % max(1, self.tp_size) == 0
+            else None
+        )
+        page_spec = "data" if self.dp_size > 1 else None
+        if self.dp_size > 1:
+            # DP-attention: page space range-partitioned over "data"
+            num_pages -= num_pages % self.dp_size
+        kv_sharding = NamedSharding(
+            self.mesh, P(page_spec, head_spec, None, None)
+        )
+        stacked_sharding = None
+        if self.pp_size > 1:
+            # PP: one stacked [L, ...] pool, layer axis over "pipe"
+            stacked_sharding = NamedSharding(
+                self.mesh, P("pipe", page_spec, head_spec, None, None)
+            )
         self.kv_pool = KVCachePool(
             num_pages=num_pages,
             page_size=sa.page_size,
@@ -231,8 +270,23 @@ class ModelRunner:
             dtype=mc.dtype,
             kv_cache_dtype=sa.kv_cache_dtype,
             sharding=kv_sharding,
+            stacked_sharding=stacked_sharding,
         )
-        self.kv_layers: List[jax.Array] = self.kv_pool.layers
+        self.kv_layers = (
+            self.kv_pool.stacked
+            if self.kv_pool.stacked is not None
+            else self.kv_pool.layers
+        )
+        if self.dp_size > 1:
+            from sglang_tpu.parallel.dp_attention import DPAttentionBackend
+
+            self.attn_backend = DPAttentionBackend(
+                self.attn_backend,
+                self.mesh,
+                self.dp_size,
+                pages_per_rank=num_pages // self.dp_size,
+                page_size=sa.page_size,
+            )
         self.num_pages = num_pages
         self.page_size = sa.page_size
 
@@ -258,6 +312,7 @@ class ModelRunner:
             mc.model_path = old_path
             raise
         self.params = new_params
+        self._restack_pp_params()
         logger.info("weights updated from %s", model_path)
 
     def update_weights_from_tensor(self, named_tensors) -> int:
@@ -322,6 +377,7 @@ class ModelRunner:
             load_format=self.server_args.load_format,
             seed=self.server_args.random_seed,
         )
+        self._restack_pp_params()
         # keep the pool geometry identical so scheduler page state stays valid
         prev = self.server_args.max_total_tokens
         self.server_args.max_total_tokens = self._released_capacity
@@ -330,6 +386,18 @@ class ModelRunner:
         finally:
             self.server_args.max_total_tokens = prev
         logger.info("resumed model + KV memory")
+
+    def _restack_pp_params(self) -> None:
+        """Re-stack per-layer params over the "pipe" axis after any path
+        that reloads them as a per-layer list (weight lifecycle)."""
+        if self.pp_size > 1 and isinstance(self.params.get("layers"), list):
+            from sglang_tpu.parallel.pp_executor import stack_layers
+
+            self.params["layers"] = stack_layers(
+                self.params["layers"],
+                self.model.param_shardings()["layers"][0],
+                self.mesh,
+            )
 
     # ---------------------------------------------------------------- jit
 
@@ -356,7 +424,7 @@ class ModelRunner:
         if key not in self._jit_cache:
 
             def _step(params, kv_layers, counts, fb, logits_indices, sinfo, rng):
-                hidden, new_kv = self.model.forward(
+                hidden, new_kv = self._model_forward(
                     params, kv_layers, fb, self.attn_backend
                 )
                 if sinfo.need_penalties and fb.mode.is_extend():
@@ -615,6 +683,7 @@ class ModelRunner:
         key = ("extend_packed", tt, bb, nb, flags)
         if key not in self._jit_cache:
             model, backend = self.model, self.attn_backend
+            fwd = self._model_forward
 
             def _extend(params, kv_layers, counts, i32, f32, rng):
                 o = 0
@@ -655,7 +724,7 @@ class ModelRunner:
                     blk_pos0=bpos0,
                     mode=ForwardMode.EXTEND,
                 )
-                hidden, new_kv = model.forward(params, kv_layers, fb, backend)
+                hidden, new_kv = fwd(params, kv_layers, fb, backend)
                 if sinfo.need_penalties:
                     sentinel = counts.shape[0] - 1
                     tslots = jnp.where(
@@ -702,6 +771,7 @@ class ModelRunner:
             ps = self.page_size
             ctx = self.model_config.context_length
             model, backend = self.model, self.attn_backend
+            fwd = self._model_forward
 
             def _multi(params, kv_layers, counts, i32, f32, ids0, base, rng):
                 nbb = bb
@@ -738,7 +808,7 @@ class ModelRunner:
                         blk_pos0=seq - 1,
                         mode=ForwardMode.DECODE,
                     )
-                    hidden, kv = model.forward(params, kv, fb, backend)
+                    hidden, kv = fwd(params, kv, fb, backend)
                     logits = model.compute_logits(params, hidden)
                     step_key = jax.random.fold_in(key, k)
                     next_ids, tok_lp = sample(
@@ -900,7 +970,7 @@ class ModelRunner:
         if "verify" not in self._jit_cache:
 
             def _verify(params, kv_layers, fb):
-                hidden, new_kv = self.model.forward(
+                hidden, new_kv = self._model_forward(
                     params, kv_layers, fb, self.attn_backend
                 )
                 logits = self.model.compute_logits(params, hidden)
@@ -951,7 +1021,7 @@ class ModelRunner:
         if key not in self._jit_cache:
 
             def _embed(params, kv_layers, fb, cu_dev):
-                hidden, new_kv = self.model.forward(
+                hidden, new_kv = self._model_forward(
                     params, kv_layers, fb, self.attn_backend
                 )
                 if pooling == "last":
@@ -1002,7 +1072,7 @@ class ModelRunner:
         if "logits_all" not in self._jit_cache:
 
             def _fwd(params, kv_layers, fb):
-                hidden, new_kv = self.model.forward(
+                hidden, new_kv = self._model_forward(
                     params, kv_layers, fb, self.attn_backend
                 )
                 return self.model.compute_logits(params, hidden), new_kv
@@ -1044,7 +1114,7 @@ class ModelRunner:
         if "hidden_all" not in self._jit_cache:
 
             def _fwd(params, kv_layers, fb):
-                hidden, new_kv = self.model.forward(
+                hidden, new_kv = self._model_forward(
                     params, kv_layers, fb, self.attn_backend
                 )
                 return hidden.astype(jnp.float32), new_kv

@@ -19,7 +19,7 @@ from sglang_tpu.utils import get_logger
 
 logger = get_logger(__name__)
 
-MESH_AXES = ("data", "model")
+MESH_AXES = ("data", "pipe", "model")
 
 
 def get_device_kind() -> str:
@@ -29,18 +29,25 @@ def get_device_kind() -> str:
 def create_mesh(
     tp_size: int = 1,
     dp_size: int = 1,
+    pp_size: int = 1,
     devices: Optional[list] = None,
 ) -> Mesh:
+    """("data", "pipe", "model") mesh. "model" innermost so TP collectives
+    ride the fastest ICI links; "pipe" between so stage neighbors are
+    adjacent; "data" outermost (DP-attention groups never exchange KV).
+    Size-1 axes are free — PartitionSpecs that don't name them replicate."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    if tp_size * dp_size > n:
-        raise ValueError(
-            f"tp_size*dp_size={tp_size * dp_size} exceeds {n} devices"
-        )
-    used = devices[: tp_size * dp_size]
-    arr = np.array(used).reshape(dp_size, tp_size)
+    total = tp_size * dp_size * pp_size
+    if total > n:
+        raise ValueError(f"tp*dp*pp={total} exceeds {n} devices")
+    used = devices[:total]
+    arr = np.array(used).reshape(dp_size, pp_size, tp_size)
     mesh = Mesh(arr, MESH_AXES)
-    logger.info("mesh: data=%d model=%d on %s", dp_size, tp_size, used[0].platform)
+    logger.info(
+        "mesh: data=%d pipe=%d model=%d on %s",
+        dp_size, pp_size, tp_size, used[0].platform,
+    )
     return mesh
 
 

@@ -100,6 +100,15 @@ class ServerArgs:
     # --- Parallelism ---
     tp_size: int = 1
     dp_size: int = 1
+    # pipeline parallelism over the "pipe" mesh axis (reference --pp-size,
+    # scheduler_pp_mixin.py): layers stack-sharded across stages, GPipe
+    # microbatch schedule inside every jitted step
+    pp_size: int = 1
+    # microbatches per pipelined decode step (0 = pp_size)
+    pp_microbatches: int = 0
+    # DP-attention (reference --enable-dp-attention): attention + KV pool
+    # sharded over the "data" axis, dense/MoE parts run over dp x tp
+    enable_dp_attention: bool = False
     nnodes: int = 1
     node_rank: int = 0
     dist_init_addr: Optional[str] = None
