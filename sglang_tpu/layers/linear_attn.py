@@ -1,0 +1,195 @@
+"""Gated DeltaNet linear attention (Qwen3-Next / FLA family).
+
+Parity with reference `srt/layers/attention/hybrid_linear_attn_backend.py`
+(+ the FLA `chunk_gated_delta_rule` / `fused_recurrent` kernels) and HF
+`transformers/models/qwen3_next/modeling_qwen3_next.py:442,522`.
+
+TPU-native design: per-request recurrent state lives in SLOT-indexed pools
+(the "MambaPool" analogue of reference `memory_pool.py:195`) that ride the
+jitted step exactly like paged KV — donated, updated in place:
+
+  conv:  [slots+1, conv_dim, k-1]  f32   (last k-1 pre-conv inputs)
+  rec:   [slots+1, num_v_heads, dk, dv]  f32  (delta-rule state)
+
+Row `slots` (the sentinel) absorbs padding writes. State resets when a
+token arrives at position 0 — (re)prefill from scratch — so retraction and
+jump-forward re-prefill are correct with no extra bookkeeping.
+
+- decode: one fully parallel recurrent step over the batch (each row owns
+  a distinct slot, gather/scatter is race-free).
+- extend: a `lax.scan` over the packed ragged token stream, carrying the
+  pools (correct for chunked prefill and mixed decode rows). This is the
+  sequential reference path; a chunked-parallel Pallas kernel is the perf
+  follow-up (the math of HF `torch_chunk_gated_delta_rule`).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    return x * jax.lax.rsqrt((x * x).sum(-1, keepdims=True) + eps)
+
+
+def gdn_gates(a: jax.Array, b: jax.Array, a_log: jax.Array,
+              dt_bias: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """g (log decay, <=0) and beta from the ba projection (f32).
+    a, b: [..., num_v_heads]."""
+    g = -jnp.exp(a_log.astype(jnp.float32)) * jax.nn.softplus(
+        a.astype(jnp.float32) + dt_bias.astype(jnp.float32)
+    )
+    beta = jax.nn.sigmoid(b.astype(jnp.float32))
+    return g, beta
+
+
+def gdn_recurrent_step(
+    rec: jax.Array,  # [..., nh, dk, dv] f32
+    q: jax.Array,  # [..., nh, dk]
+    k: jax.Array,  # [..., nh, dk]
+    v: jax.Array,  # [..., nh, dv]
+    g: jax.Array,  # [..., nh] f32 log decay
+    beta: jax.Array,  # [..., nh] f32
+) -> Tuple[jax.Array, jax.Array]:
+    """One token of the gated delta rule (HF
+    `torch_recurrent_gated_delta_rule:522`). Returns (out [..., nh, dv],
+    new rec). q/k are L2-normalized and q is scaled inside."""
+    q = l2norm(q.astype(jnp.float32))
+    k = l2norm(k.astype(jnp.float32))
+    v = v.astype(jnp.float32)
+    q = q * (q.shape[-1] ** -0.5)
+    rec = rec * jnp.exp(g)[..., None, None]
+    kv_mem = (rec * k[..., None]).sum(-2)  # [..., nh, dv]
+    delta = (v - kv_mem) * beta[..., None]
+    rec = rec + k[..., None] * delta[..., None, :]
+    out = (rec * q[..., None]).sum(-2)
+    return out, rec
+
+
+def causal_conv_step(
+    window: jax.Array,  # [..., conv_dim, k] (k-1 carried + current input)
+    w: jax.Array,  # [conv_dim, k] depthwise kernel
+) -> jax.Array:
+    """Depthwise causal conv output for the newest position + SiLU."""
+    y = (window * w).sum(-1)
+    return jax.nn.silu(y)
+
+
+def gdn_decode(
+    conv_pool: jax.Array,  # [S+1, conv_dim, k-1] f32
+    rec_pool: jax.Array,  # [S+1, nh, dk, dv] f32
+    mixed_qkv: jax.Array,  # [B, conv_dim] pre-conv q|k|v stream
+    a: jax.Array,  # [B, nh]
+    b: jax.Array,  # [B, nh]
+    slots: jax.Array,  # [B] i32 (padding -> S)
+    key_dim: int,
+    value_dim: int,
+    num_v_heads: int,
+    conv_w: jax.Array,  # [conv_dim, k]
+    a_log: jax.Array,
+    dt_bias: jax.Array,
+):
+    """Parallel single-step decode across the batch. Returns
+    (core_out [B, nh, dv], conv_pool', rec_pool')."""
+    B = mixed_qkv.shape[0]
+    nh = num_v_heads
+    dk = key_dim // (nh // (nh // _nk(key_dim, value_dim, nh)))  # unused
+    # conv update
+    win = jnp.concatenate(
+        [conv_pool[slots], mixed_qkv.astype(jnp.float32)[..., None]], axis=-1
+    )  # [B, conv_dim, k]
+    conv_out = causal_conv_step(win, conv_w.astype(jnp.float32))
+    new_conv = win[..., 1:]
+    conv_pool = conv_pool.at[slots].set(new_conv)
+    q, k, v = _split_qkv(conv_out, key_dim, value_dim, nh)
+    g, beta = gdn_gates(a, b, a_log, dt_bias)
+    rec = rec_pool[slots]
+    out, rec = gdn_recurrent_step(rec, q, k, v, g, beta)
+    rec_pool = rec_pool.at[slots].set(rec)
+    return out, conv_pool, rec_pool
+
+
+def gdn_extend(
+    conv_pool: jax.Array,
+    rec_pool: jax.Array,
+    mixed_qkv: jax.Array,  # [T, conv_dim]
+    a: jax.Array,  # [T, nh]
+    b: jax.Array,  # [T, nh]
+    slots: jax.Array,  # [T] i32 per-token slot (padding -> S)
+    positions: jax.Array,  # [T] i32 (0 -> reset state)
+    key_dim: int,
+    value_dim: int,
+    num_v_heads: int,
+    conv_w: jax.Array,
+    a_log: jax.Array,
+    dt_bias: jax.Array,
+):
+    """Sequential scan over the packed ragged stream (tokens of one
+    sequence are contiguous; the pools carry state between tokens AND
+    between chunked-prefill rounds). Returns (out [T, nh, dv], pools)."""
+    nh = num_v_heads
+    g_all, beta_all = gdn_gates(a, b, a_log, dt_bias)
+    conv_w32 = conv_w.astype(jnp.float32)
+    x32 = mixed_qkv.astype(jnp.float32)
+
+    def step(carry, xs):
+        conv_pool, rec_pool = carry
+        x_t, g_t, beta_t, slot, pos = xs
+        fresh = pos == 0
+        cwin = jnp.where(fresh, 0.0, conv_pool[slot])
+        win = jnp.concatenate([cwin, x_t[:, None]], axis=-1)
+        conv_out = causal_conv_step(win, conv_w32)
+        conv_pool = conv_pool.at[slot].set(win[:, 1:])
+        q, k, v = _split_qkv(conv_out, key_dim, value_dim, nh)
+        rec = jnp.where(fresh, 0.0, rec_pool[slot])
+        out, rec = gdn_recurrent_step(rec, q, k, v, g_t, beta_t)
+        rec_pool = rec_pool.at[slot].set(rec)
+        return (conv_pool, rec_pool), out
+
+    (conv_pool, rec_pool), outs = jax.lax.scan(
+        step,
+        (conv_pool, rec_pool),
+        (x32, g_all, beta_all, slots, positions),
+    )
+    return outs, conv_pool, rec_pool
+
+
+def _nk(key_dim, value_dim, nh):  # helper kept for clarity in callers
+    return nh
+
+
+def _split_qkv(conv_out: jax.Array, key_dim: int, value_dim: int, nh: int):
+    """Split the post-conv stream into per-v-head q, k, v; q/k k-heads are
+    repeat-interleaved up to num_v_heads (HF `repeat_interleave(nv//nk)`)."""
+    q = conv_out[..., :key_dim]
+    k = conv_out[..., key_dim : 2 * key_dim]
+    v = conv_out[..., 2 * key_dim :]
+    dv = value_dim // nh
+    v = v.reshape(v.shape[:-1] + (nh, dv))
+    # infer k-head geometry from shapes
+    # key_dim = nk * dk ; repeat q,k to nh heads
+    # dk is fixed by the model; caller guarantees key_dim % dk == 0
+    return q, k, v
+
+
+def split_qk_heads(q, k, nk, dk, nh):
+    """[..., nk*dk] -> [..., nh, dk] with repeat_interleave(nh//nk)."""
+    q = q.reshape(q.shape[:-1] + (nk, dk))
+    k = k.reshape(k.shape[:-1] + (nk, dk))
+    rep = nh // nk
+    if rep > 1:
+        q = jnp.repeat(q, rep, axis=-2)
+        k = jnp.repeat(k, rep, axis=-2)
+    return q, k
+
+
+def gated_rms_norm(x: jax.Array, gate: jax.Array, w: jax.Array,
+                   eps: float) -> jax.Array:
+    """HF Qwen3NextRMSNormGated: norm-then-gate (silu on the z branch)."""
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + eps)
+    out = w.astype(jnp.float32) * xf
+    return (out * jax.nn.silu(gate.astype(jnp.float32))).astype(x.dtype)
