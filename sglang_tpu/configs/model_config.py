@@ -215,6 +215,12 @@ class ModelConfig:
         return cfg
 
     @property
+    def is_hybrid(self) -> bool:
+        """True when some layers use linear attention / recurrent state
+        instead of paged KV (Qwen3-Next, Mamba hybrids)."""
+        return "linear_attention" in (self.hf_config.get("layer_types") or ())
+
+    @property
     def kv_head_dim_total(self) -> int:
         return self.num_key_value_heads * self.head_dim
 

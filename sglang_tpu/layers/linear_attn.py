@@ -85,26 +85,19 @@ def gdn_decode(
     a: jax.Array,  # [B, nh]
     b: jax.Array,  # [B, nh]
     slots: jax.Array,  # [B] i32 (padding -> S)
-    key_dim: int,
-    value_dim: int,
-    num_v_heads: int,
+    geom: tuple,  # (nk, dk, nh, dv)
     conv_w: jax.Array,  # [conv_dim, k]
     a_log: jax.Array,
     dt_bias: jax.Array,
 ):
     """Parallel single-step decode across the batch. Returns
     (core_out [B, nh, dv], conv_pool', rec_pool')."""
-    B = mixed_qkv.shape[0]
-    nh = num_v_heads
-    dk = key_dim // (nh // (nh // _nk(key_dim, value_dim, nh)))  # unused
-    # conv update
     win = jnp.concatenate(
         [conv_pool[slots], mixed_qkv.astype(jnp.float32)[..., None]], axis=-1
     )  # [B, conv_dim, k]
     conv_out = causal_conv_step(win, conv_w.astype(jnp.float32))
-    new_conv = win[..., 1:]
-    conv_pool = conv_pool.at[slots].set(new_conv)
-    q, k, v = _split_qkv(conv_out, key_dim, value_dim, nh)
+    conv_pool = conv_pool.at[slots].set(win[..., 1:])
+    q, k, v = _split_qkv(conv_out, geom)
     g, beta = gdn_gates(a, b, a_log, dt_bias)
     rec = rec_pool[slots]
     out, rec = gdn_recurrent_step(rec, q, k, v, g, beta)
@@ -120,9 +113,7 @@ def gdn_extend(
     b: jax.Array,  # [T, nh]
     slots: jax.Array,  # [T] i32 per-token slot (padding -> S)
     positions: jax.Array,  # [T] i32 (0 -> reset state)
-    key_dim: int,
-    value_dim: int,
-    num_v_heads: int,
+    geom: tuple,  # (nk, dk, nh, dv)
     conv_w: jax.Array,
     a_log: jax.Array,
     dt_bias: jax.Array,
@@ -130,7 +121,6 @@ def gdn_extend(
     """Sequential scan over the packed ragged stream (tokens of one
     sequence are contiguous; the pools carry state between tokens AND
     between chunked-prefill rounds). Returns (out [T, nh, dv], pools)."""
-    nh = num_v_heads
     g_all, beta_all = gdn_gates(a, b, a_log, dt_bias)
     conv_w32 = conv_w.astype(jnp.float32)
     x32 = mixed_qkv.astype(jnp.float32)
@@ -143,7 +133,7 @@ def gdn_extend(
         win = jnp.concatenate([cwin, x_t[:, None]], axis=-1)
         conv_out = causal_conv_step(win, conv_w32)
         conv_pool = conv_pool.at[slot].set(win[:, 1:])
-        q, k, v = _split_qkv(conv_out, key_dim, value_dim, nh)
+        q, k, v = _split_qkv(conv_out, geom)
         rec = jnp.where(fresh, 0.0, rec_pool[slot])
         out, rec = gdn_recurrent_step(rec, q, k, v, g_t, beta_t)
         rec_pool = rec_pool.at[slot].set(rec)
@@ -157,33 +147,22 @@ def gdn_extend(
     return outs, conv_pool, rec_pool
 
 
-def _nk(key_dim, value_dim, nh):  # helper kept for clarity in callers
-    return nh
-
-
-def _split_qkv(conv_out: jax.Array, key_dim: int, value_dim: int, nh: int):
-    """Split the post-conv stream into per-v-head q, k, v; q/k k-heads are
-    repeat-interleaved up to num_v_heads (HF `repeat_interleave(nv//nk)`)."""
-    q = conv_out[..., :key_dim]
-    k = conv_out[..., key_dim : 2 * key_dim]
-    v = conv_out[..., 2 * key_dim :]
-    dv = value_dim // nh
-    v = v.reshape(v.shape[:-1] + (nh, dv))
-    # infer k-head geometry from shapes
-    # key_dim = nk * dk ; repeat q,k to nh heads
-    # dk is fixed by the model; caller guarantees key_dim % dk == 0
-    return q, k, v
-
-
-def split_qk_heads(q, k, nk, dk, nh):
-    """[..., nk*dk] -> [..., nh, dk] with repeat_interleave(nh//nk)."""
-    q = q.reshape(q.shape[:-1] + (nk, dk))
-    k = k.reshape(k.shape[:-1] + (nk, dk))
+def _split_qkv(conv_out: jax.Array, geom: tuple):
+    """Split the post-conv stream [..., 2*key_dim+value_dim] into per-v-head
+    q, k, v; q/k k-heads are repeat-interleaved up to num_v_heads
+    (HF `repeat_interleave(nv//nk)`)."""
+    nk, dk, nh, dv = geom
+    key_dim = nk * dk
+    q = conv_out[..., :key_dim].reshape(conv_out.shape[:-1] + (nk, dk))
+    k = conv_out[..., key_dim : 2 * key_dim].reshape(
+        conv_out.shape[:-1] + (nk, dk)
+    )
+    v = conv_out[..., 2 * key_dim :].reshape(conv_out.shape[:-1] + (nh, dv))
     rep = nh // nk
     if rep > 1:
         q = jnp.repeat(q, rep, axis=-2)
         k = jnp.repeat(k, rep, axis=-2)
-    return q, k
+    return q, k, v
 
 
 def gated_rms_norm(x: jax.Array, gate: jax.Array, w: jax.Array,

@@ -112,10 +112,14 @@ class Scheduler:
         )
         from sglang_tpu.mem_cache.native_radix import create_radix_cache
 
+        # hybrid linear-attention models: recurrent state cannot be
+        # prefix-shared, so the radix cache is forced off (reference gates
+        # mamba-hybrid prefix caching the same way)
+        self.is_hybrid = self.runner.model_config.is_hybrid
         self.radix_cache = create_radix_cache(
             self.allocator,
             self.page_size,
-            disable=server_args.disable_radix_cache,
+            disable=server_args.disable_radix_cache or self.is_hybrid,
         )
         self.allocator.evict_callback = self.radix_cache.evict
         self.kv_events = None
@@ -209,7 +213,7 @@ class Scheduler:
         self._inflight = None  # (reqs_snapshot, next_ids_dev, tok_lp_dev)
 
         # penalty-state slots: stable device-side row per live request
-        self.max_slots = self.max_running_requests + self.max_extend_reqs
+        self.max_slots = self.runner.slots_budget()
         self._slot_pool: List[int] = list(range(self.max_slots - 1, -1, -1))
         self.runner.set_max_slots(self.max_slots)
 
@@ -721,8 +725,8 @@ class Scheduler:
         request is greedy with no penalties/grammar/logprobs."""
         if self.spec is None:
             return False
-        if self.runner.dp_size > 1:
-            # draft KV pools are not DP-region-partitioned yet
+        if self.runner.dp_size > 1 or self.is_hybrid:
+            # draft pools are not DP-region-partitioned / state-aware yet
             return False
         for r in self.running_batch.reqs:
             sp = r.sampling_params

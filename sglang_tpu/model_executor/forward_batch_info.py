@@ -83,6 +83,11 @@ class ForwardBatch:
     blk_nrows: jax.Array = None  # [NB] i32 valid rows (0 = padding block)
     blk_pos0: jax.Array = None  # [NB] i32 absolute position of first row
 
+    # recurrent-state slot per sequence (hybrid linear-attention models:
+    # indexes the conv/delta-rule state pools; None for pure-attention
+    # models -> absent from the treedef)
+    state_slots: jax.Array = None  # [B] i32
+
     # Static (hashable) metadata
     mode: ForwardMode = field(metadata=dict(static=True), default=ForwardMode.DECODE)
 

@@ -103,6 +103,16 @@ class ModelRunner:
 
         model_cls = get_model_class(self.model_config)
         self.model = model_cls(self.model_config)
+        # hybrid models (linear attention / Mamba-class layers) carry
+        # slot-indexed recurrent state pools instead of paged KV on some
+        # layers and need per-seq state slots in the ForwardBatch
+        self.kv_kinds = getattr(self.model, "kv_kinds", None)
+        self._needs_state_slots = self.kv_kinds is not None
+        if self._needs_state_slots and (self.pp_size > 1 or self.dp_size > 1):
+            raise NotImplementedError(
+                "hybrid linear-attention models do not compose with "
+                "pp_size>1 / --enable-dp-attention yet"
+            )
         self.attn_backend = create_attention_backend(
             server_args.attention_backend, on_tpu=self.device_kind == "tpu"
         )
@@ -150,6 +160,17 @@ class ModelRunner:
             for spec in server_args.lora_paths:
                 name, _, path = spec.partition("=")
                 self.lora_manager.load(name, path or name)
+        # bucket ladders
+        self.decode_bs_buckets = list(server_args.decode_bs_buckets)
+        self.prefill_token_buckets = list(server_args.prefill_token_buckets)
+        self.extend_seq_bucket = min(
+            64, server_args.max_running_requests or 64, self.decode_bs_buckets[-1]
+        )
+        # rounded up to a multiple of 16 so the attention kernel's page-block
+        # DMA loop (pblk pages per chunk) never indexes past the table edge
+        self.max_pages_per_req = round_up(
+            cdiv(self.model_config.context_length, server_args.page_size), 16
+        )
         self._init_kv_pool()
         # custom logit processors: "name=module:attr" -> jittable
         # fn(logits [B,V], params [B,P]) -> logits (reference
@@ -171,17 +192,14 @@ class ModelRunner:
         self._jit_cache = {}
         self._chain = None  # device-resident decode-chunk chain state
 
-        # bucket ladders
-        self.decode_bs_buckets = list(server_args.decode_bs_buckets)
-        self.prefill_token_buckets = list(server_args.prefill_token_buckets)
-        self.extend_seq_bucket = min(
-            64, server_args.max_running_requests or 64, self.decode_bs_buckets[-1]
-        )
-        # rounded up to a multiple of 16 so the attention kernel's page-block
-        # DMA loop (pblk pages per chunk) never indexes past the table edge
-        self.max_pages_per_req = round_up(
-            cdiv(self.model_config.context_length, server_args.page_size), 16
-        )
+
+    def slots_budget(self) -> int:
+        """Stable per-request device slot count (sampler penalty rows and
+        hybrid recurrent-state pools share this indexing; the scheduler
+        uses the same formula for its slot pool)."""
+        sa = self.server_args
+        running = min(sa.max_running_requests or 1 << 30, self.decode_bs_buckets[-1])
+        return running + self.extend_seq_bucket
 
     # ---------------------------------------------------------------- pools
 
@@ -234,10 +252,29 @@ class ModelRunner:
         mc = self.model_config
         store_dtype = KV_DTYPE_MAP[sa.kv_cache_dtype] or mc.dtype
         kv_heads_local = mc.num_key_value_heads  # sharded over "model" by GSPMD
+        # hybrid models: only full-attention layers hold paged KV; linear
+        # layers get slot-indexed recurrent state pools (MambaPool analogue,
+        # reference memory_pool.py:195 / HybridLinearKVPool)
+        paged_layer_count = (
+            sum(k == "paged" for k in self.kv_kinds)
+            if self.kv_kinds is not None
+            else mc.num_hidden_layers
+        )
+        state_bytes = 0
+        if self.kv_kinds is not None:
+            slots = self.slots_budget()
+            sspecs = self.model.state_specs(slots)
+            per_layer = sum(
+                int(np.prod(v.shape)) * jnp.dtype(v.dtype).itemsize
+                for v in sspecs.values()
+            )
+            state_bytes = per_layer * (
+                mc.num_hidden_layers - paged_layer_count
+            )
         num_pages = compute_num_pages(
-            self._available_kv_bytes(),
+            self._available_kv_bytes() - state_bytes,
             sa.page_size,
-            mc.num_hidden_layers,
+            paged_layer_count,
             kv_heads_local,
             mc.head_dim,
             store_dtype,
@@ -264,7 +301,7 @@ class ModelRunner:
         self.kv_pool = KVCachePool(
             num_pages=num_pages,
             page_size=sa.page_size,
-            num_layers=mc.num_hidden_layers,
+            num_layers=paged_layer_count,
             num_kv_heads=mc.num_key_value_heads,
             head_dim=mc.head_dim,
             dtype=mc.dtype,
@@ -272,11 +309,29 @@ class ModelRunner:
             sharding=kv_sharding,
             stacked_sharding=stacked_sharding,
         )
-        self.kv_layers = (
-            self.kv_pool.stacked
-            if self.kv_pool.stacked is not None
-            else self.kv_pool.layers
-        )
+        if self.kv_kinds is not None:
+            # interleave paged arrays and state-pool dicts by model layer
+            slots = self.slots_budget()
+            sspecs = self.model.state_specs(slots)
+            paged_iter = iter(self.kv_pool.layers)
+            layers = []
+            for kind in self.kv_kinds:
+                if kind == "paged":
+                    layers.append(next(paged_iter))
+                else:
+                    layers.append(
+                        {
+                            k: jnp.zeros(v.shape, v.dtype)
+                            for k, v in sspecs.items()
+                        }
+                    )
+            self.kv_layers = layers
+        else:
+            self.kv_layers = (
+                self.kv_pool.stacked
+                if self.kv_pool.stacked is not None
+                else self.kv_pool.layers
+            )
         if self.dp_size > 1:
             from sglang_tpu.parallel.dp_attention import DPAttentionBackend
 
@@ -424,6 +479,8 @@ class ModelRunner:
         if key not in self._jit_cache:
 
             def _step(params, kv_layers, counts, fb, logits_indices, sinfo, rng):
+                if self._needs_state_slots:
+                    fb = dataclasses.replace(fb, state_slots=sinfo.slot_ids)
                 hidden, new_kv = self._model_forward(
                     params, kv_layers, fb, self.attn_backend
                 )
@@ -722,6 +779,9 @@ class ModelRunner:
                     blk_qoff=bqoff,
                     blk_nrows=bnrows,
                     blk_pos0=bpos0,
+                    state_slots=sinfo.slot_ids
+                    if self._needs_state_slots
+                    else None,
                     mode=ForwardMode.EXTEND,
                 )
                 hidden, new_kv = fwd(params, kv_layers, fb, backend)
@@ -806,6 +866,9 @@ class ModelRunner:
                         blk_qoff=rows,
                         blk_nrows=valid.astype(jnp.int32),
                         blk_pos0=seq - 1,
+                        state_slots=sinfo.slot_ids
+                        if self._needs_state_slots
+                        else None,
                         mode=ForwardMode.DECODE,
                     )
                     hidden, kv = fwd(params, kv, fb, backend)
@@ -1069,6 +1132,12 @@ class ModelRunner:
             _pad(seq_lens, bb),
             cu,
         )
+        if self._needs_state_slots:
+            # sinfo-free path (parity tests / scoring): one state slot per
+            # batch row
+            fb = dataclasses.replace(
+                fb, state_slots=jnp.arange(bb, dtype=jnp.int32)
+            )
         if "logits_all" not in self._jit_cache:
 
             def _fwd(params, kv_layers, fb):
