@@ -192,7 +192,14 @@ class ModelConfig:
             rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
             rope_theta=hf.get("rope_theta", 10000.0),
             rope_scaling=hf.get("rope_scaling"),
-            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            # HF PretrainedConfig defaults tying to True; a null/absent
+            # value in config.json means "unset", not False (starcoder2
+            # saves null and ships no lm_head tensor)
+            tie_word_embeddings=(
+                True
+                if hf.get("tie_word_embeddings") is None
+                else bool(hf["tie_word_embeddings"])
+            ),
             attention_bias=hf.get("attention_bias", False)
             or hf.get("qkv_bias", False),
             mlp_bias=hf.get("mlp_bias", False),

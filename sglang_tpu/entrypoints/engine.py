@@ -493,6 +493,59 @@ class Engine:
         self._require_idle("update weights")
         return self.runner.update_weights_from_tensor(named_tensors)
 
+    # RL weight sync over DCN (reference init_weights_update_group +
+    # update_weights_from_distributed, model_runner.py:1980 — NCCL group
+    # broadcast replaced by a TCP push stream, see weight_sync.py)
+    def init_weights_update_group(self, host: str = "0.0.0.0",
+                                  port: int = 0) -> int:
+        """Open the weight-sync receiver; returns its port. The trainer
+        pushes batches with `weight_sync.push_weights((host, port), ...)`."""
+        from sglang_tpu.model_executor.weight_sync import WeightSyncReceiver
+
+        if getattr(self, "_weight_sync", None) is not None:
+            return self._weight_sync.port
+
+        def apply(tensors):
+            if self.tm is not None:
+                # run on the scheduler pump thread so the swap never races
+                # a forward step ("call_sync" seam, as the PD server uses)
+                import threading
+
+                done = threading.Event()
+                box = {}
+
+                def job():
+                    try:
+                        box["r"] = self.runner.update_weights_from_tensor(
+                            tensors
+                        )
+                    except Exception as e:
+                        box["e"] = e
+                    finally:
+                        done.set()
+
+                self.tm._inbox.put(("call_sync", job))
+                if not done.wait(timeout=300):
+                    raise TimeoutError("weight apply timed out")
+                if "e" in box:
+                    raise box["e"]
+                return box["r"]
+            self._require_idle("update weights")
+            return self.runner.update_weights_from_tensor(tensors)
+
+        self._weight_sync = WeightSyncReceiver(apply, host=host, port=port)
+        return self._weight_sync.port
+
+    def update_weights_from_distributed(self, version: int = 1,
+                                        timeout: float = 120.0) -> bool:
+        """Block until the trainer's push number `version` has been applied
+        (the reference route receives the broadcast here; our receiver
+        applies pushes as they arrive, so this is a barrier)."""
+        ws = getattr(self, "_weight_sync", None)
+        if ws is None:
+            raise RuntimeError("call init_weights_update_group first")
+        return ws.wait_version(version, timeout)
+
     def release_memory_occupation(self) -> bool:
         self._require_idle("release memory")
         self.scheduler.flush_cache()

@@ -248,6 +248,16 @@ def build_app(state: ServerState) -> web.Application:
                 "# TYPE sglang_tpu_hicache_host_pages gauge",
                 f"sglang_tpu_hicache_host_pages {hc.host.num_pages}",
             ]
+        # request-latency histograms (reference metrics_collector.py:186
+        # TTFT/ITL/e2e/queue) — bench_serving numbers are reproducible from
+        # these alone
+        lines += state.scheduler.metrics.prometheus_lines()
+        # per-stage scheduler wall time (reference per-stage time stats)
+        lines.append("# TYPE sglang_tpu_stage_seconds_total counter")
+        for name, secs in sorted(s.stage_time.items()):
+            lines.append(
+                f'sglang_tpu_stage_seconds_total{{stage="{name}"}} {secs:.6f}'
+            )
         return web.Response(text="\n".join(lines) + "\n")
 
     async def flush_cache(request):
@@ -875,6 +885,28 @@ def build_app(state: ServerState) -> web.Application:
         await state.tm.run_on_scheduler(state.engine.resume_memory_occupation)
         return web.json_response({"success": True})
 
+    async def init_weights_update_group(request):
+        # reference /init_weights_update_group: here it opens the TCP
+        # weight-sync receiver and returns its port for the trainer
+        body = await request.json()
+        port = state.engine.init_weights_update_group(
+            host=body.get("host", "0.0.0.0"), port=int(body.get("port", 0))
+        )
+        return web.json_response({"success": True, "port": port})
+
+    async def update_weights_from_distributed(request):
+        body = await request.json()
+        import asyncio as _aio
+
+        ok = await _aio.get_running_loop().run_in_executor(
+            None,
+            lambda: state.engine.update_weights_from_distributed(
+                version=int(body.get("version", 1)),
+                timeout=float(body.get("timeout", 120.0)),
+            ),
+        )
+        return web.json_response({"success": ok}, status=200 if ok else 408)
+
     async def v1_score(request):
         body = await request.json()
         prompt = body.get("prompt", body.get("query", ""))
@@ -958,6 +990,10 @@ def build_app(state: ServerState) -> web.Application:
     r.add_get("/get_model_info", get_model_info)
     r.add_get("/get_server_info", get_server_info)
     r.add_get("/metrics", metrics)
+    r.add_post("/init_weights_update_group", init_weights_update_group)
+    r.add_post(
+        "/update_weights_from_distributed", update_weights_from_distributed
+    )
     r.add_post("/flush_cache", flush_cache)
     r.add_post("/pause_generation", pause_generation)
     r.add_post("/continue_generation", continue_generation)

@@ -42,6 +42,63 @@ from sglang_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 UNHEALTHY_COOLDOWN_S = 5.0
+
+
+class TokenBucket:
+    """Router-level rate limiter (reference sgl-model-gateway
+    `src/core/rate_limit`): `rate` requests/s with `burst` headroom; a
+    request that finds the bucket empty is rejected with 429."""
+
+    def __init__(self, rate: float, burst: int):
+        self.rate = rate
+        self.capacity = float(burst)
+        self.tokens = float(burst)
+        self.t = time.monotonic()
+
+    def allow(self) -> bool:
+        now = time.monotonic()
+        self.tokens = min(
+            self.capacity, self.tokens + (now - self.t) * self.rate
+        )
+        self.t = now
+        if self.tokens >= 1.0:
+            self.tokens -= 1.0
+            return True
+        return False
+
+
+class CircuitBreaker:
+    """Per-worker counted breaker (reference sgl-model-gateway
+    `src/core/circuit_breaker`): CLOSED -> OPEN after `threshold`
+    consecutive failures; after `cooldown` seconds one HALF-OPEN probe is
+    admitted — success closes the breaker, failure re-opens it."""
+
+    def __init__(self, threshold: int = 3, cooldown: float = UNHEALTHY_COOLDOWN_S):
+        self.threshold = threshold
+        self.cooldown = cooldown
+        self.failures = 0
+        self.opened_at = 0.0
+        self.state = "closed"  # closed | open | half_open
+
+    def allow(self) -> bool:
+        if self.state == "closed":
+            return True
+        if self.state == "open":
+            if time.monotonic() - self.opened_at >= self.cooldown:
+                self.state = "half_open"
+                return True  # single probe
+            return False
+        return False  # half_open: probe already in flight
+
+    def record(self, ok: bool) -> None:
+        if ok:
+            self.failures = 0
+            self.state = "closed"
+            return
+        self.failures += 1
+        if self.state == "half_open" or self.failures >= self.threshold:
+            self.state = "open"
+            self.opened_at = time.monotonic()
 PROXY_ROUTES = [
     "/generate",
     "/v1/completions",
@@ -60,20 +117,24 @@ class Worker:
         self.url = url.rstrip("/")
         self.inflight = 0
         self.total = 0
-        self.unhealthy_until = 0.0
+        self.breaker = CircuitBreaker()
 
     def healthy(self) -> bool:
-        return time.monotonic() >= self.unhealthy_until
+        return self.breaker.allow() if self.breaker.state != "closed" else True
 
     def mark_unhealthy(self):
-        self.unhealthy_until = time.monotonic() + UNHEALTHY_COOLDOWN_S
+        self.breaker.record(False)
+
+    def mark_healthy(self):
+        self.breaker.record(True)
 
     def to_json(self) -> Dict:
         return {
             "url": self.url,
             "inflight": self.inflight,
             "total_requests": self.total,
-            "healthy": self.healthy(),
+            "healthy": self.breaker.state != "open",
+            "breaker": self.breaker.state,
         }
 
 
@@ -84,12 +145,23 @@ class Router:
         policy: str = "cache_aware",
         kv_event_addrs: Optional[Dict[str, str]] = None,
         page_size: int = 64,
+        max_rps: float = 0.0,
+        burst: int = 0,
+        max_retries: int = 0,
     ):
         assert policy in ("cache_aware", "least_inflight", "round_robin"), policy
         self.workers: List[Worker] = [Worker(u) for u in worker_urls]
         self.policy = policy
         self._rr = itertools.count()
         self.page_size = page_size
+        # rate limiting (0 = unlimited) and bounded retries (0 = try every
+        # worker once, the previous behavior)
+        self.limiter = (
+            TokenBucket(max_rps, burst or max(1, int(max_rps)))
+            if max_rps > 0
+            else None
+        )
+        self.max_retries = max_retries
         # exact prefix tracking: one KVEventMirror per worker fed by its
         # ZMQ kv-event stream (reference rust router's cache-aware mode
         # tracks worker radix contents the same way)
@@ -146,7 +218,7 @@ class Router:
         return None
 
     def pick(self, payload: Dict) -> Optional[Worker]:
-        live = [w for w in self.workers if w.healthy()]
+        live = [w for w in self.workers if w.breaker.allow()]
         if not live:
             live = self.workers  # all cooling down: best effort
         if not live:
@@ -212,12 +284,17 @@ def build_router_app(router: Router):
 
     def _proxy(route: str):
         async def handler(request: web.Request):
+            if router.limiter is not None and not router.limiter.allow():
+                return web.json_response(
+                    {"error": "rate limit exceeded"}, status=429
+                )
             try:
                 payload = await request.json()
             except Exception:
                 payload = {}
             last_err = None
-            for _ in range(len(router.workers) or 1):
+            attempts = router.max_retries or len(router.workers) or 1
+            for _ in range(attempts):
                 w = router.pick(payload)
                 if w is None:
                     return web.json_response(
@@ -233,6 +310,7 @@ def build_router_app(router: Router):
                     w.mark_unhealthy()
                     last_err = e
                     continue
+                w.mark_healthy()
                 try:
                     ct = resp.headers.get("Content-Type", "")
                     if ct.startswith("text/event-stream"):
@@ -380,6 +458,9 @@ def main(argv=None):
         help="worker_url=zmq_addr pairs for exact prefix tracking",
     )
     parser.add_argument("--page-size", type=int, default=64)
+    parser.add_argument("--max-rps", type=float, default=0.0)
+    parser.add_argument("--burst", type=int, default=0)
+    parser.add_argument("--max-retries", type=int, default=0)
     args = parser.parse_args(argv)
     from aiohttp import web
 
@@ -391,6 +472,9 @@ def main(argv=None):
         policy=args.policy,
         kv_event_addrs=kv_addrs,
         page_size=args.page_size,
+        max_rps=args.max_rps,
+        burst=args.burst,
+        max_retries=args.max_retries,
     )
     app = build_router_app(router)
     logger.info(

@@ -34,3 +34,16 @@ def gemma_rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Ar
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     normed = xf * jax.lax.rsqrt(var + eps)
     return (normed * (1.0 + weight.astype(jnp.float32))).astype(x.dtype)
+
+
+def layer_norm(
+    x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5
+) -> jax.Array:
+    """Classic LayerNorm with bias (Starcoder2/GPT-class models)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (
+        normed * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    ).astype(x.dtype)

@@ -25,6 +25,7 @@ def compute_inv_freq(
     rope_theta: float,
     rope_scaling: Optional[dict] = None,
     rotary_dim: Optional[int] = None,
+    context_length: Optional[int] = None,
 ) -> np.ndarray:
     """Static inv_freq [rotary_dim//2], with checkpoint-declared scaling applied."""
     rotary_dim = rotary_dim or head_dim
@@ -59,6 +60,18 @@ def compute_inv_freq(
         return (inv_freq / rope_scaling["factor"]).astype(np.float32)
     if rtype in ("default", None, "mrope", "default_mrope"):
         return inv_freq.astype(np.float32)
+    if rtype == "longrope":
+        # Phi-3 su-scaled rope (HF `_compute_longrope_parameters`):
+        # per-dimension frequency rescale; short factors below the
+        # original max length, long factors above (the engine pre-declares
+        # context_length, so the choice is static)
+        orig = rope_scaling.get(
+            "original_max_position_embeddings", context_length or 4096
+        )
+        use_long = (context_length or orig) > orig
+        key = "long_factor" if use_long else "short_factor"
+        ext = np.asarray(rope_scaling[key], dtype=np.float64)
+        return (inv_freq / ext).astype(np.float32)
     if rtype == "yarn":
         return _yarn_inv_freq(inv_freq, rotary_dim, rope_scaling).astype(np.float32)
     if rtype == "dynamic":

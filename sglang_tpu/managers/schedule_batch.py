@@ -114,6 +114,8 @@ class Req:
         self.retract_count = 0
         self.queue_time: Optional[float] = None
         self.prefill_finished_time: Optional[float] = None
+        self.first_token_time: Optional[float] = None
+        self.last_token_time: Optional[float] = None
 
         # grammar state (set by GrammarManager when constrained)
         self.grammar = None

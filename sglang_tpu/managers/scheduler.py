@@ -204,6 +204,10 @@ class Scheduler:
 
         self.reqs: Dict[str, Req] = {}  # rid -> live req
         self.stats = SchedulerStats()
+        from sglang_tpu.observability.metrics import RequestMetrics, SpanLog
+
+        self.metrics = RequestMetrics()
+        self.span_log = SpanLog(server_args.request_span_log)
         self._step_i = 0
 
         # overlap schedule state (reference `event_loop_overlap` +
@@ -1308,6 +1312,13 @@ class Scheduler:
     # -------------------------------------------------------- bookkeeping
 
     def _append_token(self, r: Req, token_id: int, logprob: float) -> None:
+        ts = time.time()
+        if r.first_token_time is None:
+            r.first_token_time = ts
+            self.metrics.ttft.observe(ts - r.arrival_time)
+        elif r.last_token_time is not None:
+            self.metrics.itl.observe(ts - r.last_token_time)
+        r.last_token_time = ts
         r.output_ids.append(token_id)
         if r.return_logprob:
             r.output_token_logprobs.append(logprob)
@@ -1428,6 +1439,31 @@ class Scheduler:
         self._release_req(r, insert=True)
         self.reqs.pop(r.rid, None)
         self.stats.num_finished += 1
+        ts = time.time()
+        self.metrics.e2e.observe(ts - r.arrival_time)
+        if r.queue_time is not None:
+            self.metrics.queue.observe(max(0.0, r.queue_time - r.arrival_time))
+        if self.span_log.path is not None:
+            events = {"arrival": r.arrival_time, "finish": ts}
+            if r.queue_time is not None:
+                events["scheduled"] = r.queue_time
+            if r.prefill_finished_time is not None:
+                events["prefill_done"] = r.prefill_finished_time
+            if r.first_token_time is not None:
+                events["first_token"] = r.first_token_time
+            self.span_log.emit(
+                r.rid,
+                events,
+                {
+                    "prompt_tokens": len(r.input_ids),
+                    "completion_tokens": len(r.output_ids),
+                    "cached_tokens": r.cached_tokens,
+                    "retractions": r.retract_count,
+                    "finish_reason": (
+                        r.finished_reason.kind if r.finished_reason else ""
+                    ),
+                },
+            )
         return self._make_output(r, finished=True)
 
     def _emit_stream(self, r: Req) -> Optional[ReqStrOutput]:

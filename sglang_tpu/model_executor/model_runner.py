@@ -15,6 +15,7 @@ with kv donated (in-place page scatter) and every shape static.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -65,6 +66,20 @@ class ModelRunner:
     ):
         self.server_args = server_args
         self.model_config = model_config or ModelConfig.from_server_args(server_args)
+        if server_args.device == "cpu":
+            # An installed TPU PJRT plugin outranks JAX_PLATFORMS, so
+            # `--device cpu` must pin the platform explicitly; only
+            # possible before the first backend initialization.
+            os.environ.setdefault("JAX_PLATFORMS", "cpu")
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except RuntimeError:
+                if jax.devices()[0].platform != "cpu":
+                    raise RuntimeError(
+                        "--device cpu requested but the JAX backend is "
+                        "already initialized on "
+                        f"{jax.devices()[0].platform}"
+                    )
         self.device_kind = (
             get_device_kind() if server_args.device == "auto" else server_args.device
         )

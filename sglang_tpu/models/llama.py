@@ -100,6 +100,27 @@ class LlamaForCausalLM:
         # Mistral-style sliding window when the checkpoint declares one
         # (the attention kernel supports it natively)
         self.sliding_window = c.sliding_window or -1
+        # longrope (Phi-3) attention magnitude factor on cos/sin
+        self.rope_mscale = 1.0
+        rs = c.rope_scaling or {}
+        if (rs.get("rope_type") or rs.get("type")) == "longrope":
+            orig = rs.get(
+                "original_max_position_embeddings", c.context_length
+            )
+            factor = max(1.0, c.context_length / max(1, orig))
+            self.rope_mscale = (
+                math.sqrt(1.0 + math.log(factor) / math.log(orig))
+                if factor > 1.0
+                else 1.0
+            )
+            self.inv_freq = jnp.asarray(
+                compute_inv_freq(
+                    c.head_dim,
+                    c.rope_theta,
+                    c.rope_scaling,
+                    context_length=c.context_length,
+                )
+            )
 
     # ------------------------------------------------------------- specs
 
@@ -285,8 +306,8 @@ class LlamaForCausalLM:
             q = apply_mrope(q, cos, sin)
             k = apply_mrope(k, cos, sin)
         else:
-            q = apply_rope(q, fb.positions, self.inv_freq)
-            k = apply_rope(k, fb.positions, self.inv_freq)
+            q = apply_rope(q, fb.positions, self.inv_freq, mscale=self.rope_mscale)
+            k = apply_rope(k, fb.positions, self.inv_freq, mscale=self.rope_mscale)
         attn_out, kv_i = attn_backend(
             q,
             k,

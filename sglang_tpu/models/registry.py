@@ -66,6 +66,21 @@ def _populate():
     from sglang_tpu.models.qwen3_next import Qwen3NextForCausalLM
 
     register_model(Qwen3NextForCausalLM)
+    from sglang_tpu.models.phi3 import Phi3ForCausalLM
+
+    register_model(Phi3ForCausalLM)
+    from sglang_tpu.models.glm4 import Glm4ForCausalLM
+
+    register_model(Glm4ForCausalLM)
+    from sglang_tpu.models.olmo2 import Olmo2ForCausalLM
+
+    register_model(Olmo2ForCausalLM)
+    from sglang_tpu.models.starcoder2 import Starcoder2ForCausalLM
+
+    register_model(Starcoder2ForCausalLM)
+    from sglang_tpu.models.gemma3 import Gemma3TextForCausalLM
+
+    register_model(Gemma3TextForCausalLM)
 
 
 def get_model_class(config: ModelConfig) -> type:

@@ -122,6 +122,11 @@ class ServerArgs:
     custom_logit_processors: Optional[List[str]] = None
     constrained_json_whitespace_pattern: Optional[str] = None
 
+    # --- Observability ---
+    # JSONL file receiving one OTLP-shaped span record per finished request
+    # (reference observability/trace.py OTLP export; file-backed here)
+    request_span_log: Optional[str] = None
+
     # --- Output parsing (chat API) ---
     tool_call_parser: Optional[str] = None  # hermes | llama3 | mistral
     reasoning_parser: Optional[str] = None  # deepseek-r1 | qwen3

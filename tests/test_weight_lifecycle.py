@@ -84,3 +84,69 @@ def test_release_resume_memory(two_checkpoints):
     after = eng.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
     assert after == before
     assert eng.scheduler.check_memory() == 0
+
+
+def test_update_weights_from_distributed(two_checkpoints):
+    """Trainer pushes weights over TCP; the engine applies them atomically
+    (reference init_weights_update_group + update_weights_from_distributed,
+    model_runner.py:1980 — NCCL broadcast replaced by a DCN push stream)."""
+    import numpy as np
+    from safetensors.numpy import load_file
+    import glob
+    import threading
+
+    from sglang_tpu import Engine
+    from sglang_tpu.model_executor.weight_sync import push_weights
+
+    (tiny_checkpoint, _), _ = two_checkpoints
+    engine = Engine(
+        model_path=tiny_checkpoint,
+        device="cpu",
+        dtype="float32",
+        skip_tokenizer_init=True,
+        page_size=16,
+        max_total_tokens=1024,
+        context_length=128,
+        decode_bs_buckets=[4],
+        prefill_token_buckets=[64],
+        random_seed=0,
+        log_level="warning",
+    )
+    try:
+        before = engine.generate(
+            input_ids=[[5, 6, 7]],
+            sampling_params={"max_new_tokens": 5, "temperature": 0.0,
+                             "ignore_eos": True},
+        )[0]["output_ids"]
+        port = engine.init_weights_update_group(host="127.0.0.1")
+        # trainer side: perturb the embedding + an attention projection
+        t = load_file(glob.glob(tiny_checkpoint + "/*.safetensors")[0])
+        rng = np.random.default_rng(0)
+        emb = t["model.embed_tokens.weight"] + rng.standard_normal(
+            t["model.embed_tokens.weight"].shape
+        ).astype(np.float32)
+        push = [
+            ("model.embed_tokens.weight", emb),
+            ("model.layers.0.self_attn.q_proj.weight",
+             t["model.layers.0.self_attn.q_proj.weight"] * 0.5),
+            ("model.layers.0.self_attn.k_proj.weight",
+             t["model.layers.0.self_attn.k_proj.weight"]),
+            ("model.layers.0.self_attn.v_proj.weight",
+             t["model.layers.0.self_attn.v_proj.weight"]),
+        ]
+        applied = push_weights(("127.0.0.1", port), push)
+        assert applied >= 2  # embed + fused qkv group
+        assert engine.update_weights_from_distributed(version=1, timeout=30)
+        # the pushed embedding is live in the serving params
+        np.testing.assert_allclose(
+            np.asarray(engine.runner.params["embed"]), emb, atol=1e-6
+        )
+        # and the engine still serves
+        after = engine.generate(
+            input_ids=[[5, 6, 7]],
+            sampling_params={"max_new_tokens": 5, "temperature": 0.0,
+                             "ignore_eos": True},
+        )[0]["output_ids"]
+        assert len(after) == len(before) == 5
+    finally:
+        engine.shutdown()
