@@ -146,6 +146,24 @@ class ModelConfig:
             if hf.get("model_type"):
                 merged["model_type"] = hf["model_type"]
             hf = merged
+        # GPT-2-era field aliases (gpt2, gpt_bigcode, gpt-j configs)
+        for src, dst in (
+            ("n_embd", "hidden_size"),
+            ("n_layer", "num_hidden_layers"),
+            ("n_head", "num_attention_heads"),
+            ("n_positions", "max_position_embeddings"),
+            ("n_inner", "intermediate_size"),
+            ("layer_norm_epsilon", "rms_norm_eps"),
+        ):
+            if hf.get(src) is not None and dst not in hf:
+                hf = dict(hf)
+                hf[dst] = hf[src]
+        if hf.get("intermediate_size") is None and hf.get("n_embd"):
+            hf = dict(hf)
+            hf["intermediate_size"] = 4 * hf["n_embd"]
+        if hf.get("multi_query") and "num_key_value_heads" not in hf:
+            hf = dict(hf)
+            hf["num_key_value_heads"] = 1
         n_heads = hf.get("num_attention_heads", 0)
         hidden = hf.get("hidden_size", 0)
         head_dim = hf.get("head_dim") or (hidden // n_heads if n_heads else 0)

@@ -159,8 +159,10 @@ def load_safetensors_weights(
 
 def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
     kind = rule.kind
-    if kind == "linear":
-        ws = [np.asarray(index.get(s), dtype=np.float32).T for s in rule.sources]
+    if kind == "linear" or kind == "linear_nt":
+        ws = [np.asarray(index.get(s), dtype=np.float32) for s in rule.sources]
+        if kind == "linear":  # HF [out, in] -> [in, out]
+            ws = [w.T for w in ws]
         w = ws[0] if len(ws) == 1 else np.concatenate(ws, axis=1)
         method = model.get_method(rule.method_key)
         return method.quantize(w)

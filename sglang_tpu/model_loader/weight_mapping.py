@@ -23,6 +23,8 @@ from typing import List, Optional, Sequence, Tuple
 #   "router"      : MoE gate [E, hidden] -> [hidden, E] f32.
 #   "moe_w1"      : per-expert (gate, up) pairs -> stacked [E, hidden, 2M].
 #   "moe_w2"      : per-expert down projections -> stacked [E, M, hidden].
+#   "linear_nt"   : like "linear" but the sources are already [in, out]
+#                   (GPT-2 Conv1D convention) — no transpose.
 KINDS = (
     "linear",
     "linear_bias",
@@ -34,6 +36,7 @@ KINDS = (
     "moe_w1",
     "moe_w2",
     "linear_raw",
+    "linear_nt",
 )
 
 

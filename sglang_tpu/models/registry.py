@@ -81,6 +81,25 @@ def _populate():
     from sglang_tpu.models.gemma3 import Gemma3TextForCausalLM
 
     register_model(Gemma3TextForCausalLM)
+    from sglang_tpu.models.cohere import CohereForCausalLM
+    from sglang_tpu.models.gemma import GemmaForCausalLM
+    from sglang_tpu.models.gpt2 import GPT2LMHeadModel, GPTBigCodeForCausalLM
+    from sglang_tpu.models.granite import GraniteForCausalLM
+    from sglang_tpu.models.olmoe import OlmoeForCausalLM
+    from sglang_tpu.models.phi import PhiForCausalLM
+    from sglang_tpu.models.stablelm import StableLmForCausalLM
+
+    for cls in (
+        CohereForCausalLM,
+        GemmaForCausalLM,
+        GPT2LMHeadModel,
+        GPTBigCodeForCausalLM,
+        GraniteForCausalLM,
+        OlmoeForCausalLM,
+        PhiForCausalLM,
+        StableLmForCausalLM,
+    ):
+        register_model(cls)
 
 
 def get_model_class(config: ModelConfig) -> type:
