@@ -84,6 +84,10 @@ class Engine:
     ) -> Union[Dict, List[Dict], Iterator[Dict]]:
         """Synchronous generation (batch or single). With `stream=True` and a
         single prompt, returns an iterator of incremental dicts."""
+        if getattr(self.runner.model, "is_encoder", False):
+            raise ValueError(
+                "encoder-only model: use Engine.encode / /v1/embeddings"
+            )
         gri = GenerateReqInput(
             text=prompt,
             input_ids=input_ids,

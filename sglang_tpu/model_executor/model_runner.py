@@ -1105,6 +1105,8 @@ class ModelRunner:
                 if pooling == "last":
                     idx = jnp.maximum(cu_dev[1:] - 1, 0)
                     pooled = hidden[idx]
+                elif pooling == "cls":  # first token (BERT-family [CLS])
+                    pooled = hidden[cu_dev[:-1]]
                 else:  # mean over each seq's tokens
                     seg = jnp.clip(fb.token_to_seq, 0, bb - 1)
                     valid = (fb.token_kind > 0).astype(hidden.dtype)[:, None]
@@ -1112,6 +1114,10 @@ class ModelRunner:
                     sums = sums.at[seg].add(hidden * valid)
                     counts = jnp.zeros((bb, 1), hidden.dtype).at[seg].add(valid)
                     pooled = sums / jnp.maximum(counts, 1)
+                if getattr(self.model, "is_classifier", False):
+                    # classification/reward head: the "embedding" is the
+                    # label logits (reference qwen2_rm.py / llama_classification.py)
+                    return self.model.head(params, pooled), new_kv
                 return pooled.astype(jnp.float32), new_kv
 
             self._jit_cache[key] = jax.jit(_embed, donate_argnums=(1,))

@@ -89,6 +89,13 @@ def _populate():
     from sglang_tpu.models.phi import PhiForCausalLM
     from sglang_tpu.models.stablelm import StableLmForCausalLM
 
+    from sglang_tpu.models.bert import BertModel, XLMRobertaModel
+    from sglang_tpu.models.classification import (
+        LlamaForSequenceClassification,
+        Qwen2ForSequenceClassification,
+        Qwen3ForSequenceClassification,
+    )
+
     for cls in (
         CohereForCausalLM,
         GemmaForCausalLM,
@@ -98,6 +105,11 @@ def _populate():
         OlmoeForCausalLM,
         PhiForCausalLM,
         StableLmForCausalLM,
+        LlamaForSequenceClassification,
+        Qwen2ForSequenceClassification,
+        Qwen3ForSequenceClassification,
+        BertModel,
+        XLMRobertaModel,
     ):
         register_model(cls)
 
