@@ -92,9 +92,10 @@ def _init_params(cfg: dict, seed: int):
         scale = scale if scale is not None else 1.0 / math.sqrt(shape[0])
         return (rng.standard_normal(shape) * scale).astype(np.float32)
 
+    vocab = cfg["vocab_size"]
     params = {
-        "embed": init(VOCAB, h, scale=0.02),
-        "lm_head": init(h, VOCAB),
+        "embed": init(vocab, h, scale=0.02),
+        "lm_head": init(h, vocab),
         "final_norm": np.ones(h, np.float32),
         "layers": [],
     }
@@ -173,7 +174,7 @@ def _forward(params, cfg, ids):
 
 
 def train(steps: int = 3000, seed: int = 0, lr: float = 1e-3,
-          batch: int = 128, cfg: dict = None, log=None):
+          batch: int = 128, cfg: dict = None, log=None, batch_fn=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -198,6 +199,9 @@ def train(steps: int = 3000, seed: int = 0, lr: float = 1e-3,
             for j in range(len(p) - 1, len(seq) - 1):
                 tgt[i, j] = seq[j + 1]
         return ids, tgt
+
+    if batch_fn is not None:
+        make_batch = lambda rng: batch_fn(rng, batch)  # noqa: E731
 
     def loss_fn(params, ids, tgt):
         logits = _forward(params, cfg, ids)
@@ -265,10 +269,56 @@ def train_and_export(out_dir: str, steps: int = 3000, seed: int = 0,
     return export_hf(params, cfg, out_dir)
 
 
+# ------------------------------------------------- repeat/copy task
+# A second tiny task for the speculative-decoding demonstration: the model
+# learns to repeat a pattern (induction), so generated text genuinely
+# matches n-gram proposals from its own context — the workload class where
+# NGRAM speculation wins (reference `speculative/ngram_worker.py`).
+
+REP_SEP = 3
+REP_VOCAB = 64
+REP_LEN = 96
+
+
+def repeat_batch(rng, batch):
+    """[bos, w1..wL, SEP, w1..wL, SEP, ...]; loss after the first SEP."""
+    ids = np.zeros((batch, REP_LEN), np.int32)
+    tgt = np.full((batch, REP_LEN), -1, np.int32)
+    for i in range(batch):
+        L = int(rng.integers(4, 11))
+        pat = rng.integers(4, REP_VOCAB, size=L).tolist()
+        seq = [BOS]
+        while len(seq) < REP_LEN:
+            seq.extend(pat + [REP_SEP])
+        seq = seq[:REP_LEN]
+        ids[i] = seq
+        first_sep = 1 + L  # index of the first SEP
+        for j in range(first_sep, REP_LEN - 1):
+            tgt[i, j] = seq[j + 1]
+    return ids, tgt
+
+
+def train_repeat_and_export(out_dir: str, steps: int = 1500, seed: int = 0,
+                            log=None) -> str:
+    marker = os.path.join(out_dir, "model.safetensors")
+    if os.path.exists(marker):
+        return out_dir
+    cfg = hf_config(hidden=128, layers=2, heads=4, kv_heads=2, inter=256)
+    cfg["vocab_size"] = REP_VOCAB
+    cfg["max_position_embeddings"] = 4 * REP_LEN
+    params, cfg = train(
+        steps=steps, seed=seed, cfg=cfg, log=log, batch_fn=repeat_batch
+    )
+    return export_hf(params, cfg, out_dir)
+
+
 if __name__ == "__main__":
     import sys
 
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tiny_add_lm"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
-    train_and_export(out, steps=steps, log=print)
+    if len(sys.argv) > 3 and sys.argv[3] == "repeat":
+        train_repeat_and_export(out, steps=steps, log=print)
+    else:
+        train_and_export(out, steps=steps, log=print)
     print(f"checkpoint at {out}")

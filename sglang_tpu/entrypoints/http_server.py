@@ -239,6 +239,15 @@ def build_app(state: ServerState) -> web.Application:
             f"sglang_tpu_waiting_requests {len(state.scheduler.waiting_queue)}",
             "# TYPE sglang_tpu_cache_hit_rate gauge",
             f"sglang_tpu_cache_hit_rate {s.cache_hit_rate():.6f}",
+            # speculative decoding accept stats (reference
+            # `observability/metrics_collector.py:186` accept length/rate)
+            "# TYPE sglang_tpu_spec_verify_steps_total counter",
+            f"sglang_tpu_spec_verify_steps_total {s.num_spec_steps}",
+            "# TYPE sglang_tpu_spec_accepted_tokens_total counter",
+            f"sglang_tpu_spec_accepted_tokens_total {s.num_spec_accepted}",
+            "# TYPE sglang_tpu_spec_accept_length gauge",
+            f"sglang_tpu_spec_accept_length "
+            f"{s.num_spec_accepted / max(1, s.num_spec_steps):.4f}",
         ]
         hc = state.scheduler.hicache
         if hc is not None:

@@ -39,6 +39,9 @@ def write_kv_pages(
 
     if os.environ.get("SGLANG_TPU_SKIP_KV_WRITE") == "1":  # ablation only
         return pages
+    scales = None
+    if isinstance(pages, tuple):  # int8 KV: (values, per-token-head scales)
+        pages, scales = pages
     num_pages, two_kvh, page_size, d = pages.shape
     t, kvh, _ = k_new.shape
     kv = jnp.concatenate([k_new, v_new], axis=1)  # [T, 2kvh, d], K block first
@@ -51,6 +54,20 @@ def write_kv_pages(
     # copy per step -> OOM).
     h = jnp.arange(two_kvh, dtype=out_cache_loc.dtype)
     rows = (page[:, None] * two_kvh + h[None, :]) * page_size + off[:, None]
+    if scales is not None:
+        # symmetric per-(token, head) int8: scale = max|x| / 127
+        kvf = kv.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(kvf), axis=-1), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(kvf / s[..., None]), -127, 127).astype(jnp.int8)
+        flat = pages.reshape(num_pages * two_kvh * page_size, d)
+        flat = flat.at[rows.reshape(-1)].set(q.reshape(t * two_kvh, d))
+        # scales live as a per-page plane [P, S, 128] f32 (flat order:
+        # head-major then token offset, padded to whole (8, 128) tiles)
+        blob = scales.shape[1] * scales.shape[2]
+        srow = page[:, None] * blob + h[None, :] * page_size + off[:, None]
+        sflat = scales.reshape(num_pages * blob)
+        sflat = sflat.at[srow.reshape(-1)].set(s.reshape(t * two_kvh))
+        return (flat.reshape(pages.shape), sflat.reshape(scales.shape))
     flat = pages.reshape(num_pages * two_kvh * page_size, d)
     flat = flat.at[rows.reshape(-1)].set(
         kv.reshape(t * two_kvh, d).astype(pages.dtype)

@@ -17,12 +17,21 @@ from sglang_tpu.model_executor.forward_batch_info import ForwardBatch
 _NEG = -1e30
 
 
-def _gather_kv(pages: jax.Array, page_table: jax.Array):
-    """pages [P, 2kvh, ps, d] (head-major), page_table [B, Pmax] ->
-    k, v: [B, K, kvh, d]."""
+def _gather_kv(pages, page_table: jax.Array):
+    """pages [P, 2kvh, ps, d] (head-major) or (values, scales) int8 tuple,
+    page_table [B, Pmax] -> k, v: [B, K, kvh, d]."""
+    scales = None
+    if isinstance(pages, tuple):
+        pages, scales = pages
     b, pmax = page_table.shape
     _, two_kvh, ps, d = pages.shape
     kv = pages[page_table]  # [B, Pmax, 2kvh, ps, d]
+    if scales is not None:
+        # per-page scale plane [P, S, 128]: flat order head-major then
+        # token offset, padded to whole (8, 128) tiles
+        sc = scales[page_table].reshape(b, pmax, -1)[:, :, : two_kvh * ps]
+        sc = sc.reshape(b, pmax, two_kvh, ps)
+        kv = kv.astype(jnp.float32) * sc[..., None]
     kv = jnp.transpose(kv, (0, 1, 3, 2, 4)).reshape(b, pmax * ps, two_kvh, d)
     kvh = two_kvh // 2
     k = kv[:, :, :kvh, :]
@@ -65,7 +74,8 @@ class ReferenceAttentionBackend(AttentionBackend):
         logit_cap=0.0, sinks=None,
     ):
         b, qh, d = q.shape
-        kvh = pages.shape[1] // 2
+        vals = pages[0] if isinstance(pages, tuple) else pages
+        kvh = vals.shape[1] // 2
         qpk = qh // kvh
         k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
         kmax = k.shape[1]
@@ -85,7 +95,8 @@ class ReferenceAttentionBackend(AttentionBackend):
         logit_cap=0.0, sinks=None,
     ):
         t, qh, d = q.shape
-        kvh = pages.shape[1] // 2
+        vals = pages[0] if isinstance(pages, tuple) else pages
+        kvh = vals.shape[1] // 2
         qpk = qh // kvh
         k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
         k = k[fb.token_to_seq]  # [T, K, kvh, d]

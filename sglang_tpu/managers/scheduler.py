@@ -60,6 +60,10 @@ class SchedulerStats:
         self.num_decode_steps = 0
         self.num_hicache_tokens = 0  # tokens reloaded from the host tier
         self.num_jump_forward_tokens = 0  # grammar-forced tokens injected
+        # speculative decoding accept stats (reference exports accept
+        # length/rate, `observability/metrics_collector.py:186`)
+        self.num_spec_steps = 0  # verify rounds
+        self.num_spec_accepted = 0  # tokens committed by verify rounds
         # per-stage wall time (reference per-stage time stats,
         # `observability/req_time_stats.py`): where the scheduler thread
         # spends its time, exported at /metrics and printed by bench traces
@@ -873,6 +877,8 @@ class Scheduler:
             r.kv_len += len(acc)
             r.spec_steps += 1
             r.spec_accept_tokens += len(acc)
+            self.stats.num_spec_steps += 1
+            self.stats.num_spec_accepted += len(acc)
             self.stats.num_decode_tokens += len(acc)
             for tok in acc:
                 self._append_token(r, int(tok), 0.0)
@@ -991,6 +997,8 @@ class Scheduler:
             r.kv_len += len(acc)
             r.spec_steps += 1
             r.spec_accept_tokens += len(acc)
+            self.stats.num_spec_steps += 1
+            self.stats.num_spec_accepted += len(acc)
             self.stats.num_decode_tokens += len(acc)
             for tok in acc:
                 self._append_token(r, int(tok), 0.0)

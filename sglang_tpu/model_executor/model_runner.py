@@ -295,6 +295,11 @@ class ModelRunner:
             store_dtype,
             max_total_tokens=sa.max_total_tokens,
         )
+        if sa.kv_cache_dtype == "int8" and self.tp_size > 1:
+            raise NotImplementedError(
+                "int8 KV does not compose with tp_size>1 yet (the flat "
+                "head-major scale blob cannot shard by head)"
+            )
         head_spec = (
             "model"
             if mc.num_key_value_heads * 2 % max(1, self.tp_size) == 0
@@ -1255,6 +1260,10 @@ class ModelRunner:
         """Copy KV pages device->host as one [n, L, page, 2*kvh, hd] array
         (HiCache write path). One jitted gather + one transfer; page count
         padded to a power of two so compiles are bucketed."""
+        if self.kv_pool.has_scales:
+            raise NotImplementedError(
+                "int8 KV does not support HiCache/PD page transfer yet"
+            )
         n = len(pages)
         nb = max(1, next_power_of_2(n))
         key = ("kv_gather", nb)
@@ -1273,6 +1282,10 @@ class ModelRunner:
         """Write host KV pages ([n, L, page, 2*kvh, hd]) into the device
         pool (HiCache load path). Donates the pool so XLA updates in place;
         padding rows target page 0 (the garbage page) harmlessly."""
+        if self.kv_pool.has_scales:
+            raise NotImplementedError(
+                "int8 KV does not support HiCache/PD page transfer yet"
+            )
         self._chain = None
         n = len(pages)
         nb = max(1, next_power_of_2(n))

@@ -33,6 +33,59 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def fast_upcast(x, target_dtype):
+    """fp8(e4m3/e5m2) -> bf16 without Mosaic's float8 convert.
+
+    Mosaic's native float8->bfloat16 convert costs ~120 us per 512 KB
+    chunk (measured: 66 GB/s effective KV read vs 574 GB/s for bf16 KV),
+    and integer bit-reconstruction is no better: 16-bit shifts don't
+    legalize and 8->32-bit widening is a sublane-unpack relayout."""
+    if x.dtype == target_dtype:
+        return x
+    if x.dtype == jnp.float8_e4m3fn:
+        shift = 4
+    elif x.dtype == jnp.float8_e5m2:
+        shift = 5
+    else:
+        return x.astype(target_dtype)
+    # Decode arithmetically in bf16: int8->bf16 convert is the ONE fast
+    # 8->16-bit primitive Mosaic has (hardware path, used by the int8
+    # weight matmuls); 16-bit shifts don't legalize and 8->32 widening is
+    # a sublane-unpack relayout. Every fp8 value is exactly representable
+    # in bf16, and all intermediates below are integers < 128 or powers of
+    # two, so the pipeline is EXACT (including denormals).
+    mant_bits = 7 - shift  # e4m3: 3, e5m2: 2
+    ebias = 7.0 if shift == 4 else 15.0
+    mdiv = float(1 << mant_bits)
+    # Pure f32 arithmetic, no booleans: Mosaic mis-relayouts i1 vectors
+    # ("Non-singleton logical dimension is replicated..."), and bf16 lacks
+    # the mantissa to keep the 8-bit integer math exact. All selects are
+    # 0/1-indicator multiplies; jnp.exp2 is avoided (polynomial approx,
+    # not exact on integers) via binary decomposition of the exponent.
+    uf = pltpu.bitcast(x, jnp.int8).astype(jnp.float32)  # -128..127 exact
+    m = uf + 128.0  # raw byte value 0..255
+    pos01 = jnp.floor(m * (1.0 / 256.0) + 0.5)  # 1 when sign bit clear
+    sign = pos01 * 2.0 - 1.0
+    mag = m - 128.0 * pos01  # exp:mant bits as an integer
+    e = jnp.floor(mag / mdiv)
+    mfrac = (mag - e * mdiv) / mdiv  # mant / 2^mant_bits, exact
+    t = e
+    scale = jnp.full_like(m, float(2.0**-ebias))
+    max_e = (1 << (4 if shift == 4 else 5)) - 1
+    for bit, mul in ((16.0, 65536.0), (8.0, 256.0), (4.0, 16.0), (2.0, 4.0)):
+        if max_e < bit:
+            continue
+        b = jnp.floor(t / bit)  # 0 or 1
+        t = t - b * bit
+        scale = scale * (1.0 + b * (mul - 1.0))
+    scale = scale * (1.0 + t)  # t in {0, 1}: *1 or *2
+    v = scale * (1.0 + mfrac)
+    # denormals (e == 0): value = mfrac * 2^(1 - ebias), exact
+    z01 = jnp.maximum(1.0 - e, 0.0)  # 1 iff e == 0
+    v = v * (1.0 - z01) + z01 * mfrac * float(2.0 ** (1.0 - ebias))
+    return (sign * v).astype(target_dtype)
+
+
 def _pda_kernel(
     # scalar prefetch
     seq_lens_ref,  # [bb]
@@ -40,15 +93,18 @@ def _pda_kernel(
     # inputs (HBM)
     q_hbm,  # [bb, qh, d]
     pages_hbm,  # [P, 2*kvh, ps, d] (head-major)
+    scales_hbm,  # [P, S, 128] f32 per-page scale plane (int8 KV), or None
     sinks_vmem,  # [1, qh] f32, or None
     # output (HBM)
     out_hbm,  # [bb, qh, d]
     # scratch
     q_v,  # [R, qh, d]
     kv_v,  # [2, 2*kvh, kvblk, d] (head-major)
+    sc_v,  # [2, pblk, S, 128] f32, or None
     o_v,  # [R, qh, d]
     q_sem,
     kv_sems,  # [2, pblk]
+    sc_sems,  # [2, pblk], or None
     o_sem,
     *,
     R: int,
@@ -89,9 +145,21 @@ def _pda_kernel(
             kv_sems.at[slot, p],
         )
 
+    def sc_dma(r, chunk, slot, p):
+        # one page's [S, 128] scale plane moves as whole (8, 128) tiles
+        # (sub-tile HBM slices are rejected by Mosaic on hardware)
+        page_id = page_table_ref[row0 + r, chunk * pblk + p]
+        return pltpu.make_async_copy(
+            scales_hbm.at[page_id],
+            sc_v.at[slot, p],
+            sc_sems.at[slot, p],
+        )
+
     def start_chunk(r, chunk, slot):
         for p in range(pblk):
             kv_dma(r, chunk, slot, p).start()
+            if scales_hbm is not None:
+                sc_dma(r, chunk, slot, p).start()
 
     # global double-buffer over the flattened (row, chunk) stream: slot
     # parity advances once per chunk across ALL rows, so the prefetch of
@@ -143,6 +211,20 @@ def _pda_kernel(
             t = t + jnp.where(row == rr, los[rr], 0)
         return t
 
+    # static block-diagonal head mask: q row i belongs to kv head i//g,
+    # lane j of the stacked [kvh*kvblk] axis belongs to kv head j//kvblk.
+    # Fusing all kvh heads into ONE [qh, d] x [d, kvh*kvblk] score matmul
+    # (and one value matmul) replaces 2*kvh tiny [g, d] dots per chunk —
+    # those were MXU-latency-bound (~24 us/chunk vs ~1 us of DMA), which
+    # capped decode attention at ~200 GB/s. The off-diagonal FLOPs are
+    # free: the chunk is latency-bound, not FLOP-bound.
+    S = kvh * kvblk
+    qh = kvh * g
+    qrow_head = jax.lax.broadcasted_iota(jnp.int32, (qh, S), 0) // g
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (qh, S), 1) // kvblk
+    head_mask = qrow_head == lane_head
+    lane_off = jax.lax.broadcasted_iota(jnp.int32, (qh, S), 1) % kvblk
+
     def body(f, carry):
         m, l, acc, prev_r = carry
         slot = jax.lax.rem(f, 2)
@@ -159,6 +241,8 @@ def _pda_kernel(
 
         for p in range(pblk):
             kv_dma(r, c, slot, p).wait()
+            if scales_hbm is not None:
+                sc_dma(r, c, slot, p).wait()
 
         # new row: flush the previous row's output, reset the softmax state
         fresh = jnp.logical_or(f == 0, r != prev_r)
@@ -167,64 +251,75 @@ def _pda_kernel(
         def _():
             _flush(prev_r, m, l, acc)
 
-        m = tuple(jnp.where(fresh, jnp.full_like(x, NEG_INF), x) for x in m)
-        l = tuple(jnp.where(fresh, jnp.zeros_like(x), x) for x in l)
-        acc = tuple(jnp.where(fresh, jnp.zeros_like(x), x) for x in acc)
+        m = jnp.where(fresh, jnp.full_like(m, NEG_INF), m)
+        l = jnp.where(fresh, jnp.zeros_like(l), l)
+        acc = jnp.where(fresh, jnp.zeros_like(acc), acc)
 
         seq = seq_lens_ref[row0 + r]
-        kv_pos = c * kvblk
-        # scores live as [g, kvblk]: kvblk on LANES (full vector width),
-        # g on sublanes — the [kvblk, g] orientation wasted 124/128 lanes
-        kv_ids = kv_pos + jax.lax.broadcasted_iota(jnp.int32, (g, kvblk), 1)
-        mask = kv_ids < seq
+        kv_ids = c * kvblk + lane_off
+        mask = head_mask & (kv_ids < seq)
         if window > 0:
             mask &= kv_ids >= seq - window
 
-        # per-head state is carried as tuples (static kvh) — stacked-array
-        # .at[h].set would lower to scatter, which Mosaic can't
-        new_m, new_l, new_acc = [], [], []
-        for h in range(kvh):
-            k_h = kv_v[slot, h].astype(q_v.dtype)  # [kvblk, d]
-            v_h = kv_v[slot, kvh + h].astype(q_v.dtype)
-            qf = q_v[r, h * g : (h + 1) * g, :]  # [g, d]
-            s = jax.lax.dot_general(
-                qf,
-                k_h,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [g, kvblk]
-            s = s * sm_scale
-            if logit_cap > 0:
-                s = logit_cap * jnp.tanh(s / logit_cap)
-            s = jnp.where(mask, s, NEG_INF)
-            m_prev = m[h]  # [g, 1]
-            m_h = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            p_ = jnp.exp(s - m_h)
-            corr = jnp.exp(m_prev - m_h)
-            l_h = l[h] * corr + jnp.sum(p_, axis=1, keepdims=True)
-            a_h = acc[h] * corr + jax.lax.dot_general(
-                p_.astype(q_v.dtype),
-                v_h,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [g, d]
-            new_m.append(m_h)
-            new_l.append(l_h)
-            new_acc.append(a_h)
-        return tuple(new_m), tuple(new_l), tuple(new_acc), r
+        k_all = fast_upcast(kv_v[slot, :kvh].reshape(S, d), q_v.dtype)
+        v_all = fast_upcast(kv_v[slot, kvh:].reshape(S, d), q_v.dtype)
+        qf = q_v[r]  # [qh, d]
+        s = jax.lax.dot_general(
+            qf,
+            k_all,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qh, S]
+        if scales_hbm is not None:
+            # int8 KV: fold the per-(token, head) K scales into the scores
+            # — each piece is a lane slice of one page's [S, 128] plane
+            # (flat order head-major then offset; ps divides 128, so a
+            # head's ps scales never straddle a 128-lane row), assembling
+            # the [1, kvh*kvblk] row with no sublane->lane relayout
+            def _sc(hh, p):
+                f0 = hh * ps
+                return sc_v[slot, p, f0 // 128 : f0 // 128 + 1,
+                            f0 % 128 : f0 % 128 + ps]
+
+            ks_row = jnp.concatenate(
+                [_sc(h, p) for h in range(kvh) for p in range(pblk)],
+                axis=1,
+            )  # [1, kvh*kvblk] f32
+            s = s * ks_row
+        s = s * sm_scale
+        if logit_cap > 0:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))  # [qh, 1]
+        p_ = jnp.exp(s - m_new)  # off-block lanes are exactly 0
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p_, axis=1, keepdims=True)
+        pv = p_
+        if scales_hbm is not None:
+            # fold the per-(token, head) V scales into the probabilities
+            vs_row = jnp.concatenate(
+                [_sc(kvh + h, p) for h in range(kvh) for p in range(pblk)],
+                axis=1,
+            )  # [1, kvh*kvblk] f32
+            pv = p_ * vs_row
+        acc_new = acc * corr + jax.lax.dot_general(
+            pv.astype(q_v.dtype),
+            v_all,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qh, d]
+        return m_new, l_new, acc_new, r
 
     def _flush(r, m, l, acc):
-        for h in range(kvh):
-            l_h = l[h]  # [g, 1]
-            if sinks_vmem is not None:
-                sink = sinks_vmem[:, h * g : (h + 1) * g]  # [1, g]
-                l_h = l_h + jnp.exp(sink.reshape(g, 1) - m[h])
-            l_h = jnp.maximum(l_h, 1e-10)
-            o_v[r, h * g : (h + 1) * g, :] = (acc[h] / l_h).astype(o_v.dtype)
+        if sinks_vmem is not None:
+            sink = sinks_vmem[:, :].reshape(qh, 1)
+            l = l + jnp.exp(sink - m)
+        l = jnp.maximum(l, 1e-10)
+        o_v[r] = (acc / l).astype(o_v.dtype)
 
-    m0 = tuple(jnp.full((g, 1), NEG_INF, jnp.float32) for _ in range(kvh))
-    l0 = tuple(jnp.zeros((g, 1), jnp.float32) for _ in range(kvh))
-    a0 = tuple(jnp.zeros((g, d), jnp.float32) for _ in range(kvh))
+    m0 = jnp.full((qh, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((qh, 1), jnp.float32)
+    a0 = jnp.zeros((qh, d), jnp.float32)
     m, l, acc, last_r = jax.lax.fori_loop(
         0, total, body, (m0, l0, a0, jnp.zeros((), jnp.int32))
     )
@@ -244,7 +339,7 @@ def _pda_kernel(
 )
 def paged_decode_attention(
     q: jax.Array,  # [bb, qh, d]; bb must be a multiple of 8
-    pages: jax.Array,  # [P, 2*kvh, ps, d] (head-major pool layout)
+    pages,  # [P, 2*kvh, ps, d] (head-major), or (values, scales) for int8 KV
     seq_lens: jax.Array,  # [bb] (0 = padding row)
     page_table: jax.Array,  # [bb, pmax]
     *,
@@ -254,6 +349,9 @@ def paged_decode_attention(
     interpret: bool = False,
     sinks: jax.Array = None,
 ) -> jax.Array:
+    scales = None
+    if isinstance(pages, tuple):
+        pages, scales = pages
     bb, qh, d = q.shape
     num_pages, two_kvh, ps, _ = pages.shape
     kvh = two_kvh // 2
@@ -264,40 +362,77 @@ def paged_decode_attention(
     assert page_table.shape[1] % pblk == 0
 
     has_sinks = sinks is not None
+    has_scales = scales is not None
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if has_scales:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if has_sinks:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    scratch_shapes = [
+        pltpu.VMEM((R, qh, d), q.dtype),  # q_v
+        pltpu.VMEM((2, two_kvh, pblk * ps, d), pages.dtype),  # kv_v
+    ]
+    if has_scales:
+        assert ps <= 128 and 128 % ps == 0, "int8 KV needs ps in {8..128}"
+        scratch_shapes.append(
+            pltpu.VMEM((2, pblk) + scales.shape[1:], jnp.float32)
+        )
+    scratch_shapes += [
+        pltpu.VMEM((R, qh, d), q.dtype),  # o_v
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2, pblk)),
+    ]
+    if has_scales:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, pblk)))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bb // R,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((R, qh, d), q.dtype),  # q_v
-            pltpu.VMEM((2, two_kvh, pblk * ps, d), pages.dtype),  # kv_v
-            pltpu.VMEM((R, qh, d), q.dtype),  # o_v
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, pblk)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_shapes,
     )
-    if not has_sinks:
-        base_kernel = _pda_kernel
 
-        def _kernel_no_sinks(*refs, **kw):
-            scalars = refs[:2]
-            q_ref, pages_ref = refs[2], refs[3]
-            rest = refs[4:]
-            return base_kernel(*scalars, q_ref, pages_ref, None, *rest, **kw)
+    def _kernel(*refs, **kw):
+        # splice optional refs (scales input/scratch/sem, sinks) into the
+        # full positional signature
+        i = 2
+        q_ref, pages_ref = refs[i], refs[i + 1]
+        i += 2
+        scales_ref = None
+        if has_scales:
+            scales_ref = refs[i]
+            i += 1
+        sinks_ref = None
+        if has_sinks:
+            sinks_ref = refs[i]
+            i += 1
+        out_ref = refs[i]
+        i += 1
+        q_v, kv_v = refs[i], refs[i + 1]
+        i += 2
+        sc_v = None
+        if has_scales:
+            sc_v = refs[i]
+            i += 1
+        o_v, q_sem, kv_sems = refs[i], refs[i + 1], refs[i + 2]
+        i += 3
+        sc_sems = None
+        if has_scales:
+            sc_sems = refs[i]
+            i += 1
+        o_sem = refs[i]
+        return _pda_kernel(
+            refs[0], refs[1], q_ref, pages_ref, scales_ref, sinks_ref,
+            out_ref, q_v, kv_v, sc_v, o_v, q_sem, kv_sems, sc_sems, o_sem,
+            **kw,
+        )
 
-        kernel_fn = _kernel_no_sinks
-    else:
-        kernel_fn = _pda_kernel
     kernel = functools.partial(
-        kernel_fn,
+        _kernel,
         R=R,
         ps=ps,
         pblk=pblk,
@@ -326,5 +461,6 @@ def paged_decode_attention(
         page_table,
         q,
         pages,
+        *([scales] if has_scales else []),
         *([sinks.reshape(1, qh).astype(jnp.float32)] if has_sinks else []),
     )

@@ -36,6 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _upcast(x, dtype):
+    from sglang_tpu.ops.paged_decode_attention import fast_upcast
+
+    return fast_upcast(x, dtype)
+
+
 def _rpa_kernel(
     # scalar prefetch
     blk_seq_ref,
@@ -46,18 +52,21 @@ def _rpa_kernel(
     # inputs (HBM)
     q_hbm,
     pages_hbm,
+    scales_hbm,  # [P, S, 128] f32 per-page scale plane (int8 KV), or None
     sinks_vmem,  # [1, qh] f32 VMEM, or None (no attention sinks)
     # output (HBM)
     out_hbm,
     # scratch
     q_v,
     kv_v,
+    sc_v,  # [2, pblk, S, 128] f32, or None
     o_v,
     m_scr,
     l_scr,
     acc_scr,
     q_sem,
     kv_sems,
+    sc_sems,  # [2, pblk], or None
     o_sem,
     *,
     qblk: int,
@@ -102,9 +111,21 @@ def _rpa_kernel(
                 kv_sems.at[slot, p],
             )
 
+        def sc_dma(chunk, slot, p):
+            # one page's [S, 128] scale plane moves as whole (8, 128)
+            # tiles (sub-tile HBM slices are rejected by Mosaic on hw)
+            page_id = page_table_ref[i, chunk * pblk + p]
+            return pltpu.make_async_copy(
+                scales_hbm.at[page_id],
+                sc_v.at[slot, p],
+                sc_sems.at[slot, p],
+            )
+
         def start_chunk(chunk, slot):
             for p in range(pblk):
                 kv_dma(chunk, slot, p).start()
+                if scales_hbm is not None:
+                    sc_dma(chunk, slot, p).start()
 
         # never start a DMA that the loop won't wait on (n_kv can be 0 for
         # padding rows; an unwaited semaphore wedges the core)
@@ -126,6 +147,32 @@ def _rpa_kernel(
 
             for p in range(pblk):
                 kv_dma(c, slot, p).wait()
+                if scales_hbm is not None:
+                    sc_dma(c, slot, p).wait()
+
+            # int8 KV: per-(token, head) scales arrive lane-major
+            # [2kvh, kvblk]; ONE transpose per chunk puts kv tokens on
+            # sublanes so per-head [kvblk, 1] columns slice for free.
+            # Each piece is a lane slice of one page's [S, 128] plane
+            # (flat order head-major then offset; ps divides 128, so a
+            # head's ps scales never straddle a 128-lane row).
+            sc_t = None
+            if scales_hbm is not None:
+                def _sc(hh, p):
+                    f0 = hh * ps
+                    return sc_v[slot, p, f0 // 128 : f0 // 128 + 1,
+                                f0 % 128 : f0 % 128 + ps]
+
+                sc_lane = jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [_sc(hh, p) for p in range(pblk)], axis=1
+                        )
+                        for hh in range(2 * kvh)
+                    ],
+                    axis=0,
+                )  # [2kvh, kvblk] lane-major
+                sc_t = jnp.transpose(sc_lane)  # [kvblk, 2kvh] f32
 
             # positions of this chunk's kv tokens / this block's q rows
             kv_pos = pl.multiple_of(c * kvblk, kvblk)
@@ -142,8 +189,8 @@ def _rpa_kernel(
             for h in range(kvh):
                 # compute dtype follows q (f32 in parity tests, bf16 serving);
                 # fp8-stored KV upcasts here — dequant rides the kernel
-                k_h = kv_v[slot, h].astype(q_v.dtype)  # [kvblk, d]
-                v_h = kv_v[slot, kvh + h].astype(q_v.dtype)
+                k_h = _upcast(kv_v[slot, h], q_v.dtype)  # [kvblk, d]
+                v_h = _upcast(kv_v[slot, kvh + h], q_v.dtype)
                 qf = q_v[:, h * g : (h + 1) * g, :].reshape(qg, d)
                 s = jax.lax.dot_general(
                     k_h,
@@ -151,6 +198,8 @@ def _rpa_kernel(
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [kvblk, qg]
+                if sc_t is not None:
+                    s = s * sc_t[:, h : h + 1]  # per-kv-token K scale
                 s = s * sm_scale
                 if logit_cap > 0:
                     s = logit_cap * jnp.tanh(s / logit_cap)
@@ -160,9 +209,12 @@ def _rpa_kernel(
                 p_ = jnp.exp(s - m_new)
                 corr = jnp.exp(m_prev - m_new)
                 l_scr[h] = l_scr[h] * corr + jnp.sum(p_, axis=0, keepdims=True)
+                pv = p_
+                if sc_t is not None:
+                    pv = p_ * sc_t[:, kvh + h : kvh + h + 1]  # V scale
                 acc_scr[h] = acc_scr[h] * corr + jax.lax.dot_general(
                     v_h,
-                    p_.astype(q_v.dtype),
+                    pv.astype(q_v.dtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [d, qg]
@@ -202,7 +254,7 @@ def _rpa_kernel(
 )
 def ragged_paged_attention(
     q: jax.Array,  # [Tp, qh, d] — caller MUST pad rows so qoff+qblk <= Tp
-    pages: jax.Array,  # [P, 2*kvh, ps, d] (head-major pool layout)
+    pages,  # [P, 2*kvh, ps, d] (head-major), or (values, scales) for int8 KV
     blk_seq: jax.Array,  # [NB]
     blk_qoff: jax.Array,
     blk_nrows: jax.Array,
@@ -216,6 +268,9 @@ def ragged_paged_attention(
     interpret: bool = False,
     sinks: jax.Array = None,  # [qh] f32 per-q-head attention sinks
 ) -> jax.Array:
+    scales = None
+    if isinstance(pages, tuple):
+        pages, scales = pages
     tp, qh, d = q.shape
     num_pages, two_kvh, ps, _ = pages.shape
     kvh = two_kvh // 2
@@ -229,44 +284,83 @@ def ragged_paged_attention(
     qg = qblk * g
 
     has_sinks = sinks is not None
+    has_scales = scales is not None
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if has_scales:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if has_sinks:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    scratch_shapes = [
+        pltpu.VMEM((qblk, qh, d), q.dtype),  # q_v
+        pltpu.VMEM((2, two_kvh, kvblk, d), pages.dtype),  # kv_v
+    ]
+    if has_scales:
+        assert ps <= 128 and 128 % ps == 0, "int8 KV needs ps in {8..128}"
+        scratch_shapes.append(
+            pltpu.VMEM((2, pblk) + scales.shape[1:], jnp.float32)
+        )
+    scratch_shapes += [
+        pltpu.VMEM((qblk, qh, d), q.dtype),  # o_v
+        pltpu.VMEM((kvh, 1, qg), jnp.float32),  # m
+        pltpu.VMEM((kvh, 1, qg), jnp.float32),  # l
+        pltpu.VMEM((kvh, d, qg), jnp.float32),  # acc
+        pltpu.SemaphoreType.DMA(()),  # q
+        pltpu.SemaphoreType.DMA((2, pblk)),  # kv double buffer
+    ]
+    if has_scales:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, pblk)))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA(()))  # out
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((qblk, qh, d), q.dtype),  # q_v
-            pltpu.VMEM((2, two_kvh, kvblk, d), pages.dtype),  # kv_v
-            pltpu.VMEM((qblk, qh, d), q.dtype),  # o_v
-            pltpu.VMEM((kvh, 1, qg), jnp.float32),  # m
-            pltpu.VMEM((kvh, 1, qg), jnp.float32),  # l
-            pltpu.VMEM((kvh, d, qg), jnp.float32),  # acc
-            pltpu.SemaphoreType.DMA(()),  # q
-            pltpu.SemaphoreType.DMA((2, pblk)),  # kv double buffer
-            pltpu.SemaphoreType.DMA(()),  # out
-        ],
+        scratch_shapes=scratch_shapes,
     )
-    if not has_sinks:
-        base_kernel = _rpa_kernel
 
-        def _kernel_no_sinks(*refs, **kw):
-            # splice sinks_vmem=None into the positional ref list
-            scalars = refs[:5]
-            q_ref, pages_ref = refs[5], refs[6]
-            rest = refs[7:]
-            return base_kernel(*scalars, q_ref, pages_ref, None, *rest, **kw)
+    def _kernel(*refs, **kw):
+        # splice optional refs (scales input/scratch/sem, sinks) into the
+        # full positional signature
+        scalars = refs[:5]
+        i = 5
+        q_ref, pages_ref = refs[i], refs[i + 1]
+        i += 2
+        scales_ref = None
+        if has_scales:
+            scales_ref = refs[i]
+            i += 1
+        sinks_ref = None
+        if has_sinks:
+            sinks_ref = refs[i]
+            i += 1
+        out_ref = refs[i]
+        i += 1
+        q_v, kv_v = refs[i], refs[i + 1]
+        i += 2
+        sc_v = None
+        if has_scales:
+            sc_v = refs[i]
+            i += 1
+        o_v, m_scr, l_scr, acc_scr = refs[i : i + 4]
+        i += 4
+        q_sem, kv_sems = refs[i], refs[i + 1]
+        i += 2
+        sc_sems = None
+        if has_scales:
+            sc_sems = refs[i]
+            i += 1
+        o_sem = refs[i]
+        return _rpa_kernel(
+            *scalars, q_ref, pages_ref, scales_ref, sinks_ref, out_ref,
+            q_v, kv_v, sc_v, o_v, m_scr, l_scr, acc_scr,
+            q_sem, kv_sems, sc_sems, o_sem, **kw,
+        )
 
-        kernel_fn = _kernel_no_sinks
-    else:
-        kernel_fn = _rpa_kernel
     kernel = functools.partial(
-        kernel_fn,
+        _kernel,
         qblk=qblk,
         ps=ps,
         pblk=pblk,
@@ -297,5 +391,6 @@ def ragged_paged_attention(
         page_table,
         q,
         pages,
+        *([scales] if has_scales else []),
         *([sinks.reshape(1, qh).astype(jnp.float32)] if has_sinks else []),
     )

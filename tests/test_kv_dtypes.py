@@ -4,6 +4,7 @@ output and the engine must run end-to-end."""
 
 import uuid
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -55,3 +56,48 @@ def test_fp8_kv_pool_is_half_size():
     r16 = tiny_runner(sa16)
     assert r8.kv_pool.layers[0].dtype.itemsize == 1
     assert r8.max_total_tokens >= r16.max_total_tokens * 1.9
+
+
+def test_int8_kv_generates_and_agrees():
+    """int8 KV (per-token-head scales, TPU-native compression): greedy
+    output should agree with bf16-KV output at least as well as fp8 —
+    ~0.4% quantization error vs e4m3's ~6%."""
+    sa = tiny_server_args(kv_cache_dtype="int8")
+    sched = Scheduler(sa, tiny_runner(sa))
+    prompt = np.random.default_rng(0).integers(3, 250, size=12).tolist()
+    ids_i8 = run_greedy(sched, prompt)
+    assert len(ids_i8) == 16
+
+    sa16 = tiny_server_args()
+    sched16 = Scheduler(sa16, tiny_runner(sa16))
+    ids_bf16 = run_greedy(sched16, prompt)
+    agree = sum(a == b for a, b in zip(ids_i8, ids_bf16))
+    assert agree >= 12, (ids_i8, ids_bf16)
+
+
+def test_int8_kv_pool_capacity():
+    sa8 = tiny_server_args(kv_cache_dtype="int8", max_total_tokens=None)
+    r8 = tiny_runner(sa8)
+    sa16 = tiny_server_args(max_total_tokens=None)
+    r16 = tiny_runner(sa16)
+    vals, scales = r8.kv_pool.layers[0]
+    assert vals.dtype.itemsize == 1
+    assert scales.dtype == jnp.float32
+    # per-page scale plane: [P, S, 128] with S a multiple of 8
+    from sglang_tpu.mem_cache.memory_pool import scale_sublanes
+
+    sub = scale_sublanes(vals.shape[1] // 2, vals.shape[2])
+    assert scales.shape == (vals.shape[0], sub, 128)
+    # pool sizing is exact: the tiny config's 8-sublane tile padding makes
+    # int8 LARGER per page than bf16 here (ps=16, d=16), so assert the
+    # analytic ratio rather than a win; the win is a real-geometry
+    # property, asserted below without allocating
+    kvh, ps, d = vals.shape[1] // 2, vals.shape[2], vals.shape[3]
+    b8 = 2 * kvh * ps * d + scale_sublanes(kvh, ps) * 512
+    b16 = 2 * kvh * ps * d * 2
+    ratio = b16 / b8
+    assert r8.max_total_tokens >= r16.max_total_tokens * ratio * 0.9
+    # llama-8B geometry (kvh=8, ps=64, d=128): 1.94x capacity vs bf16
+    big8 = 2 * 8 * 64 * 128 + scale_sublanes(8, 64) * 512
+    big16 = 2 * 8 * 64 * 128 * 2
+    assert big16 / big8 > 1.9

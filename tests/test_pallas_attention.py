@@ -191,3 +191,48 @@ def test_attention_sinks_extend():
     o_ref = np.asarray(ref.forward_extend(q, pages, fb, 0.25, sinks=sinks))
     o_pal = np.asarray(pal.forward_extend(q, pages, fb, 0.25, sinks=sinks))
     np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+
+
+def _quantize_pages_int8(pages):
+    """[P, 2kvh, ps, d] f32 -> (int8 values, per-page scale plane).
+
+    Scales are the pool's tile-aligned layout: [P, S, 128] f32 with
+    S = round_up(ceil(2kvh*ps/128), 8), flat order head-major then offset."""
+    p = np.asarray(pages, np.float32)
+    np_, two_kvh, ps, d = p.shape
+    s = np.maximum(np.max(np.abs(p), axis=-1), 1e-8) / 127.0  # [P,2kvh,ps]
+    q = np.clip(np.round(p / s[..., None]), -127, 127).astype(np.int8)
+    from sglang_tpu.mem_cache.memory_pool import scale_sublanes
+
+    sub = scale_sublanes(two_kvh // 2, ps)
+    sb = np.zeros((np_, sub * 128), np.float32)
+    sb[:, : two_kvh * ps] = s.reshape(np_, two_kvh * ps)
+    return jnp.asarray(q), jnp.asarray(sb.reshape(np_, sub, 128))
+
+
+def test_decode_int8_kv_matches_reference():
+    """int8 KV with per-(token, head) scales: the kernel folds K scales
+    into scores and V scales into probabilities — must match the oracle
+    that dequantizes the pages densely."""
+    seq_lens = [1, 17, 33, 48]
+    q, pages, meta = _setup(seq_lens, [1] * 4)
+    pq = _quantize_pages_int8(pages)
+    o_ref, o_pal = _run_both(q, pq, meta, "decode")
+    np.testing.assert_allclose(o_pal, o_ref, atol=1e-3, rtol=1e-3)
+
+
+def test_decode_int8_kv_window():
+    seq_lens = [40, 64]
+    q, pages, meta = _setup(seq_lens, [1, 1], qh=8, kvh=2)
+    pq = _quantize_pages_int8(pages)
+    o_ref, o_pal = _run_both(q, pq, meta, "decode", window=24)
+    np.testing.assert_allclose(o_pal, o_ref, atol=1e-3, rtol=1e-3)
+
+
+def test_extend_int8_kv_matches_reference():
+    seq_lens = [48, 40]
+    q_lens = [16, 25]
+    q, pages, meta = _setup(seq_lens, q_lens)
+    pq = _quantize_pages_int8(pages)
+    o_ref, o_pal = _run_both(q, pq, meta, "extend")
+    np.testing.assert_allclose(o_pal, o_ref, atol=1e-3, rtol=1e-3)
