@@ -246,7 +246,7 @@ def main():
         file=sys.stderr,
     )
 
-    kv_tag = "" if kv_dtype == "auto" else "_kvfp8"
+    kv_tag = "" if kv_dtype == "auto" else f"_kv{kv_dtype}"
     result = {
         "metric": f"offline_output_throughput_llama8b_{quant or 'bf16'}{kv_tag}"
         if not tiny

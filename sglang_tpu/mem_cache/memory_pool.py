@@ -206,12 +206,16 @@ def compute_num_pages(
     head_dim: int,
     store_dtype,
     max_total_tokens: Optional[int] = None,
+    extra_bytes_per_page_layer: int = 0,
 ) -> int:
     """Size the pool from an HBM byte budget (reference
     `model_runner_kv_cache_mixin` profile-run equivalent, computed
-    analytically from the device memory stats)."""
+    analytically from the device memory stats). `extra_bytes_per_page_layer`
+    covers sibling per-page planes (e.g. the NSA index-key plane)."""
     elem = jnp.dtype(store_dtype).itemsize
-    bytes_per_page = page_size * 2 * num_kv_heads * head_dim * elem * num_layers
+    bytes_per_page = (
+        page_size * 2 * num_kv_heads * head_dim * elem + extra_bytes_per_page_layer
+    ) * num_layers
     if store_dtype == jnp.int8:
         # per-(token, head) f32 scale plane, tile-padded
         bytes_per_page += scale_sublanes(num_kv_heads, page_size) * 512 * num_layers

@@ -286,6 +286,24 @@ class ModelRunner:
             state_bytes = per_layer * (
                 mc.num_hidden_layers - paged_layer_count
             )
+        # NSA models carry a per-layer paged index-key plane alongside the
+        # latent pool (reference NSATokenToKVPool, `memory_pool.py:1981`)
+        nsa_idx_dim = (
+            getattr(self.model, "nsa_index_head_dim", 0)
+            if getattr(self.model, "use_nsa", False)
+            else 0
+        )
+        if nsa_idx_dim and (
+            self.pp_size > 1
+            or self.dp_size > 1
+            or self.kv_kinds is not None
+            or sa.enable_hierarchical_cache
+            or sa.kv_cache_dtype not in ("auto", "bfloat16")
+        ):
+            raise NotImplementedError(
+                "NSA does not compose with pp/dp-attention/hybrid/hicache/"
+                "quantized-KV yet (the index-key plane is bf16 and local)"
+            )
         num_pages = compute_num_pages(
             self._available_kv_bytes() - state_bytes,
             sa.page_size,
@@ -294,6 +312,9 @@ class ModelRunner:
             mc.head_dim,
             store_dtype,
             max_total_tokens=sa.max_total_tokens,
+            extra_bytes_per_page_layer=(
+                sa.page_size * nsa_idx_dim * jnp.dtype(mc.dtype).itemsize
+            ),
         )
         if sa.kv_cache_dtype == "int8" and self.tp_size > 1:
             raise NotImplementedError(
@@ -346,6 +367,20 @@ class ModelRunner:
                         }
                     )
             self.kv_layers = layers
+        elif nsa_idx_dim:
+            idx_sharding = NamedSharding(self.mesh, P(page_spec, None, None))
+            self.kv_layers = [
+                (
+                    layer,
+                    jax.device_put(
+                        jnp.zeros(
+                            (num_pages, sa.page_size, nsa_idx_dim), mc.dtype
+                        ),
+                        idx_sharding,
+                    ),
+                )
+                for layer in self.kv_pool.layers
+            ]
         else:
             self.kv_layers = (
                 self.kv_pool.stacked

@@ -26,13 +26,21 @@ from sglang_tpu.configs.model_config import ModelConfig
 from sglang_tpu.layers.activation import silu_and_mul
 from sglang_tpu.layers.moe import fused_moe, moe_shapes, moe_specs
 from sglang_tpu.layers.norms import rms_norm
-from sglang_tpu.layers.rotary import apply_rope_interleaved, compute_inv_freq
+from sglang_tpu.layers.rotary import (
+    apply_rope,
+    apply_rope_interleaved,
+    compute_inv_freq,
+)
 from sglang_tpu.model_loader.weight_mapping import WeightRule
 from sglang_tpu.models.llama import LlamaForCausalLM
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
-    architectures = ["DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM"]
+    architectures = [
+        "DeepseekV2ForCausalLM",
+        "DeepseekV3ForCausalLM",
+        "DeepseekV32ForCausalLM",
+    ]
 
     def __init__(self, config: ModelConfig):
         import os
@@ -77,6 +85,19 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         self.routed_scaling = hf.get("routed_scaling_factor", 1.0)
         self.n_group = hf.get("n_group", 1) or 1
         self.topk_group = hf.get("topk_group", 1) or 1
+        # NSA (DeepSeek V3.2): a per-layer lightning indexer selects
+        # index_topk positions and attention runs sparsely over them
+        # (reference `nsa/nsa_indexer.py Indexer`, `nsa_backend.py`;
+        # detection parity: `configs/model_config.py:113` keys on the
+        # presence of index_topk)
+        self.nsa_index_topk = hf.get("index_topk") or 0
+        self.use_nsa = self.nsa_index_topk > 0 and self.use_latent
+        if self.use_nsa:
+            self.nsa_index_head_dim = hf.get("index_head_dim", 128)
+            self.nsa_index_n_heads = hf.get("index_n_heads", 64)
+            self.nsa_rope_interleave = hf.get("indexer_rope_interleave", True)
+            if self.q_lora is None:
+                raise ValueError("NSA indexer requires q_lora_rank")
 
     def _is_moe(self, i: int) -> bool:
         return self.n_routed > 0 and i >= self.first_dense
@@ -118,6 +139,18 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             specs["q_a"] = P(None, None)
             specs["q_a_norm"] = P(None)
             specs["q_b"] = P(None, "model")
+        if self.use_nsa:
+            hi, di = self.nsa_index_n_heads, self.nsa_index_head_dim
+            shapes["idx_wq_b"] = jax.ShapeDtypeStruct((self.q_lora, hi * di), dt)
+            shapes["idx_wk"] = jax.ShapeDtypeStruct((h, di), dt)
+            shapes["idx_k_norm"] = jax.ShapeDtypeStruct((di,), dt)
+            shapes["idx_k_norm_b"] = jax.ShapeDtypeStruct((di,), dt)
+            shapes["idx_weights"] = jax.ShapeDtypeStruct((h, hi), dt)
+            specs["idx_wq_b"] = P(None, None)
+            specs["idx_wk"] = P(None, None)
+            specs["idx_k_norm"] = P(None)
+            specs["idx_k_norm_b"] = P(None)
+            specs["idx_weights"] = P(None, None)
         if self._is_moe(i):
             shapes.update(
                 moe_shapes(h, self.moe_inter, self.n_routed, dt)
@@ -199,6 +232,14 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     WeightRule(L + ("q_a",), [f"{lp}.self_attn.q_a_proj.weight"], kind="linear_raw"),
                     WeightRule(L + ("q_a_norm",), [f"{lp}.self_attn.q_a_layernorm.weight"], kind="norm"),
                     WeightRule(L + ("q_b",), [f"{lp}.self_attn.q_b_proj.weight"], kind="linear_raw"),
+                ]
+            if self.use_nsa:
+                rules += [
+                    WeightRule(L + ("idx_wq_b",), [f"{lp}.self_attn.indexer.wq_b.weight"], kind="linear_raw"),
+                    WeightRule(L + ("idx_wk",), [f"{lp}.self_attn.indexer.wk.weight"], kind="linear_raw"),
+                    WeightRule(L + ("idx_k_norm",), [f"{lp}.self_attn.indexer.k_norm.weight"], kind="norm"),
+                    WeightRule(L + ("idx_k_norm_b",), [f"{lp}.self_attn.indexer.k_norm.bias"], kind="norm"),
+                    WeightRule(L + ("idx_weights",), [f"{lp}.self_attn.indexer.weights_proj.weight"], kind="linear_raw"),
                 ]
             if self._is_moe(i):
                 e = self.n_routed
@@ -317,9 +358,59 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 k_lat = jnp.concatenate(
                     [c_kv[:, None, :], k_pe], axis=-1
                 )  # [t, 1, l + rope]
-                attn_out, kv_i = attn_backend(
-                    q_full, k_lat, k_lat, kv_layer, fb, self.sm_scale
-                )
+                if self.use_nsa:
+                    # lightning indexer (reference Indexer.forward):
+                    # q from the normalized q_a latent, single key head
+                    # from the attention input, per-head gates from the
+                    # attention input; rope on the first qk_rope dims.
+                    from sglang_tpu.layers.attention.nsa import nsa_attention
+                    from sglang_tpu.layers.norms import layer_norm
+
+                    hi, di = self.nsa_index_n_heads, self.nsa_index_head_dim
+                    q_idx = jnp.dot(
+                        qa, lp["idx_wq_b"],
+                        preferred_element_type=jnp.float32,
+                    ).astype(normed.dtype).reshape(t, hi, di)
+                    k_idx = layer_norm(
+                        jnp.dot(
+                            normed, lp["idx_wk"],
+                            preferred_element_type=jnp.float32,
+                        ).astype(normed.dtype),
+                        lp["idx_k_norm"],
+                        lp["idx_k_norm_b"],
+                        eps=1e-6,
+                    )[:, None, :]  # [t, 1, di]
+                    rope = apply_rope_interleaved if self.nsa_rope_interleave else apply_rope
+                    q_idx = jnp.concatenate(
+                        [
+                            rope(q_idx[..., : self.qk_rope], fb.positions, self.inv_freq),
+                            q_idx[..., self.qk_rope :],
+                        ],
+                        axis=-1,
+                    )
+                    k_idx = jnp.concatenate(
+                        [
+                            rope(k_idx[..., : self.qk_rope], fb.positions, self.inv_freq),
+                            k_idx[..., self.qk_rope :],
+                        ],
+                        axis=-1,
+                    )[:, 0, :]
+                    gate_w = (
+                        jnp.dot(
+                            normed, lp["idx_weights"],
+                            preferred_element_type=jnp.float32,
+                        )
+                        * (hi**-0.5)
+                        * (di**-0.5)
+                    )
+                    attn_out, kv_i = nsa_attention(
+                        q_full, k_lat, q_idx, k_idx, gate_w, kv_layer,
+                        fb, self.sm_scale, self.nsa_index_topk,
+                    )
+                else:
+                    attn_out, kv_i = attn_backend(
+                        q_full, k_lat, k_lat, kv_layer, fb, self.sm_scale
+                    )
                 out_lat = attn_out[..., : self.kv_lora]  # [t, n, l]
                 attn_out = jnp.einsum(
                     "tnl,lnd->tnd", out_lat, w_uv,
