@@ -242,8 +242,19 @@ class ModelConfig:
     @property
     def is_hybrid(self) -> bool:
         """True when some layers use linear attention / recurrent state
-        instead of paged KV (Qwen3-Next, Mamba hybrids)."""
-        return "linear_attention" in (self.hf_config.get("layer_types") or ())
+        instead of paged KV (Qwen3-Next, Mamba2, Mamba hybrids) — prefix
+        caching is disabled because recurrent state cannot be
+        prefix-shared (reference mamba_radix_cache gating)."""
+        lt = (
+            self.hf_config.get("layer_types")
+            or self.hf_config.get("layers_block_type")
+            or ()
+        )
+        return (
+            "linear_attention" in lt
+            or "mamba" in lt
+            or self.model_type in ("mamba2", "falcon_mamba")
+        )
 
     @property
     def kv_head_dim_total(self) -> int:

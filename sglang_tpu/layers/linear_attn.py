@@ -172,3 +172,149 @@ def gated_rms_norm(x: jax.Array, gate: jax.Array, w: jax.Array,
     xf = xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + eps)
     out = w.astype(jnp.float32) * xf
     return (out * jax.nn.silu(gate.astype(jnp.float32))).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Mamba2 (SSD) mixer — reference `srt/layers/attention/mamba/` +
+# `sgl-kernel/csrc/mamba/causal_conv1d.cu` (K9); math parity with HF
+# `transformers/models/mamba2/modeling_mamba2.py torch_forward`.
+# State pools (MambaPool analogue, reference `memory_pool.py:195`):
+#   conv: [slots+1, conv_dim, k-1] f32     (conv_dim = d_inner + 2*g*d_state)
+#   ssm:  [slots+1, nheads, head_dim, d_state] f32
+# --------------------------------------------------------------------------
+
+
+def mamba_gated_rms_norm(x: jax.Array, gate: jax.Array, w: jax.Array,
+                         eps: float) -> jax.Array:
+    """HF MambaRMSNormGated: GATE-then-norm (x * silu(z), then RMSNorm) —
+    the opposite order of Qwen3-Next's gated norm."""
+    xf = x.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32))
+    xf = xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + eps)
+    return (w.astype(jnp.float32) * xf).astype(x.dtype)
+
+
+def mamba2_rates(dt: jax.Array, dt_bias: jax.Array, a_log: jax.Array,
+                 limit: Tuple[float, float]) -> Tuple[jax.Array, jax.Array]:
+    """(decay, dt_eff) per head: dt = clamp(softplus(dt + bias)),
+    decay = exp(dt * -exp(A_log))."""
+    dt = jax.nn.softplus(dt.astype(jnp.float32) + dt_bias.astype(jnp.float32))
+    dt = jnp.clip(dt, limit[0], limit[1])
+    decay = jnp.exp(dt * -jnp.exp(a_log.astype(jnp.float32)))
+    return decay, dt
+
+
+def mamba2_step(
+    ssm: jax.Array,  # [..., nh, dh, ds] f32
+    x: jax.Array,  # [..., nh, dh]
+    b: jax.Array,  # [..., g, ds]
+    c: jax.Array,  # [..., g, ds]
+    dt: jax.Array,  # [..., nh] f32 (post-softplus)
+    decay: jax.Array,  # [..., nh] f32
+    d_skip: jax.Array,  # [nh] f32
+) -> Tuple[jax.Array, jax.Array]:
+    """One SSD token: h = decay*h + dt * x outer B; y = h . C + D*x."""
+    nh = x.shape[-2]
+    g = b.shape[-2]
+    rep = nh // g
+    x = x.astype(jnp.float32)
+    bh = jnp.repeat(b.astype(jnp.float32), rep, axis=-2)  # [..., nh, ds]
+    ch = jnp.repeat(c.astype(jnp.float32), rep, axis=-2)
+    ssm = ssm * decay[..., None, None] + (
+        (dt[..., None] * x)[..., None] * bh[..., None, :]
+    )
+    y = (ssm * ch[..., None, :]).sum(-1) + d_skip[:, None] * x
+    return y, ssm
+
+
+def _split_xbc(conv_out: jax.Array, geom: tuple):
+    """Split post-conv stream [..., d_inner + 2*g*ds] -> x, B, C."""
+    nh, dh, g, ds = geom
+    d_inner = nh * dh
+    x = conv_out[..., :d_inner].reshape(conv_out.shape[:-1] + (nh, dh))
+    b = conv_out[..., d_inner : d_inner + g * ds].reshape(
+        conv_out.shape[:-1] + (g, ds)
+    )
+    c = conv_out[..., d_inner + g * ds :].reshape(
+        conv_out.shape[:-1] + (g, ds)
+    )
+    return x, b, c
+
+
+def mamba2_decode(
+    conv_pool: jax.Array,  # [S+1, conv_dim, k-1] f32
+    ssm_pool: jax.Array,  # [S+1, nh, dh, ds] f32
+    xbc: jax.Array,  # [B, conv_dim] pre-conv x|B|C stream
+    dt: jax.Array,  # [B, nh]
+    slots: jax.Array,  # [B] i32 (padding -> S)
+    geom: tuple,  # (nh, dh, g, ds)
+    conv_w: jax.Array,  # [conv_dim, k]
+    conv_b,  # [conv_dim] or None
+    a_log: jax.Array,  # [nh]
+    dt_bias: jax.Array,  # [nh]
+    d_skip: jax.Array,  # [nh]
+    time_limit: Tuple[float, float] = (0.0, float("inf")),
+):
+    """Parallel single-step decode. Returns (y [B, nh, dh], pools)."""
+    win = jnp.concatenate(
+        [conv_pool[slots], xbc.astype(jnp.float32)[..., None]], axis=-1
+    )
+    conv_out = (win * conv_w.astype(jnp.float32)).sum(-1)
+    if conv_b is not None:
+        conv_out = conv_out + conv_b.astype(jnp.float32)
+    conv_out = jax.nn.silu(conv_out)
+    conv_pool = conv_pool.at[slots].set(win[..., 1:])
+    x, b, c = _split_xbc(conv_out, geom)
+    decay, dt_eff = mamba2_rates(dt, dt_bias, a_log, time_limit)
+    ssm = ssm_pool[slots]
+    y, ssm = mamba2_step(ssm, x, b, c, dt_eff, decay, d_skip.astype(jnp.float32))
+    ssm_pool = ssm_pool.at[slots].set(ssm)
+    return y, conv_pool, ssm_pool
+
+
+def mamba2_extend(
+    conv_pool: jax.Array,
+    ssm_pool: jax.Array,
+    xbc: jax.Array,  # [T, conv_dim]
+    dt: jax.Array,  # [T, nh]
+    slots: jax.Array,  # [T]
+    positions: jax.Array,  # [T] (0 -> reset state)
+    geom: tuple,
+    conv_w: jax.Array,
+    conv_b,
+    a_log: jax.Array,
+    dt_bias: jax.Array,
+    d_skip: jax.Array,
+    time_limit: Tuple[float, float] = (0.0, float("inf")),
+):
+    """Sequential scan over the packed ragged stream (same contract as
+    `gdn_extend`; a chunked-parallel SSD Pallas kernel is the perf
+    follow-up — HF `segment_sum` chunk path)."""
+    decay_all, dt_all = mamba2_rates(dt, dt_bias, a_log, time_limit)
+    conv_w32 = conv_w.astype(jnp.float32)
+    conv_b32 = None if conv_b is None else conv_b.astype(jnp.float32)
+    d32 = d_skip.astype(jnp.float32)
+    x32 = xbc.astype(jnp.float32)
+
+    def step(carry, xs):
+        conv_pool, ssm_pool = carry
+        x_t, dt_t, decay_t, slot, pos = xs
+        fresh = pos == 0
+        cwin = jnp.where(fresh, 0.0, conv_pool[slot])
+        win = jnp.concatenate([cwin, x_t[:, None]], axis=-1)
+        conv_out = (win * conv_w32).sum(-1)
+        if conv_b32 is not None:
+            conv_out = conv_out + conv_b32
+        conv_out = jax.nn.silu(conv_out)
+        conv_pool = conv_pool.at[slot].set(win[:, 1:])
+        x, b, c = _split_xbc(conv_out, geom)
+        ssm = jnp.where(fresh, 0.0, ssm_pool[slot])
+        y, ssm = mamba2_step(ssm, x, b, c, dt_t, decay_t, d32)
+        ssm_pool = ssm_pool.at[slot].set(ssm)
+        return (conv_pool, ssm_pool), y
+
+    (conv_pool, ssm_pool), outs = jax.lax.scan(
+        step,
+        (conv_pool, ssm_pool),
+        (x32, dt_all, decay_all, slots, positions),
+    )
+    return outs, conv_pool, ssm_pool

@@ -219,6 +219,15 @@ class Scheduler:
         # stay on device and feed the next step's input_ids directly.
         self.enable_overlap = server_args.enable_overlap_schedule
         self._inflight = None  # (reqs_snapshot, next_ids_dev, tok_lp_dev)
+        # device decode-chain rows (INCLUDING finished "zombie" rows): the
+        # zero-upload chained dispatch stays valid across request finishes
+        # because finished rows keep decoding into their own lookahead
+        # pages (outputs discarded) until the chain breaks. Their page/slot
+        # release is deferred to the break (reference zero-overhead
+        # `event_loop_overlap` analogue: never stall the device on
+        # per-request bookkeeping).
+        self._chain_rows: Optional[List[Req]] = None
+        self._deferred: List[Req] = []
 
         # penalty-state slots: stable device-side row per live request
         self.max_slots = self.runner.slots_budget()
@@ -409,6 +418,7 @@ class Scheduler:
         # retraction invalidates the in-flight decode chain state
         with self.stats.timed("decode_resolve"):
             outputs = self._resolve_inflight()
+        self._break_chain()
         for v in victims:
             if (
                 self.allocator.available_pages() >= need_pages
@@ -575,6 +585,8 @@ class Scheduler:
         )
 
     def _forward_extend(self, batch: ScheduleBatch) -> List[ReqStrOutput]:
+        # prefill changes batch membership and device KV: chain is over
+        self._break_chain()
         _t_prep0 = time.perf_counter()
         for r in batch.reqs:
             if r.slot is None and self._slot_pool:
@@ -1017,6 +1029,7 @@ class Scheduler:
     def _forward_decode(self) -> List[ReqStrOutput]:
         if self._spec_eligible():
             outputs = self._resolve_inflight()  # spec needs resolved tokens
+            self._break_chain()  # verify forwards invalidate the chain
             if (
                 self.server_args.speculative_eagle_topk > 1
                 and self.draft_worker is not None
@@ -1036,20 +1049,20 @@ class Scheduler:
     def _forward_decode_multi(self) -> List[ReqStrOutput]:
         """K fused decode steps per dispatch (reference multi-step decode /
         CUDA-graph replay chains): over-generates up to K-1 tokens past a
-        stop, trimmed at resolution."""
+        stop, trimmed at resolution. Finished requests stay pinned as
+        zombie rows until the chain breaks, so the zero-upload chained
+        dispatch keeps flowing across finishes (on a tunneled runtime a
+        fresh dispatch costs several RTTs; a chained one costs ~1 ms)."""
         batch = self.running_batch
         k = self.server_args.decode_multi_step
         outputs: List[ReqStrOutput] = []
-        chained = (
-            self._inflight is not None and self._inflight[0] == batch.reqs
+        rows = self._chain_rows
+        # device rows (incl. zombies) still project onto the live batch?
+        chain_valid = (
+            rows is not None
+            and [r for r in rows if not r.finished()] == batch.reqs
         )
-        if self._inflight is not None and not chained:
-            with self.stats.timed("decode_resolve"):
-                outputs += self._resolve_inflight()
-            if not batch.reqs:
-                return outputs
-        _t_prep0 = time.perf_counter()
-        if chained and self.runner.decode_chain_ready():
+        if chain_valid and self.runner.decode_chain_ready():
             # zero-upload dispatch: page table, sampling state, first ids,
             # base seq lens, and rng are all device-resident
             _t_disp0 = time.perf_counter()
@@ -1057,57 +1070,94 @@ class Scheduler:
                 self.runner.forward_decode_multi_chained()
             )
             batch.commit_decode_multi(k)
-        else:
-            # pre-allocate pages for several chunks ahead when the pool has
-            # slack, so the following chunks dispatch with zero uploads
-            horizon = 1
-            avail = self.allocator.available_pages() * self.page_size
-            chunk_need = k * len(batch.reqs)
-            if avail > 8 * chunk_need:
-                horizon = 4
-            elif avail > 4 * chunk_need:
-                horizon = 2
-            arrays = batch.prepare_for_decode_multi(
-                k,
-                with_input_ids=not chained,
-                lookahead_tokens=(horizon - 1) * k,
+            self.stats.num_decode_steps += k
+            self.stats.stage_time["decode_dispatch"] += (
+                time.perf_counter() - _t_disp0
             )
-            if arrays is None and horizon > 1:
-                horizon = 1
-                arrays = batch.prepare_for_decode_multi(
-                    k, with_input_ids=not chained
-                )
-            if arrays is None:
-                # K-token up-front allocation failed: the single-step path
-                # makes progress with 1-token granularity (owns retraction)
-                outputs += self._resolve_inflight()
-                if not batch.reqs:
+            prev = self._inflight
+            inflight = (rows, all_ids, all_lp, last_ids)
+            with self.stats.timed("decode_resolve"):
+                if self.enable_overlap:
+                    self._inflight = inflight
+                    if prev is not None:
+                        outputs += self._process_decode_result(prev)
                     return outputs
-                return outputs + self._forward_decode_normal()
-            meta = self._make_sinfo(
-                batch.reqs,
-                padded_bs=_bucket(
-                    len(batch.reqs), self.runner.decode_bs_buckets
-                ),
+                outputs += self._process_decode_result(inflight)
+            return outputs
+
+        # horizon exhausted or membership changed: go fresh. The previous
+        # chunk's device-resident last ids stay usable only when the row
+        # set IS the live batch (no zombies -> row indices line up).
+        chained_ids = (
+            chain_valid
+            and not self._deferred
+            and rows == batch.reqs
+            and self._inflight is not None
+            and self._inflight[0] is rows
+        )
+        if self._inflight is not None and not chained_ids:
+            with self.stats.timed("decode_resolve"):
+                outputs += self._resolve_inflight()
+            chained_ids = False
+        if not chained_ids:
+            self._break_chain()
+        if not batch.reqs:
+            return outputs
+        _t_prep0 = time.perf_counter()
+        # pre-allocate pages for several chunks ahead when the pool has
+        # slack, so the following chunks dispatch with zero uploads
+        horizon = 1
+        avail = self.allocator.available_pages() * self.page_size
+        chunk_need = k * len(batch.reqs)
+        if avail > 16 * chunk_need:
+            horizon = 8
+        elif avail > 8 * chunk_need:
+            horizon = 4
+        elif avail > 4 * chunk_need:
+            horizon = 2
+        arrays = batch.prepare_for_decode_multi(
+            k,
+            with_input_ids=not chained_ids,
+            lookahead_tokens=(horizon - 1) * k,
+        )
+        if arrays is None and horizon > 1:
+            horizon = 1
+            arrays = batch.prepare_for_decode_multi(
+                k, with_input_ids=not chained_ids
             )
-            first_ids = self._inflight[3] if chained else arrays["input_ids"]
-            _t_disp0 = time.perf_counter()
-            self.stats.stage_time["decode_prep"] += _t_disp0 - _t_prep0
-            all_ids, all_lp, last_ids = self.runner.forward_decode_multi(
-                first_ids,
-                arrays["base_seq_lens"],
-                arrays["page_table"],
-                meta,
-                k,
-                horizon=horizon,
-            )
-            batch.commit_decode_multi(k)
+        if arrays is None:
+            # K-token up-front allocation failed: the single-step path
+            # makes progress with 1-token granularity (owns retraction)
+            outputs += self._resolve_inflight()
+            self._break_chain()
+            if not batch.reqs:
+                return outputs
+            return outputs + self._forward_decode_normal()
+        meta = self._make_sinfo(
+            batch.reqs,
+            padded_bs=_bucket(
+                len(batch.reqs), self.runner.decode_bs_buckets
+            ),
+        )
+        first_ids = self._inflight[3] if chained_ids else arrays["input_ids"]
+        _t_disp0 = time.perf_counter()
+        self.stats.stage_time["decode_prep"] += _t_disp0 - _t_prep0
+        all_ids, all_lp, last_ids = self.runner.forward_decode_multi(
+            first_ids,
+            arrays["base_seq_lens"],
+            arrays["page_table"],
+            meta,
+            k,
+            horizon=horizon,
+        )
+        batch.commit_decode_multi(k)
         self.stats.num_decode_steps += k
         self.stats.stage_time["decode_dispatch"] += (
             time.perf_counter() - _t_disp0
         )
-        prev = self._inflight if chained else None
-        inflight = (list(batch.reqs), all_ids, all_lp, last_ids)
+        prev = self._inflight if chained_ids else None
+        self._chain_rows = list(batch.reqs)
+        inflight = (self._chain_rows, all_ids, all_lp, last_ids)
         with self.stats.timed("decode_resolve"):
             if self.enable_overlap:
                 self._inflight = inflight
@@ -1116,6 +1166,16 @@ class Scheduler:
                 return outputs
             outputs += self._process_decode_result(inflight)
         return outputs
+
+    def _break_chain(self) -> None:
+        """Invalidate the device decode chain and release zombie rows'
+        deferred pages/slots (radix-inserting their finished prefixes)."""
+        self.runner.invalidate_decode_chain()
+        self._chain_rows = None
+        if self._deferred:
+            for r in self._deferred:
+                self._release_req(r, insert=True)
+            self._deferred.clear()
 
     def _lora_batch(self, reqs) -> bool:
         return any(r.lora_id >= 0 for r in reqs)
@@ -1152,6 +1212,9 @@ class Scheduler:
     def _forward_decode_normal(self) -> List[ReqStrOutput]:
         batch = self.running_batch
         outputs: List[ReqStrOutput] = []
+        # single-step decode advances tokens outside the multi-step chain:
+        # the chain's device-resident ids/base go stale
+        self._break_chain()
         overlap = self._overlap_allowed()
         # in-flight step's batch must be exactly the current reqs to chain
         chained = (
@@ -1234,7 +1297,11 @@ class Scheduler:
             if r.finished():
                 # finished at an earlier resolution (wasted rows) — except
                 # client aborts, which still need release + notification
-                if r.status == ReqStatus.ABORTED and r.pages:
+                if (
+                    r.status == ReqStatus.ABORTED
+                    and r.pages
+                    and r not in self._deferred
+                ):
                     outputs.append(self._finish_req(r))
                 continue
             for k in range(k_steps):
@@ -1262,6 +1329,10 @@ class Scheduler:
                     outputs.append(out)
         self.stats.num_decode_tokens += n_tok
         self.running_batch.filter_finished()
+        if not self.running_batch.reqs and self._inflight is None:
+            # all live rows done and nothing in flight: release zombies so
+            # idle pool accounting is exact between bursts
+            self._break_chain()
         return outputs
 
     # --------------------------------------------------------- jump-forward
@@ -1444,7 +1515,13 @@ class Scheduler:
             r.slot = None
 
     def _finish_req(self, r: Req) -> ReqStrOutput:
-        self._release_req(r, insert=True)
+        if self._chain_rows is not None and r in self._chain_rows:
+            # zombie row: pages/slot stay pinned (the device chain keeps
+            # decoding this row into its own lookahead pages) — released
+            # with radix insert at the next chain break
+            self._deferred.append(r)
+        else:
+            self._release_req(r, insert=True)
         self.reqs.pop(r.rid, None)
         self.stats.num_finished += 1
         ts = time.time()
@@ -1520,7 +1597,13 @@ class Scheduler:
 
     def check_memory(self) -> int:
         """Leaked pages when fully idle (reference `scheduler.py:3349
-        is_fully_idle` runtime check). Tree-held pages are not leaks."""
+        is_fully_idle` runtime check). Tree-held pages are not leaks;
+        neither are in-flight decode chunks or zombie chain rows — both
+        are transient pinned state, quiesced before counting."""
+        if not self.running_batch.reqs and not self.waiting_queue:
+            if self._inflight is not None:
+                self._resolve_inflight()
+            self._break_chain()
         held = self.allocator.check_leaks()
         return held - self.radix_cache.total_pages
 

@@ -304,18 +304,28 @@ class ModelRunner:
                 "NSA does not compose with pp/dp-attention/hybrid/hicache/"
                 "quantized-KV yet (the index-key plane is bf16 and local)"
             )
-        num_pages = compute_num_pages(
-            self._available_kv_bytes() - state_bytes,
-            sa.page_size,
-            paged_layer_count,
-            kv_heads_local,
-            mc.head_dim,
-            store_dtype,
-            max_total_tokens=sa.max_total_tokens,
-            extra_bytes_per_page_layer=(
-                sa.page_size * nsa_idx_dim * jnp.dtype(mc.dtype).itemsize
-            ),
-        )
+        if paged_layer_count == 0:
+            # pure-SSM model (Mamba2): no paged KV is ever read, but the
+            # allocator/page-table protocol still tracks the token budget —
+            # size the index space only (zero HBM cost, empty pool)
+            num_pages = (
+                cdiv(sa.max_total_tokens, sa.page_size) + 1
+                if sa.max_total_tokens
+                else cdiv(1 << 16, sa.page_size) + 1
+            )
+        else:
+            num_pages = compute_num_pages(
+                self._available_kv_bytes() - state_bytes,
+                sa.page_size,
+                paged_layer_count,
+                kv_heads_local,
+                mc.head_dim,
+                store_dtype,
+                max_total_tokens=sa.max_total_tokens,
+                extra_bytes_per_page_layer=(
+                    sa.page_size * nsa_idx_dim * jnp.dtype(mc.dtype).itemsize
+                ),
+            )
         if sa.kv_cache_dtype == "int8" and self.tp_size > 1:
             raise NotImplementedError(
                 "int8 KV does not compose with tp_size>1 yet (the flat "

@@ -66,6 +66,9 @@ def _populate():
     from sglang_tpu.models.qwen3_next import Qwen3NextForCausalLM
 
     register_model(Qwen3NextForCausalLM)
+    from sglang_tpu.models.mamba2 import Mamba2ForCausalLM
+
+    register_model(Mamba2ForCausalLM)
     from sglang_tpu.models.phi3 import Phi3ForCausalLM
 
     register_model(Phi3ForCausalLM)

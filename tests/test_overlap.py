@@ -155,3 +155,60 @@ def test_overlap_memory_clean_after_retraction():
     for rid in rids:
         assert len(outs[rid].output_ids) == 30
     assert sched.check_memory() == 0
+
+
+def test_zombie_chain_rows_exact_and_clean():
+    """Finished requests stay pinned as zombie rows so the chained
+    multi-step dispatch never breaks on a finish: outputs must equal the
+    single-step sync schedule exactly, zombie pages must be released at
+    chain break (no leaks), and zombie prefixes must still land in the
+    radix tree (second pass hits cache)."""
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(3, 250, size=n).tolist() for n in (6, 17, 25, 31, 40)]
+    lens = [3, 7, 15, 26, 40]  # staggered finishes inside chained chunks
+
+    def run(sa, sched=None):
+        sched = sched or Scheduler(sa, tiny_runner(sa))
+        rids, outs, cached = [], {}, {}
+        for p, mn in zip(prompts, lens):
+            rid = uuid.uuid4().hex
+            sched.add_request(
+                TokenizedGenerateReqInput(
+                    rid=rid, input_ids=p,
+                    sampling_params=SamplingParams(
+                        max_new_tokens=mn, temperature=0.0, ignore_eos=True
+                    ),
+                )
+            )
+            rids.append(rid)
+        steps = 0
+        while sched.has_work():
+            for o in sched.step():
+                if o.finished:
+                    outs[o.rid] = o.output_ids
+                    cached[o.rid] = o.cached_tokens
+            steps += 1
+            assert steps < 2000
+        return sched, [outs[r] for r in rids], [cached[r] for r in rids]
+
+    sa_ref = tiny_server_args(
+        enable_overlap_schedule=False, decode_multi_step=1
+    )
+    _, ref, _ = run(sa_ref)
+    sa = tiny_server_args(
+        enable_overlap_schedule=True, decode_multi_step=4,
+        max_running_requests=16,
+    )
+    sched, got, _ = run(sa)
+    assert got == ref
+    assert sched.check_memory() == 0
+    # zombie prefixes were radix-inserted at chain break: a second pass of
+    # the same prompts must hit the cache
+    _, again, cached2 = run(sa, sched=sched)
+    assert again == ref
+    # requests long enough to page-align must hit (short ones can't insert)
+    ps = sched.page_size
+    for (p, mn, c) in zip(prompts, lens, cached2):
+        if len(p) + mn >= 2 * ps:
+            assert c > 0, (len(p), mn, c)
+    assert sched.check_memory() == 0
