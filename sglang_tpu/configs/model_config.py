@@ -254,6 +254,7 @@ class ModelConfig:
             "linear_attention" in lt
             or "mamba" in lt
             or self.model_type in ("mamba2", "falcon_mamba")
+            or bool(self.hf_config.get("attn_layer_indices"))
         )
 
     @property

@@ -69,6 +69,9 @@ def _populate():
     from sglang_tpu.models.mamba2 import Mamba2ForCausalLM
 
     register_model(Mamba2ForCausalLM)
+    from sglang_tpu.models.bamba import BambaForCausalLM
+
+    register_model(BambaForCausalLM)
     from sglang_tpu.models.phi3 import Phi3ForCausalLM
 
     register_model(Phi3ForCausalLM)

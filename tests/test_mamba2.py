@@ -132,3 +132,61 @@ def test_chunked_prefill_state_carry(ckpt):
     prompt = rng.integers(3, 256, size=71).tolist()
     outs = _sched_run(sa, runner, [prompt], max_new=6)
     assert outs["r0"] == _hf_greedy(hf, prompt, 6)
+
+
+# ---------------------------------------------------------------- Bamba
+
+def _make_bamba():
+    from transformers import BambaConfig, BambaForCausalLM
+
+    cfg = BambaConfig(
+        hidden_size=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=96,
+        vocab_size=256,
+        mamba_n_heads=16,
+        mamba_d_head=8,
+        mamba_d_state=16,
+        mamba_n_groups=2,
+        mamba_expand=2,
+        mamba_d_conv=4,
+        attn_layer_indices=[1, 3],
+        tie_word_embeddings=False,
+        rms_norm_eps=1e-5,
+    )
+    torch.manual_seed(1)
+    return BambaForCausalLM(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def bamba_ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("tiny_bamba")
+    model = _make_bamba()
+    model.save_pretrained(path)
+    return str(path), model
+
+
+def test_bamba_hybrid_generation_matches_hf(bamba_ckpt):
+    """Interleaved mamba/attention layers: paged KV on attention layers,
+    slot state pools on mamba layers, outputs == HF greedy."""
+    path, hf = bamba_ckpt
+    sa, runner = _runner(path)
+    assert runner.model.kv_kinds == ["linear", "paged", "linear", "paged"]
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(3, 256, size=int(n)).tolist() for n in (7, 19, 12)]
+    outs = _sched_run(sa, runner, prompts, max_new=8)
+    for i, p in enumerate(prompts):
+        assert outs[f"r{i}"] == _hf_greedy(hf, p, 8), i
+
+
+def test_bamba_chunked_prefill_state_carry(bamba_ckpt):
+    path, hf = bamba_ckpt
+    sa, runner = _runner(path)
+    sa.chunked_prefill_size = 32
+    sa.max_prefill_tokens = 32
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(3, 256, size=55).tolist()
+    outs = _sched_run(sa, runner, [prompt], max_new=6)
+    assert outs["r0"] == _hf_greedy(hf, prompt, 6)
