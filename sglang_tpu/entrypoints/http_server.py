@@ -15,6 +15,7 @@ from __future__ import annotations
 import asyncio
 import json
 import time
+import uuid
 from typing import Optional
 
 from aiohttp import web
@@ -661,6 +662,144 @@ def build_app(state: ServerState) -> web.Application:
             }
         )
 
+    async def v1_responses(request):
+        """OpenAI Responses API (reference `entrypoints/openai/
+        serving_responses.py`): `input` is a string or message list,
+        `instructions` becomes the system message; streaming emits
+        response.created / response.output_text.delta /
+        response.completed SSE events."""
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        body = await request.json()
+        if body.get("previous_response_id"):
+            return web.json_response(
+                {"error": "previous_response_id is not supported"}, status=400
+            )
+        messages = []
+        if body.get("instructions"):
+            messages.append({"role": "system", "content": body["instructions"]})
+        inp = body.get("input", "")
+        if isinstance(inp, str):
+            messages.append({"role": "user", "content": inp})
+        else:
+            for m in inp:
+                content = m.get("content", "")
+                if isinstance(content, list):
+                    content = "".join(
+                        p.get("text", "")
+                        for p in content
+                        if p.get("type") in ("input_text", "output_text", "text")
+                    )
+                messages.append({"role": m.get("role", "user"), "content": content})
+        try:
+            prompt = state.tokenizer.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True
+            )
+        except Exception as e:
+            return web.json_response({"error": f"chat template: {e}"}, status=400)
+        sp = {
+            "max_new_tokens": body.get("max_output_tokens")
+            or body.get("max_tokens")
+            or 1024,
+            "temperature": body.get("temperature", 1.0),
+            "top_p": body.get("top_p", 1.0),
+        }
+        stream = bool(body.get("stream"))
+        gri = GenerateReqInput(text=prompt, sampling_params=sp, stream=stream)
+        treq = state.tm.tokenize(gri)
+        rid = f"resp_{uuid.uuid4().hex[:24]}"
+        mid = f"msg_{uuid.uuid4().hex[:24]}"
+        model = body.get("model") or state.server_args.served_model_name
+        created = now()
+
+        def _final(text, out):
+            return {
+                "id": rid,
+                "object": "response",
+                "created_at": created,
+                "model": model,
+                "status": "completed",
+                "output": [
+                    {
+                        "type": "message",
+                        "id": mid,
+                        "role": "assistant",
+                        "status": "completed",
+                        "content": [
+                            {"type": "output_text", "text": text, "annotations": []}
+                        ],
+                    }
+                ],
+                "usage": {
+                    "input_tokens": out.prompt_tokens,
+                    "output_tokens": out.completion_tokens,
+                    "total_tokens": out.prompt_tokens + out.completion_tokens,
+                },
+            }
+
+        if not stream:
+            out = await _collect_raw(state, treq)
+            return web.json_response(_final(out.output_str, out))
+        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+
+        async def ev(name, data):
+            await resp.write(
+                f"event: {name}\ndata: {json.dumps(data)}\n\n".encode()
+            )
+
+        await ev(
+            "response.created",
+            {"type": "response.created", "response": {"id": rid, "object": "response", "status": "in_progress", "model": model}},
+        )
+        text = ""
+        last = None
+        async for out in state.tm.generate_request(treq):
+            last = out
+            if out.new_text:
+                text += out.new_text
+                await ev(
+                    "response.output_text.delta",
+                    {
+                        "type": "response.output_text.delta",
+                        "item_id": mid,
+                        "output_index": 0,
+                        "content_index": 0,
+                        "delta": out.new_text,
+                    },
+                )
+        await ev(
+            "response.output_text.done",
+            {
+                "type": "response.output_text.done",
+                "item_id": mid,
+                "output_index": 0,
+                "content_index": 0,
+                "text": text,
+            },
+        )
+        await ev(
+            "response.completed",
+            {"type": "response.completed", "response": _final(text, last)},
+        )
+        await resp.write_eof()
+        return resp
+
+    async def v1_audio_transcriptions(request):
+        """Reference `/v1/audio/transcriptions` — served only by
+        audio-capable models (whisper-class); none are registered in this
+        build, so the route reports capability honestly."""
+        return web.json_response(
+            {
+                "error": {
+                    "message": "no audio-capable model is loaded "
+                    "(audio transcription requires a whisper-class model)",
+                    "type": "invalid_request_error",
+                }
+            },
+            status=501,
+        )
+
     async def v1_chat_completions(request):
         if not _auth_ok(state, request):
             return web.Response(status=401, text="unauthorized")
@@ -1015,6 +1154,8 @@ def build_app(state: ServerState) -> web.Application:
     r.add_get("/v1/models", v1_models)
     r.add_post("/v1/completions", v1_completions)
     r.add_post("/v1/chat/completions", v1_chat_completions)
+    r.add_post("/v1/responses", v1_responses)
+    r.add_post("/v1/audio/transcriptions", v1_audio_transcriptions)
     return app
 
 

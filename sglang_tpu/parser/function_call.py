@@ -154,12 +154,253 @@ class MistralDetector(BaseDetector):
         return ParseResult(normal.strip(), calls)
 
 
+class DeepSeekV3Detector(BaseDetector):
+    """DeepSeek-V3/R1 (reference `deepseekv3_detector.py`):
+    <｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function<｜tool▁sep｜>NAME
+    ```json
+    {args}
+    ```<｜tool▁call▁end｜>…<｜tool▁calls▁end｜>"""
+
+    BOT = "<｜tool▁calls▁begin｜>"
+    CALL = re.compile(r"<｜tool▁call▁begin｜>.*?<｜tool▁call▁end｜>", re.DOTALL)
+    DETAIL = re.compile(
+        r"<｜tool▁call▁begin｜>(.*)<｜tool▁sep｜>(.*?)\n```json\n(.*)\n```",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        if self.BOT not in text:
+            return ParseResult(text, [])
+        normal, rest = text.split(self.BOT, 1)
+        calls = []
+        for blk in self.CALL.findall(rest):
+            m = self.DETAIL.search(blk)
+            if m:
+                args = _try_json(m.group(3).strip())
+                calls.append(
+                    ToolCall(
+                        name=m.group(2).strip(),
+                        arguments=json.dumps(args)
+                        if args is not None
+                        else m.group(3).strip(),
+                    )
+                )
+        return ParseResult(normal.strip(), calls)
+
+
+class DeepSeekV31Detector(BaseDetector):
+    """DeepSeek-V3.1/V3.2: <｜tool▁call▁begin｜>NAME<｜tool▁sep｜>{args}
+    <｜tool▁call▁end｜> (no json fence, no function keyword)."""
+
+    BOT = "<｜tool▁call▁begin｜>"
+    DETAIL = re.compile(
+        r"<｜tool▁call▁begin｜>(.*?)<｜tool▁sep｜>(.*?)<｜tool▁call▁end｜>",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        if self.BOT not in text:
+            return ParseResult(text, [])
+        normal = text.split(self.BOT, 1)[0]
+        calls = []
+        for name, args in self.DETAIL.findall(text):
+            obj = _try_json(args.strip())
+            calls.append(
+                ToolCall(
+                    name=name.strip(),
+                    arguments=json.dumps(obj) if obj is not None else args.strip(),
+                )
+            )
+        return ParseResult(normal.strip(), calls)
+
+
+class KimiK2Detector(BaseDetector):
+    """Kimi K2 (reference `kimik2_detector.py`):
+    <|tool_calls_section_begin|><|tool_call_begin|>functions.NAME:IDX
+    <|tool_call_argument_begin|>{args}<|tool_call_end|>…
+    <|tool_calls_section_end|>"""
+
+    BOT = "<|tool_calls_section_begin|>"
+    CALL = re.compile(
+        r"<\|tool_call_begin\|>\s*(?P<id>[^\s<|]+)\s*"
+        r"<\|tool_call_argument_begin\|>\s*(?P<args>\{.*?\})\s*"
+        r"<\|tool_call_end\|>",
+        re.DOTALL,
+    )
+    ID = re.compile(r"^functions\.(?P<name>.+):\d+$")
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        if self.BOT not in text:
+            return ParseResult(text, [])
+        normal = text.split(self.BOT, 1)[0]
+        calls = []
+        for m in self.CALL.finditer(text):
+            mid = self.ID.match(m.group("id"))
+            name = mid.group("name") if mid else m.group("id")
+            calls.append(ToolCall(name=name, arguments=m.group("args")))
+        return ParseResult(normal.strip(), calls)
+
+
+class Glm4MoeDetector(BaseDetector):
+    """GLM-4.5/4.6 (reference `glm4_moe_detector.py`):
+    <tool_call>NAME\n<arg_key>K</arg_key>\n<arg_value>V</arg_value>…
+    </tool_call> — XML arg pairs converted to a JSON object (values parsed
+    as JSON when possible, else kept as strings)."""
+
+    CALL = re.compile(r"<tool_call>(.*?)</tool_call>", re.DOTALL)
+    KV = re.compile(
+        r"<arg_key>(.*?)</arg_key>\s*<arg_value>(.*?)</arg_value>", re.DOTALL
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return "<tool_call>" in text and "<arg_key>" in text
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for blk in self.CALL.findall(text):
+            head = blk.split("<arg_key>", 1)[0].strip()
+            if not head:
+                continue
+            args = {}
+            for k, v in self.KV.findall(blk):
+                v = v.strip()
+                parsed = _try_json(v)
+                args[k.strip()] = parsed if parsed is not None else v
+            calls.append(ToolCall(name=head, arguments=json.dumps(args)))
+        normal = self.CALL.sub("", text).strip()
+        return ParseResult(normal, calls)
+
+
+class Qwen3CoderDetector(BaseDetector):
+    """Qwen3-Coder (reference `qwen3_coder_detector.py`):
+    <tool_call><function=NAME><parameter=K>V</parameter>…</function>
+    </tool_call>"""
+
+    CALL = re.compile(r"<tool_call>(.*?)</tool_call>", re.DOTALL)
+    FUNC = re.compile(r"<function=(.*?)>(.*?)</function>", re.DOTALL)
+    PARAM = re.compile(
+        r"<parameter=(.*?)>(.*?)(?:</parameter>|(?=<parameter=)|$)", re.DOTALL
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return "<tool_call>" in text and "<function=" in text
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for blk in self.CALL.findall(text):
+            for fm in self.FUNC.finditer(blk):
+                args = {}
+                for k, v in self.PARAM.findall(fm.group(2)):
+                    v = v.strip("\n")
+                    parsed = _try_json(v)
+                    args[k.strip()] = parsed if parsed is not None else v
+                calls.append(
+                    ToolCall(name=fm.group(1).strip(), arguments=json.dumps(args))
+                )
+        normal = self.CALL.sub("", text).strip()
+        return ParseResult(normal, calls)
+
+
+class PythonicDetector(BaseDetector):
+    """Llama-4 pythonic format (reference `pythonic_detector.py`):
+    [tool1(a=1, b="x"), tool2(c=[1,2])] — parsed via ast, values must be
+    literals."""
+
+    PAT = re.compile(r"\[[a-zA-Z_]\w*\(.*\)\s*\]", re.DOTALL)
+
+    def has_tool_call(self, text: str) -> bool:
+        return bool(self.PAT.search(text.strip()))
+
+    def parse(self, text: str) -> ParseResult:
+        import ast
+
+        m = self.PAT.search(text.strip())
+        if not m:
+            return ParseResult(text, [])
+        try:
+            tree = ast.parse(m.group(0), mode="eval")
+        except SyntaxError:
+            return ParseResult(text, [])
+        calls = []
+        if isinstance(tree.body, ast.List):
+            for node in tree.body.elts:
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)
+                ):
+                    continue
+                try:
+                    args = {
+                        kw.arg: ast.literal_eval(kw.value)
+                        for kw in node.keywords
+                    }
+                except (ValueError, SyntaxError):
+                    continue
+                calls.append(
+                    ToolCall(name=node.func.id, arguments=json.dumps(args))
+                )
+        if not calls:
+            return ParseResult(text, [])
+        normal = (text[: m.start()] + text[m.end():]).strip()
+        return ParseResult(normal, calls)
+
+
+class GptOssDetector(BaseDetector):
+    """gpt-oss harmony commentary channel (reference `gpt_oss_detector.py`):
+    <|channel|>commentary to=functions.NAME <|constrain|>json
+    <|message|>{args}<|call|>"""
+
+    PAT = re.compile(
+        r"<\|channel\|>commentary to=(?:functions\.)?([\w.]+)\s*"
+        r"(?:<\|constrain\|>\s*\w+\s*)?<\|message\|>(.*?)(?:<\|call\|>|$)",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return "<|channel|>commentary to=" in text
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for name, args in self.PAT.findall(text):
+            obj = _try_json(args.strip())
+            calls.append(
+                ToolCall(
+                    name=name,
+                    arguments=json.dumps(obj) if obj is not None else args.strip(),
+                )
+            )
+        normal = self.PAT.sub("", text)
+        # strip harmony final-channel framing from the normal text
+        normal = re.sub(r"<\|channel\|>final<\|message\|>", "", normal)
+        return ParseResult(normal.strip(), calls)
+
+
 DETECTORS = {
     "hermes": HermesDetector,
     "qwen25": HermesDetector,
     "qwen": HermesDetector,
     "llama3": Llama3Detector,
+    "llama4": PythonicDetector,
+    "pythonic": PythonicDetector,
     "mistral": MistralDetector,
+    "deepseekv3": DeepSeekV3Detector,
+    "deepseekv31": DeepSeekV31Detector,
+    "deepseekv32": DeepSeekV31Detector,
+    "kimi_k2": KimiK2Detector,
+    "glm45": Glm4MoeDetector,
+    "glm4_moe": Glm4MoeDetector,
+    "qwen3_coder": Qwen3CoderDetector,
+    "gpt-oss": GptOssDetector,
+    "gpt_oss": GptOssDetector,
 }
 
 

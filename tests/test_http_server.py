@@ -564,3 +564,85 @@ def test_proto_openai_passthrough(server):
     assert chunks[-1].finished
     payload = json.loads(chunks[0].json_chunk)
     assert payload["choices"][0]["text"]
+
+
+def test_v1_responses(server):
+    """OpenAI Responses API (reference serving_responses.py): string and
+    message-list inputs, non-stream."""
+    out = _post(
+        server,
+        "/v1/responses",
+        {"input": "w1 w2", "instructions": "w3", "max_output_tokens": 4,
+         "temperature": 0.0},
+    )
+    assert out["object"] == "response"
+    assert out["status"] == "completed"
+    msg = out["output"][0]
+    assert msg["role"] == "assistant"
+    assert msg["content"][0]["type"] == "output_text"
+    assert out["usage"]["output_tokens"] == 4
+    out2 = _post(
+        server,
+        "/v1/responses",
+        {
+            "input": [
+                {"role": "user", "content": [{"type": "input_text", "text": "w1 w2"}]},
+            ],
+            "instructions": "w3",
+            "max_output_tokens": 4,
+            "temperature": 0.0,
+        },
+    )
+    # same effective message list -> same greedy output text
+    assert out2["output"][0]["content"][0]["text"] == msg["content"][0]["text"]
+
+
+def test_v1_responses_streaming(server):
+    import urllib.request
+
+    # the random tiny model greedily emits unmapped/special ids (empty
+    # text), so the delta stream may legitimately be empty; the protocol
+    # contract under test: created -> [deltas] -> done -> completed, with
+    # the final text equal to the joined deltas
+    prompt = "w1 w2"
+    req = urllib.request.Request(
+        server + "/v1/responses",
+        data=json.dumps(
+            {"input": prompt, "max_output_tokens": 6,
+             "temperature": 0.0, "stream": True}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=60) as r:
+        body = r.read().decode()
+    for block in body.split("\n\n"):
+        lines = dict(
+            l.split(": ", 1) for l in block.splitlines() if ": " in l
+        )
+        if "event" in lines:
+            events.append((lines["event"], json.loads(lines["data"])))
+    names = [e[0] for e in events]
+    assert names[0] == "response.created"
+    assert "response.output_text.done" in names
+    assert names[-1] == "response.completed"
+    final = events[-1][1]["response"]
+    deltas = "".join(
+        d["delta"] for n, d in events if n == "response.output_text.delta"
+    )
+    assert final["output"][0]["content"][0]["text"] == deltas
+
+
+def test_v1_audio_transcriptions_unsupported(server):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        server + "/v1/audio/transcriptions", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 501"
+    except urllib.error.HTTPError as e:
+        assert e.code == 501

@@ -191,3 +191,119 @@ def test_streaming_plain_text_passthrough():
     normal, deltas = _push_all(p, "just a plain answer with no calls", chunk=5)
     assert normal == "just a plain answer with no calls"
     assert not deltas and not p.seen_call
+
+
+# ------------------------- model-specific tool-call detectors (F3 breadth)
+
+def _parse(fmt, text, tools=None):
+    from sglang_tpu.parser.function_call import FunctionCallParser
+
+    p = FunctionCallParser(tools=tools, format=fmt)
+    assert p.has_tool_call(text)
+    return p.parse_non_stream(text)
+
+
+def test_deepseekv3_detector():
+    text = (
+        "I'll check the weather.<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>"
+        "function<｜tool▁sep｜>get_weather\n```json\n"
+        '{"location": "Tokyo"}\n```<｜tool▁call▁end｜>\n'
+        "<｜tool▁call▁begin｜>function<｜tool▁sep｜>get_weather\n```json\n"
+        '{"location": "Paris"}\n```<｜tool▁call▁end｜><｜tool▁calls▁end｜>'
+    )
+    normal, calls = _parse("deepseekv3", text)
+    assert normal == "I'll check the weather."
+    assert [c["function"]["name"] for c in calls] == ["get_weather"] * 2
+    import json
+    assert json.loads(calls[1]["function"]["arguments"]) == {"location": "Paris"}
+
+
+def test_deepseekv31_detector():
+    text = (
+        "thinking done<｜tool▁call▁begin｜>search<｜tool▁sep｜>"
+        '{"q": "tpu"}<｜tool▁call▁end｜>'
+    )
+    normal, calls = _parse("deepseekv31", text)
+    assert normal == "thinking done"
+    assert calls[0]["function"]["name"] == "search"
+    assert calls[0]["function"]["arguments"] == '{"q": "tpu"}'
+
+
+def test_kimi_k2_detector():
+    text = (
+        "ok<|tool_calls_section_begin|><|tool_call_begin|>functions.add:0"
+        '<|tool_call_argument_begin|>{"a": 1, "b": 2}<|tool_call_end|>'
+        "<|tool_calls_section_end|>"
+    )
+    normal, calls = _parse("kimi_k2", text)
+    assert normal == "ok"
+    assert calls[0]["function"]["name"] == "add"
+    assert calls[0]["function"]["arguments"] == '{"a": 1, "b": 2}'
+
+
+def test_glm4_moe_detector():
+    import json
+    text = (
+        "done\n<tool_call>get_weather\n"
+        "<arg_key>city</arg_key>\n<arg_value>Beijing</arg_value>\n"
+        "<arg_key>days</arg_key>\n<arg_value>3</arg_value>\n</tool_call>"
+    )
+    normal, calls = _parse("glm45", text)
+    assert normal == "done"
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert json.loads(calls[0]["function"]["arguments"]) == {
+        "city": "Beijing", "days": 3,
+    }
+
+
+def test_qwen3_coder_detector():
+    import json
+    text = (
+        "<tool_call><function=read_file>\n"
+        "<parameter=path>/tmp/x.py</parameter>\n"
+        "<parameter=limit>10</parameter>\n"
+        "</function></tool_call>"
+    )
+    normal, calls = _parse("qwen3_coder", text)
+    assert calls[0]["function"]["name"] == "read_file"
+    assert json.loads(calls[0]["function"]["arguments"]) == {
+        "path": "/tmp/x.py", "limit": 10,
+    }
+
+
+def test_pythonic_detector():
+    import json
+    text = '[get_weather(city="SF", units="c"), tides(hours=[1, 2])]'
+    normal, calls = _parse("llama4", text)
+    assert normal == ""
+    assert [c["function"]["name"] for c in calls] == ["get_weather", "tides"]
+    assert json.loads(calls[1]["function"]["arguments"]) == {"hours": [1, 2]}
+
+
+def test_gpt_oss_detector():
+    text = (
+        "<|channel|>commentary to=functions.get_time <|constrain|>json"
+        '<|message|>{"tz": "UTC"}<|call|>'
+        "<|channel|>final<|message|>It is noon."
+    )
+    normal, calls = _parse("gpt-oss", text)
+    assert calls[0]["function"]["name"] == "get_time"
+    assert calls[0]["function"]["arguments"] == '{"tz": "UTC"}'
+    assert normal == "It is noon."
+
+
+def test_new_detectors_flush_via_streaming_finish():
+    from sglang_tpu.parser.function_call import StreamingFunctionCallParser
+
+    sp = StreamingFunctionCallParser(format="kimi_k2")
+    text = (
+        "pre<|tool_calls_section_begin|><|tool_call_begin|>functions.f:0"
+        '<|tool_call_argument_begin|>{"x": 1}<|tool_call_end|>'
+        "<|tool_calls_section_end|>"
+    )
+    for ch in text:
+        t, d = sp.push(ch)
+        assert d == []
+    normal, deltas = sp.finish()
+    assert normal == "pre"
+    assert deltas[0]["function"]["name"] == "f"
