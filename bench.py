@@ -238,6 +238,13 @@ def main():
         file=sys.stderr,
     )
     print(
+        "# stage max: "
+        + ", ".join(
+            f"{k}={v:.2f}s" for k, v in sorted(sched.stats.stage_max.items())
+        ),
+        file=sys.stderr,
+    )
+    print(
         f"# prefill {sched.stats.num_prefill_tokens} tok in "
         f"{sched.stats.num_prefill_steps} rounds; decode "
         f"{sched.stats.num_decode_tokens} tok in "

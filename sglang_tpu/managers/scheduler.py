@@ -70,6 +70,12 @@ class SchedulerStats:
         from collections import defaultdict
 
         self.stage_time = defaultdict(float)
+        self.stage_max = defaultdict(float)  # worst single occurrence
+
+    def add_stage(self, name: str, dt: float) -> None:
+        self.stage_time[name] += dt
+        if dt > self.stage_max[name]:
+            self.stage_max[name] = dt
 
     def cache_hit_rate(self) -> float:
         total = self.num_prefill_tokens + self.num_cached_tokens
@@ -90,7 +96,10 @@ class _StageTimer:
         return self
 
     def __exit__(self, *exc):
-        self.stats.stage_time[self.name] += time.perf_counter() - self.t0
+        dt = time.perf_counter() - self.t0
+        self.stats.stage_time[self.name] += dt
+        if dt > self.stats.stage_max[self.name]:
+            self.stats.stage_max[self.name] = dt
         return False
 
 
@@ -180,10 +189,16 @@ class Scheduler:
                 server_args, self.runner.model_config
             )
             self.spec = self.draft_worker  # enables the spec decode round
-        elif server_args.speculative_algorithm == "EAGLE":
+        elif server_args.speculative_algorithm in ("EAGLE", "EAGLE3"):
             from sglang_tpu.speculative.eagle_worker import EagleWorker
 
-            self.draft_worker = EagleWorker(server_args, self.runner)
+            self.draft_worker = EagleWorker(
+                server_args,
+                self.runner,
+                mode="eagle3"
+                if server_args.speculative_algorithm == "EAGLE3"
+                else "eagle",
+            )
             self.spec = self.draft_worker
         elif server_args.speculative_algorithm in ("MTP", "NEXTN"):
             from sglang_tpu.speculative.eagle_worker import EagleWorker
@@ -650,7 +665,7 @@ class Scheduler:
         mm_rows, mm_embeds = self._mm_chunk_arrays(all_reqs)
         mrope_pos = self._mrope_chunk_arrays(all_reqs)
         _t_run0 = time.perf_counter()
-        self.stats.stage_time["prefill_prep"] += _t_run0 - _t_prep0
+        self.stats.add_stage("prefill_prep", _t_run0 - _t_prep0)
         if (
             not meta.flags[5]
             and not lora_active
@@ -693,7 +708,7 @@ class Scheduler:
         next_ids = np.asarray(next_ids)
         tok_lp = np.asarray(tok_lp)
         _t_post0 = time.perf_counter()
-        self.stats.stage_time["prefill_run"] += _t_post0 - _t_run0
+        self.stats.add_stage("prefill_run", _t_post0 - _t_run0)
         exec_batch.commit_extend()
         self.stats.num_prefill_tokens += int(
             arrays["extend_lens"][: len(batch.reqs)].sum()
@@ -735,7 +750,7 @@ class Scheduler:
                     outputs.append(out)
         if mixed:
             self.running_batch.filter_finished()
-        self.stats.stage_time["prefill_post"] += time.perf_counter() - _t_post0
+        self.stats.add_stage("prefill_post", time.perf_counter() - _t_post0)
         return outputs
 
     # -------------------------------------------------------------- decode
@@ -1071,8 +1086,8 @@ class Scheduler:
             )
             batch.commit_decode_multi(k)
             self.stats.num_decode_steps += k
-            self.stats.stage_time["decode_dispatch"] += (
-                time.perf_counter() - _t_disp0
+            self.stats.add_stage(
+                "decode_dispatch", time.perf_counter() - _t_disp0
             )
             prev = self._inflight
             inflight = (rows, all_ids, all_lp, last_ids)
@@ -1141,7 +1156,7 @@ class Scheduler:
         )
         first_ids = self._inflight[3] if chained_ids else arrays["input_ids"]
         _t_disp0 = time.perf_counter()
-        self.stats.stage_time["decode_prep"] += _t_disp0 - _t_prep0
+        self.stats.add_stage("decode_prep", _t_disp0 - _t_prep0)
         all_ids, all_lp, last_ids = self.runner.forward_decode_multi(
             first_ids,
             arrays["base_seq_lens"],
@@ -1152,8 +1167,8 @@ class Scheduler:
         )
         batch.commit_decode_multi(k)
         self.stats.num_decode_steps += k
-        self.stats.stage_time["decode_dispatch"] += (
-            time.perf_counter() - _t_disp0
+        self.stats.add_stage(
+            "decode_dispatch", time.perf_counter() - _t_disp0
         )
         prev = self._inflight if chained_ids else None
         self._chain_rows = list(batch.reqs)

@@ -203,6 +203,10 @@ class ModelRunner:
             self.custom_procs.append(fn)
         self._custom_procs_t = tuple(self.custom_procs)
         self.rng_key = jax.random.PRNGKey(server_args.random_seed)
+        # EAGLE3: verify/extend-hidden forwards return multi-layer aux
+        # features instead of the final hidden (set by the spec worker
+        # before the first jit trace)
+        self.capture_aux = False
         self._step_counter = 0
         self._jit_cache = {}
         self._chain = None  # device-resident decode-chunk chain state
@@ -1098,13 +1102,20 @@ class ModelRunner:
         if "verify" not in self._jit_cache:
 
             def _verify(params, kv_layers, fb):
-                hidden, new_kv = self._model_forward(
-                    params, kv_layers, fb, self.attn_backend
-                )
+                if self.capture_aux:
+                    # EAGLE3: the draft consumes multi-layer aux features
+                    hidden, aux, new_kv = self.model.forward_capture_aux(
+                        params, kv_layers, fb, self.attn_backend
+                    )
+                else:
+                    hidden, new_kv = self._model_forward(
+                        params, kv_layers, fb, self.attn_backend
+                    )
+                    aux = hidden
                 logits = self.model.compute_logits(params, hidden)
                 return (
                     jnp.argmax(logits, axis=-1).astype(jnp.int32),
-                    hidden.astype(jnp.float32),
+                    aux.astype(jnp.float32),
                     new_kv,
                 )
 
@@ -1254,6 +1265,11 @@ class ModelRunner:
         if "hidden_all" not in self._jit_cache:
 
             def _fwd(params, kv_layers, fb):
+                if self.capture_aux:
+                    _, aux, new_kv = self.model.forward_capture_aux(
+                        params, kv_layers, fb, self.attn_backend
+                    )
+                    return aux.astype(jnp.float32), new_kv
                 hidden, new_kv = self._model_forward(
                     params, kv_layers, fb, self.attn_backend
                 )

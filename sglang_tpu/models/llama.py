@@ -361,6 +361,33 @@ class LlamaForCausalLM:
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
         return h, new_kv
 
+    # EAGLE3 aux capture: layer indices whose INPUT hidden state is
+    # collected (reference `set_eagle3_layers_to_capture`,
+    # `srt/models/llama.py:798` — default [2, L//2, L-3]). Set by the spec
+    # worker BEFORE the runner's first jit trace.
+    layers_to_capture: List[int] = []
+
+    def forward_capture_aux(
+        self, params, kv_layers, fb: ForwardBatch, attn_backend
+    ):
+        """Like `forward` but also returns concat of the captured layers'
+        input hidden states [T, len(capture)*H] (EAGLE3 draft features)."""
+        c = self.config
+        h = self.embed_tokens(params, fb)
+        new_kv: List[jax.Array] = []
+        aux: List[jax.Array] = []
+        lora = params.get("lora") if fb.lora_ids is not None else None
+        for i in range(self.num_layers):
+            if i in self.layers_to_capture:
+                aux.append(h)
+            ll = lora[i] if lora is not None and i < len(lora) else None
+            h, kv_i = self.decoder_layer(
+                params["layers"][i], h, kv_layers[i], fb, attn_backend, ll
+            )
+            new_kv.append(kv_i)
+        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        return h, jnp.concatenate(aux, axis=-1), new_kv
+
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         """hidden [N, H] -> logits [N, vocab] in fp32 (reference
         `layers/logits_processor.py:241` — last-token pruning happens in the

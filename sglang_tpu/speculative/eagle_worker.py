@@ -80,6 +80,25 @@ class EagleWorker:
                 or server_args.model_path
             )
             cfg.model_path = load_cfg.model_path
+        elif mode == "eagle3":
+            from sglang_tpu.models.eagle3 import Eagle3LlamaForCausalLM
+
+            cfg = ModelConfig.load(
+                server_args.speculative_draft_model_path,
+                dtype=server_args.dtype,
+                context_length=tcfg.context_length,
+            )
+            assert cfg.hidden_size == tcfg.hidden_size, (
+                "EAGLE3 draft hidden size must equal the target's"
+            )
+            # target aux capture (reference set_eagle3_layers_to_capture:
+            # hidden entering layers [2, L//2, L-3]); must be configured
+            # BEFORE the runner's first verify/extend-hidden jit trace
+            L = tcfg.num_hidden_layers
+            cap = sorted({min(2, L - 1), L // 2, max(L - 3, 0)})
+            target_runner.model.layers_to_capture = cap
+            target_runner.capture_aux = True
+            self.model = Eagle3LlamaForCausalLM(cfg, num_aux=len(cap))
         else:
             cfg = ModelConfig.load(
                 server_args.speculative_draft_model_path,
@@ -110,6 +129,12 @@ class EagleWorker:
         self.allocator = PageAllocator(self.num_pages, ps)
         self.backend = target_runner.attn_backend
         self.num_draft = min(server_args.speculative_num_draft_tokens, 7)
+        # target-feature row width: EAGLE3 fuses num_aux captured layers
+        self.feat_dim = (
+            self.model.num_aux * cfg.hidden_size
+            if mode == "eagle3"
+            else cfg.hidden_size
+        )
         self.max_pages_per_req = target_runner.max_pages_per_req
         self.states: Dict[str, _DraftState] = {}
         self._jit_cache: dict = {}
@@ -149,6 +174,19 @@ class EagleWorker:
 
     # ------------------------------------------------------------- steps
 
+    def _head_logits(self, params, tparams, h):
+        """Draft output head: MTP/EAGLE3 carry their own; EAGLE-1 decodes
+        through the TARGET lm_head."""
+        if self.mode in ("mtp", "eagle3"):
+            return self.model.compute_logits(params, h)
+        return self.t_runner.model.compute_logits(tparams, h)
+
+    def _map_ids(self, params, ids):
+        """EAGLE3 d2t: draft-vocab id -> target-vocab id."""
+        if self.mode == "eagle3":
+            return self.model.map_draft_ids(params, ids)
+        return ids
+
     def _extend_topk_fn(self, tt: int, bb: int, tk: int):
         key = ("dext_topk", tt, bb, tk)
         if key not in self._jit_cache:
@@ -158,11 +196,9 @@ class EagleWorker:
                     params, kv, fb, self.backend, feats
                 )
                 h_last = h[last_idx]
-                if self.mode == "mtp":
-                    logits = self.model.compute_logits(params, h_last)
-                else:
-                    logits = self.t_runner.model.compute_logits(tparams, h_last)
+                logits = self._head_logits(params, tparams, h_last)
                 _, top_ids = jax.lax.top_k(logits, tk)
+                top_ids = self._map_ids(params, top_ids.astype(jnp.int32))
                 return top_ids.astype(jnp.int32), h_last, new_kv
 
             self._jit_cache[key] = jax.jit(_ext, donate_argnums=(2,))
@@ -177,11 +213,9 @@ class EagleWorker:
                     params, kv, fb, self.backend, feats
                 )
                 h_last = h[last_idx]  # [bb, H] draft feature per seq
-                if self.mode == "mtp":  # MTP carries its own output head
-                    logits = self.model.compute_logits(params, h_last)
-                else:
-                    logits = self.t_runner.model.compute_logits(tparams, h_last)
-                return jnp.argmax(logits, axis=-1), h_last, new_kv
+                logits = self._head_logits(params, tparams, h_last)
+                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return self._map_ids(params, ids), h_last, new_kv
 
             self._jit_cache[key] = jax.jit(_ext, donate_argnums=(2,))
         return self._jit_cache[key]
@@ -194,11 +228,9 @@ class EagleWorker:
                 h, new_kv = self.model.forward_with_features(
                     params, kv, fb, self.backend, feats
                 )
-                if self.mode == "mtp":
-                    logits = self.model.compute_logits(params, h)
-                else:
-                    logits = self.t_runner.model.compute_logits(tparams, h)
-                return jnp.argmax(logits, axis=-1), h, new_kv
+                logits = self._head_logits(params, tparams, h)
+                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return self._map_ids(params, ids), h, new_kv
 
             self._jit_cache[key] = jax.jit(_dec, donate_argnums=(2,))
         return self._jit_cache[key]
@@ -546,7 +578,7 @@ class EagleWorker:
         cu = np.zeros(bb + 1, dtype=np.int32)
         cu[1 : gb + 1] = np.cumsum(d_ext)
         cu[gb + 1 :] = cu[gb]
-        feats_arr = np.zeros((tt, self.cfg.hidden_size), dtype=np.float32)
+        feats_arr = np.zeros((tt, self.feat_dim), dtype=np.float32)
         feats_arr[:t] = np.concatenate(feats, axis=0)
         fb = make_extend_batch(
             _pad(np.asarray(d_ids, dtype=np.int32), tt),
