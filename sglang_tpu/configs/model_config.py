@@ -107,6 +107,10 @@ class ModelConfig:
         override: Optional[dict] = None,
         revision: Optional[str] = None,
     ) -> "ModelConfig":
+        if "://" in model_path:
+            from sglang_tpu.connector import resolve_model_path
+
+            model_path = resolve_model_path(model_path)
         hf = _load_hf_config_dict(model_path, revision)
         if override:
             hf.update(override)

@@ -138,6 +138,12 @@ def load_safetensors_weights(
         index = GGUFIndex(model_config.model_path)
     else:
         index = SafetensorsIndex(model_config.model_path)
+        qc = model_config.quant_config or {}
+        if qc.get("quant_method", "").lower() == "bitsandbytes":
+            # NF4-packed tensors dequantize transparently at load
+            from sglang_tpu.quantization.bnb import BnbIndex
+
+            index = BnbIndex(index)
     specs = model.param_specs()
     shardings = model.param_shardings()
     params: dict = {"layers": [dict() for _ in range(model.num_layers)]}

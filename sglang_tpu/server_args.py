@@ -163,6 +163,12 @@ class ServerArgs:
     device: str = "auto"  # auto | tpu | cpu
 
     def __post_init__(self):
+        if "://" in self.model_path:
+            # remote weights (file:// s3:// redis://) resolve to a local
+            # cache dir once, up front (reference srt/connector/)
+            from sglang_tpu.connector import resolve_model_path
+
+            self.model_path = resolve_model_path(self.model_path)
         if self.tokenizer_path is None:
             self.tokenizer_path = self.model_path
         if self.served_model_name is None:
