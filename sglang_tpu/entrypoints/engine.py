@@ -175,7 +175,7 @@ class Engine:
                     g.image_data["pixel_values"], dtype=_np.float32
                 )
                 grid = tuple(int(x) for x in g.image_data["grid_thw"])
-                mm_embeds = self.runner.encode_images(pix, grid_thw=grid)
+                mm_embeds = self._encode_images(pix, grid_thw=grid)
                 mrope_positions, mrope_delta = self.runner.model.get_rope_index(
                     ids, [grid]
                 )
@@ -183,7 +183,7 @@ class Engine:
                 pix = _np.asarray(g.image_data, dtype=_np.float32)
                 if pix.ndim == 3:
                     pix = pix[None]
-                mm_embeds = self.runner.encode_images(pix)
+                mm_embeds = self._encode_images(pix)
             mm_positions = _np.where(_np.asarray(ids) == img_tok)[0]
             if len(mm_positions) != mm_embeds.shape[0]:
                 raise ValueError(
@@ -204,6 +204,22 @@ class Engine:
             mrope_positions=mrope_positions,
             mrope_delta=mrope_delta,
         )
+
+    def _encode_images(self, pixel_values, grid_thw=None):
+        """Vision encode — local tower, or the remote encode server when
+        --encode-server-url is set (encode disaggregation, reference
+        `srt/disaggregation/encode_server.py`)."""
+        if self.server_args.encode_server_url:
+            if not hasattr(self, "_encode_client"):
+                from sglang_tpu.disaggregation.encode import EncodeClient
+
+                self._encode_client = EncodeClient(
+                    self.server_args.encode_server_url
+                )
+            return self._encode_client.encode(pixel_values, grid_thw=grid_thw)
+        if grid_thw is not None:
+            return self.runner.encode_images(pixel_values, grid_thw=grid_thw)
+        return self.runner.encode_images(pixel_values)
 
     # -------------------------------------------------------------- async
 

@@ -61,6 +61,9 @@ class ServerArgs:
 
     # HiCache: host-RAM second tier behind the device radix cache
     enable_hierarchical_cache: bool = False
+    # multimodal encode disaggregation: route vision encoding to a remote
+    # encode server (disaggregation/encode.py)
+    encode_server_url: Optional[str] = None
     hicache_size: float = 0.0  # GiB; 0 = 2x the device KV pool
     hicache_write_policy: str = "write_through"
     hicache_storage_dir: Optional[str] = None  # file-backed L3 tier
