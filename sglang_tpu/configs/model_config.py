@@ -81,6 +81,11 @@ class ModelConfig:
     quantization: Optional[str] = None
     quant_config: Optional[dict] = None
     kv_cache_dtype: str = "auto"
+    # SP for the dense parts of MoE models (reference moe_dense_tp_size,
+    # `server_args.py:645`): 1 = replicate dense-MLP weights and shard the
+    # TOKEN axis over "model", skipping the per-layer all-reduce the dense
+    # parts would otherwise pay
+    moe_dense_tp_size: Optional[int] = None
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
 
@@ -94,6 +99,7 @@ class ModelConfig:
             kv_cache_dtype=server_args.kv_cache_dtype,
             override=server_args.model_override(),
             revision=server_args.revision,
+            moe_dense_tp_size=getattr(server_args, "moe_dense_tp_size", None),
         )
 
     @classmethod
@@ -106,6 +112,7 @@ class ModelConfig:
         kv_cache_dtype: str = "auto",
         override: Optional[dict] = None,
         revision: Optional[str] = None,
+        moe_dense_tp_size: Optional[int] = None,
     ) -> "ModelConfig":
         if "://" in model_path:
             from sglang_tpu.connector import resolve_model_path
@@ -121,7 +128,7 @@ class ModelConfig:
             context_length=context_length,
             quantization=quantization,
             kv_cache_dtype=kv_cache_dtype,
-        )
+        )._with_dense_sp(moe_dense_tp_size)
 
     @classmethod
     def from_hf_dict(
@@ -242,6 +249,11 @@ class ModelConfig:
             eos_token_ids=eos_ids,
         )
         return cfg
+
+    def _with_dense_sp(self, moe_dense_tp_size):
+        if moe_dense_tp_size is not None:
+            self.moe_dense_tp_size = moe_dense_tp_size
+        return self
 
     @property
     def is_hybrid(self) -> bool:

@@ -118,6 +118,8 @@ class ModelRunner:
 
         model_cls = get_model_class(self.model_config)
         self.model = model_cls(self.model_config)
+        # models that place sharding constraints (dense-SP) need the mesh
+        self.model.mesh = self.mesh
         # hybrid models (linear attention / Mamba-class layers) carry
         # slot-indexed recurrent state pools instead of paged KV on some
         # layers and need per-seq state slots in the ForwardBatch

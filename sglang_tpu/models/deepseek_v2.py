@@ -90,6 +90,12 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         # (reference `nsa/nsa_indexer.py Indexer`, `nsa_backend.py`;
         # detection parity: `configs/model_config.py:113` keys on the
         # presence of index_topk)
+        # SP for dense layers of the MoE stack (P8): tokens sharded, dense
+        # weights replicated; the mesh handle is attached by the runner
+        self.dense_sp = (
+            config.moe_dense_tp_size == 1 and (hf.get("n_routed_experts") or 0) > 0
+        )
+        self.mesh = None
         self.nsa_index_topk = hf.get("index_topk") or 0
         self.use_nsa = self.nsa_index_topk > 0 and self.use_latent
         if self.use_nsa:
@@ -171,8 +177,14 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             inter = c.intermediate_size
             shapes["gate_up"] = jax.ShapeDtypeStruct((h, 2 * inter), dt)
             shapes["down"] = jax.ShapeDtypeStruct((inter, h), dt)
-            specs["gate_up"] = P(None, "model")
-            specs["down"] = P("model", None)
+            if self.dense_sp:
+                # SP: dense weights replicated, tokens sharded over "model"
+                # (reference moe_dense_tp_size=1, `server_args.py:645`)
+                specs["gate_up"] = P(None, None)
+                specs["down"] = P(None, None)
+            else:
+                specs["gate_up"] = P(None, "model")
+                specs["down"] = P("model", None)
         return shapes, specs
 
     def param_specs(self) -> dict:
@@ -467,6 +479,15 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     ).astype(normed.dtype)
                 h = h + out
             else:
+                if self.dense_sp and self.mesh is not None:
+                    # SP: constrain tokens over "model" so XLA runs the
+                    # replicated-weight dense MLP data-parallel (no
+                    # all-reduce) and gathers only at the residual add
+                    from jax.sharding import NamedSharding
+
+                    normed = jax.lax.with_sharding_constraint(
+                        normed, NamedSharding(self.mesh, P("model", None))
+                    )
                 gu = jnp.dot(
                     normed, lp["gate_up"], preferred_element_type=jnp.float32
                 ).astype(normed.dtype)

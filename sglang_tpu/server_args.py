@@ -112,6 +112,10 @@ class ServerArgs:
     # DP-attention (reference --enable-dp-attention): attention + KV pool
     # sharded over the "data" axis, dense/MoE parts run over dp x tp
     enable_dp_attention: bool = False
+    # SP for the dense parts of MoE models (reference --moe-dense-tp-size):
+    # 1 = replicate dense-MLP weights, shard the token axis over "model"
+    # (skips the dense layers' per-layer all-reduce)
+    moe_dense_tp_size: Optional[int] = None
     nnodes: int = 1
     node_rank: int = 0
     dist_init_addr: Optional[str] = None

@@ -173,3 +173,62 @@ def test_latent_cache_geometry_and_equivalence(tmp_path_factory, monkeypatch):
     runner2 = _parity(str(path), hf)
     assert runner2.model_config.num_key_value_heads == 4
     assert latent_bytes < runner2.kv_pool.bytes_per_page()
+
+
+def test_moe_dense_sp_matches_tp(tmp_path_factory):
+    """SP for dense MoE layers (P8, reference moe_dense_tp_size): with
+    --moe-dense-tp-size 1 the dense layers run token-sharded over the
+    "model" axis with replicated weights; logits must equal the plain TP
+    sharding exactly."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    path = tmp_path_factory.mktemp("tiny_dsv2_sp")
+    cfg = DeepseekV2Config(
+        hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=4, kv_lora_rank=32, q_lora_rank=None,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16, head_dim=8,
+        intermediate_size=96, moe_intermediate_size=32, n_routed_experts=4,
+        num_experts_per_tok=2, n_shared_experts=1, first_k_dense_replace=1,
+        topk_method="greedy", norm_topk_prob=False, routed_scaling_factor=1.0,
+        vocab_size=256, max_position_embeddings=256, tie_word_embeddings=True,
+        aux_loss_alpha=0.0,
+    )
+    torch.manual_seed(7)
+    hf = DeepseekV2ForCausalLM(cfg).eval()
+    hf.save_pretrained(path)
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_utils import tiny_server_args
+
+    def logits_for(**over):
+        sa = tiny_server_args(
+            model_path=str(path), load_format="auto", dtype="float32", **over
+        )
+        mc = ModelConfig.from_server_args(sa)
+        runner = ModelRunner(sa, mc)
+        if over.get("moe_dense_tp_size") == 1:
+            assert runner.model.dense_sp
+        rng = np.random.default_rng(0)
+        prompt = rng.integers(0, 200, size=9).astype(np.int32)
+        ps = runner.page_size
+        n_pages = -(-len(prompt) // ps)
+        pages = list(range(1, 1 + n_pages))
+        out_loc = np.array(
+            [pages[i // ps] * ps + i % ps for i in range(len(prompt))],
+            dtype=np.int32,
+        )
+        pt = np.zeros((1, runner.max_pages_per_req), dtype=np.int32)
+        pt[0, : len(pages)] = pages
+        return runner.forward_extend_logits(
+            prompt, np.arange(len(prompt)), out_loc, pt,
+            np.array([len(prompt)]), np.array([len(prompt)]),
+        )
+
+    base = logits_for(tp_size=2)
+    sp = logits_for(tp_size=2, moe_dense_tp_size=1)
+    np.testing.assert_allclose(sp, base, atol=2e-4, rtol=2e-4)
