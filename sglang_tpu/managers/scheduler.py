@@ -200,6 +200,11 @@ class Scheduler:
                 else "eagle",
             )
             self.spec = self.draft_worker
+        elif server_args.speculative_algorithm == "DFLASH":
+            from sglang_tpu.speculative.dflash_worker import DflashWorker
+
+            self.draft_worker = DflashWorker(server_args, self.runner)
+            self.spec = self.draft_worker
         elif server_args.speculative_algorithm in ("MTP", "NEXTN"):
             from sglang_tpu.speculative.eagle_worker import EagleWorker
 

@@ -28,7 +28,7 @@ QUANT_METHODS = [None, "int8", "int4", "awq", "gptq", "fp8", "w8a8_int8", "w8a8_
 KV_CACHE_DTYPES = ["auto", "bfloat16", "fp8_e4m3", "fp8_e5m2", "int8"]
 ATTENTION_BACKENDS = ["auto", "pallas", "reference"]
 GRAMMAR_BACKENDS = ["native", "none"]
-SPEC_ALGORITHMS = [None, "NGRAM", "EAGLE", "EAGLE3", "STANDALONE", "MTP", "NEXTN"]
+SPEC_ALGORITHMS = [None, "NGRAM", "EAGLE", "EAGLE3", "DFLASH", "STANDALONE", "MTP", "NEXTN"]
 
 
 @dataclass
@@ -216,7 +216,7 @@ class ServerArgs:
         if self.speculative_algorithm is not None:
             self.speculative_algorithm = self.speculative_algorithm.upper()
             if (
-                self.speculative_algorithm in ("STANDALONE", "EAGLE", "EAGLE3")
+                self.speculative_algorithm in ("STANDALONE", "EAGLE", "EAGLE3", "DFLASH")
                 and not self.speculative_draft_model_path
             ):
                 raise ValueError(
@@ -224,7 +224,8 @@ class ServerArgs:
                     "--speculative-draft-model-path"
                 )
             if self.speculative_algorithm not in (
-                "NGRAM", "EAGLE", "EAGLE3", "STANDALONE", "MTP", "NEXTN",
+                "NGRAM", "EAGLE", "EAGLE3", "DFLASH", "STANDALONE", "MTP",
+                "NEXTN",
             ):
                 raise ValueError(
                     f"bad speculative_algorithm {self.speculative_algorithm}"
