@@ -443,6 +443,76 @@ class Engine:
 
     # --------------------------------------------------------------- score
 
+    def diffusion_generate(
+        self,
+        input_ids=None,
+        text: str = None,
+        max_new_tokens: int = 64,
+        block_size: int = 32,
+        mask_id: int = None,
+        threshold: float = 0.95,
+        algorithm: str = "low_confidence",
+    ) -> dict:
+        """Block-diffusion decoding for dLLM checkpoints (reference
+        `srt/dllm/`, LLaDA-class). mask_id defaults to the config's
+        mask_token_id."""
+        from sglang_tpu.dllm import DllmConfig, diffusion_generate
+
+        if input_ids is None:
+            if self.tokenizer is None:
+                raise ValueError("text input requires a tokenizer")
+            input_ids = self.tokenizer.encode(text)
+        mc = self.runner.model_config
+        if mask_id is None:
+            mask_id = mc.hf_config.get("mask_token_id")
+            if mask_id is None:
+                raise ValueError(
+                    "dLLM needs mask_id (config mask_token_id absent)"
+                )
+        cfg = DllmConfig(
+            block_size=block_size, mask_id=int(mask_id),
+            threshold=threshold, algorithm=algorithm,
+        )
+
+        def run():
+            return diffusion_generate(
+                self.runner, self.scheduler.allocator, list(input_ids),
+                max_new_tokens, cfg, set(mc.eos_token_ids),
+            )
+
+        if getattr(self, "tm", None) is not None:
+            # serialize against the scheduler pump thread
+            import threading
+
+            done = threading.Event()
+            box = {}
+
+            def call():
+                try:
+                    box["r"] = run()
+                except Exception as e:
+                    box["e"] = e
+                finally:
+                    done.set()
+
+            self.tm._inbox.put(("call_sync", call))
+            if not done.wait(timeout=600):
+                raise TimeoutError("diffusion_generate timed out")
+            if "e" in box:
+                raise box["e"]
+            out_ids = box["r"]
+        else:
+            out_ids = run()
+        d = {"output_ids": out_ids, "meta_info": {
+            "prompt_tokens": len(input_ids),
+            "completion_tokens": len(out_ids),
+            "algorithm": algorithm,
+            "block_size": block_size,
+        }}
+        if self.tokenizer is not None:
+            d["text"] = self.tokenizer.decode(out_ids)
+        return d
+
     def score(self, prompt: str, choices: List[str]) -> List[float]:
         """Average per-token logprob of each continuation given `prompt`
         (reference `/v1/score` + the DSL `select` scoring,

@@ -785,6 +785,29 @@ def build_app(state: ServerState) -> web.Application:
         await resp.write_eof()
         return resp
 
+    async def diffusion_generate(request):
+        """dLLM block-diffusion decode (reference srt/dllm/): POST
+        {text|input_ids, max_new_tokens, block_size, threshold, mask_id,
+        algorithm}."""
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        body = await request.json()
+        try:
+            out = await state.tm.run_on_scheduler(
+                lambda: state.engine.diffusion_generate(
+                    input_ids=body.get("input_ids"),
+                    text=body.get("text"),
+                    max_new_tokens=int(body.get("max_new_tokens", 64)),
+                    block_size=int(body.get("block_size", 32)),
+                    mask_id=body.get("mask_id"),
+                    threshold=float(body.get("threshold", 0.95)),
+                    algorithm=body.get("algorithm", "low_confidence"),
+                )
+            )
+        except (ValueError, RuntimeError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response(out)
+
     async def v1_audio_transcriptions(request):
         """Reference `/v1/audio/transcriptions` — served only by
         audio-capable models (whisper-class); none are registered in this
@@ -1155,6 +1178,7 @@ def build_app(state: ServerState) -> web.Application:
     r.add_post("/v1/completions", v1_completions)
     r.add_post("/v1/chat/completions", v1_chat_completions)
     r.add_post("/v1/responses", v1_responses)
+    r.add_post("/diffusion_generate", diffusion_generate)
     r.add_post("/v1/audio/transcriptions", v1_audio_transcriptions)
     return app
 

@@ -103,8 +103,13 @@ class ReferenceAttentionBackend(AttentionBackend):
         v = v[fb.token_to_seq]
         kmax = k.shape[1]
         kv_idx = jnp.arange(kmax, dtype=jnp.int32)[None, :]
-        # causal: token at absolute position p attends to kv slots <= p
-        mask = kv_idx <= fb.positions[:, None]  # [T, K]
+        # causal: token at absolute position p attends to kv slots <= p.
+        # dLLM block diffusion overrides the mask position (bidirectional
+        # within the active block) while rope keeps true positions.
+        mask_pos = (
+            fb.mask_positions if fb.mask_positions is not None else fb.positions
+        )
+        mask = kv_idx <= mask_pos[:, None]  # [T, K]
         if sliding_window > 0:
             mask &= kv_idx > (fb.positions[:, None] - sliding_window)
         qg = q.reshape(t, kvh, qpk, d)

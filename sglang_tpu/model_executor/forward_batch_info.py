@@ -87,6 +87,11 @@ class ForwardBatch:
     # indexes the conv/delta-rule state pools; None for pure-attention
     # models -> absent from the treedef)
     state_slots: jax.Array = None  # [B] i32
+    # dLLM block diffusion: per-token mask positions that OVERRIDE
+    # fb.positions in the attention mask only (rope keeps true positions).
+    # Setting every block row's mask position to block_end-1 makes the
+    # block bidirectional while the prefix stays causal.
+    mask_positions: jax.Array = None  # [T] i32
 
     # Static (hashable) metadata
     mode: ForwardMode = field(metadata=dict(static=True), default=ForwardMode.DECODE)

@@ -1235,6 +1235,66 @@ class ModelRunner:
         self.kv_layers = new_kv
         return np.asarray(logits)[:t]
 
+    def forward_dllm_block(
+        self,
+        input_ids: np.ndarray,  # [T] current block guesses (masks included)
+        positions: np.ndarray,  # [T] true positions (rope)
+        mask_positions: np.ndarray,  # [T] attention-mask positions
+        out_cache_loc: np.ndarray,
+        page_table: np.ndarray,
+        seq_lens: np.ndarray,
+        extend_lens: np.ndarray,
+    ) -> np.ndarray:
+        """One dLLM denoising iteration (reference `srt/dllm/algorithm/`):
+        all-position logits over the active block with BIDIRECTIONAL
+        attention inside the block (mask_positions = block_end-1 for the
+        block rows) and causal attention to the prefix. Runs on the jnp
+        reference attention backend — the Pallas kernel's block-diffusion
+        mask is the perf follow-up."""
+        import dataclasses as _dc
+
+        from sglang_tpu.layers.attention.reference_backend import (
+            ReferenceAttentionBackend,
+        )
+
+        self._chain = None
+        t, b = len(input_ids), len(seq_lens)
+        tt = pad_to_bucket(t, self.prefill_token_buckets)
+        bb = pad_to_bucket(b, [self.extend_seq_bucket])
+        cu = np.zeros(bb + 1, dtype=np.int32)
+        cu[1 : b + 1] = np.cumsum(extend_lens)
+        cu[b + 1 :] = cu[b]
+        fb = make_extend_batch(
+            _pad(input_ids, tt),
+            _pad(positions, tt),
+            _pad(out_cache_loc, tt),
+            _pad2(page_table, bb, self.max_pages_per_req),
+            _pad(seq_lens, bb),
+            cu,
+        )
+        fb = _dc.replace(
+            fb, mask_positions=jnp.asarray(_pad(mask_positions, tt))
+        )
+        if self._needs_state_slots:
+            fb = _dc.replace(
+                fb, state_slots=jnp.arange(bb, dtype=jnp.int32)
+            )
+        if "dllm_block" not in self._jit_cache:
+            ref_backend = ReferenceAttentionBackend()
+
+            def _fwd(params, kv_layers, fb):
+                hidden, new_kv = self._model_forward(
+                    params, kv_layers, fb, ref_backend
+                )
+                return self.model.compute_logits(params, hidden), new_kv
+
+            self._jit_cache["dllm_block"] = jax.jit(_fwd, donate_argnums=(1,))
+        logits, new_kv = self._jit_cache["dllm_block"](
+            self.params, self.kv_layers, fb
+        )
+        self.kv_layers = new_kv
+        return np.asarray(logits)[:t]
+
     def forward_extend_hidden(
         self,
         input_ids: np.ndarray,

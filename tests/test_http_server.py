@@ -646,3 +646,15 @@ def test_v1_audio_transcriptions_unsupported(server):
         assert False, "expected 501"
     except urllib.error.HTTPError as e:
         assert e.code == 501
+
+
+def test_diffusion_generate_route(server):
+    out = _post(
+        server,
+        "/diffusion_generate",
+        {"text": "w1 w2 w3", "max_new_tokens": 8, "block_size": 4,
+         "threshold": 0.5, "mask_id": 250},
+    )
+    assert out["meta_info"]["completion_tokens"] == len(out["output_ids"])
+    assert out["meta_info"]["block_size"] == 4
+    assert "text" in out
