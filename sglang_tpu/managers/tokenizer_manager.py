@@ -74,6 +74,14 @@ class TokenizerManager:
                     outputs = self.scheduler.step()
                 except Exception as e:  # engine-fatal: fail all live reqs
                     logger.exception("scheduler step failed")
+                    from sglang_tpu.observability.state_capturer import (
+                        write_crash_dump,
+                    )
+
+                    write_crash_dump(
+                        self.scheduler, e,
+                        getattr(self.server_args, "crash_dump_dir", None),
+                    )
                     self._fail_all(str(e))
                     continue
                 for out in outputs:

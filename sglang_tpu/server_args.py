@@ -133,6 +133,9 @@ class ServerArgs:
     # JSONL file receiving one OTLP-shaped span record per finished request
     # (reference observability/trace.py OTLP export; file-backed here)
     request_span_log: Optional[str] = None
+    # directory receiving crash-state JSON dumps on engine-fatal errors
+    # (reference srt/state_capturer/)
+    crash_dump_dir: Optional[str] = None
 
     # --- Output parsing (chat API) ---
     tool_call_parser: Optional[str] = None  # hermes | llama3 | mistral

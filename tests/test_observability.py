@@ -76,3 +76,43 @@ def test_prometheus_export_after_serving():
     assert sum(sched.stats.stage_time.values()) > 0
     # reconstruct a bench_serving-style median TTFT from the histogram
     assert sched.metrics.ttft.percentile(0.5) > 0
+
+
+def test_crash_dump_captures_state(tmp_path):
+    """Engine-fatal error during a scheduler step writes a postmortem JSON
+    (reference srt/state_capturer/): live request views, pool occupancy,
+    counters, traceback."""
+    import json
+
+    from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from sglang_tpu.managers.scheduler import Scheduler
+    from sglang_tpu.observability.state_capturer import (
+        capture_state,
+        write_crash_dump,
+    )
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from tests.test_utils import tiny_runner, tiny_server_args
+
+    sa = tiny_server_args(crash_dump_dir=str(tmp_path))
+    sched = Scheduler(sa, tiny_runner(sa))
+    sched.add_request(
+        TokenizedGenerateReqInput(
+            rid="c0", input_ids=[3, 4, 5, 6],
+            sampling_params=SamplingParams(max_new_tokens=4, ignore_eos=True),
+        )
+    )
+    sched.step()  # prefill -> running
+    st = capture_state(sched)
+    assert st["running"] or st["waiting"]
+    try:
+        raise RuntimeError("injected failure")
+    except RuntimeError as e:
+        path = write_crash_dump(sched, e, str(tmp_path))
+    assert path is not None
+    dump = json.load(open(path))
+    assert dump["exception"]["type"] == "RuntimeError"
+    assert "injected failure" in dump["exception"]["message"]
+    assert dump["allocator"]["total_pages"] > 0
+    assert any("traceback" in k or k == "traceback" for k in dump["exception"])
+    # disabled dir -> no dump, no masking
+    assert write_crash_dump(sched, RuntimeError("x"), None) is None
