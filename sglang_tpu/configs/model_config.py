@@ -193,7 +193,11 @@ class ModelConfig:
             if qm in ("awq", "gptq"):
                 quantization = qm
             elif qm in ("fp8",):
-                quantization = "fp8"
+                quantization = (
+                    "fp8_block"
+                    if quant_config.get("weight_block_size")
+                    else "fp8"
+                )
             elif qm == "compressed-tensors":
                 # scheme from the first config group (llm-compressor
                 # emits one group for the linear layers)

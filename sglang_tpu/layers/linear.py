@@ -302,6 +302,62 @@ class Fp8Linear(LinearMethod):
         return {"q": q, "s": s.astype(np.float32)}
 
 
+@dataclass
+class Fp8BlockLinear(LinearMethod):
+    """Block-wise FP8 (e4m3) weights — the DeepSeek-V3 W8A8-fp8 storage
+    (reference `quantization/fp8.py` block path, `weight_block_size`
+    [128, 128], scales stored as `weight_scale_inv`).
+
+    q [in, out] e4m3 + s [ceil(in/B), ceil(out/B)] f32; apply dequantizes
+    by block (XLA fuses the broadcast-multiply into the convert, so HBM
+    traffic stays fp8 + the tiny scale grid). Activations stay bf16 on
+    v5e (no native fp8 compute); on fp8 generations the same storage
+    feeds true W8A8.
+    """
+
+    bias: bool = False
+    block: int = 128
+
+    def weight_shapes(self, in_features, out_features, dtype):
+        b = self.block
+        shapes = {
+            "q": jax.ShapeDtypeStruct(
+                (in_features, out_features), jnp.float8_e4m3fn
+            ),
+            "s": jax.ShapeDtypeStruct(
+                (-(-in_features // b), -(-out_features // b)), jnp.float32
+            ),
+        }
+        if self.bias:
+            shapes["b"] = jax.ShapeDtypeStruct((out_features,), dtype)
+        return shapes
+
+    def apply(self, w, x):
+        q, s = w["q"], w["s"]
+        i, o = q.shape
+        b = self.block
+        s_full = jnp.repeat(jnp.repeat(s, b, axis=0), b, axis=1)[:i, :o]
+        wd = (q.astype(jnp.float32) * s_full).astype(x.dtype)
+        y = jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(x.dtype)
+        if "b" in w:
+            y = y + w["b"]
+        return y
+
+    def quantize(self, w_bf16):
+        wf = np.asarray(w_bf16, dtype=np.float32)
+        i, o = wf.shape
+        b = self.block
+        ib, ob = -(-i // b), -(-o // b)
+        pad = np.zeros((ib * b, ob * b), dtype=np.float32)
+        pad[:i, :o] = wf
+        blocks = pad.reshape(ib, b, ob, b)
+        amax = np.abs(blocks).max(axis=(1, 3))
+        s = (amax / 448.0).clip(min=1e-8)
+        qpad = pad / np.repeat(np.repeat(s, b, 0), b, 1)
+        q = qpad[:i, :o].astype(jnp.float8_e4m3fn)
+        return {"q": q, "s": s.astype(np.float32)}
+
+
 def make_linear_method(
     quantization: Optional[str], bias: bool = False, group_size: int = 128
 ) -> LinearMethod:
@@ -317,4 +373,6 @@ def make_linear_method(
         )
     if quantization in ("fp8", "w8a8_fp8"):
         return Fp8Linear(bias=bias)
+    if quantization == "fp8_block":
+        return Fp8BlockLinear(bias=bias, block=group_size)
     raise ValueError(f"unsupported quantization: {quantization}")

@@ -250,6 +250,12 @@ class Scheduler:
         self._deferred: List[Req] = []
 
         # penalty-state slots: stable device-side row per live request
+        # adaptive speculative draft length (reference
+        # speculative/adaptive_spec_params.py): EMA of accepted tokens per
+        # verify round shrinks/grows the next round's draft budget
+        self._spec_accept_ema: float = float(
+            server_args.speculative_num_draft_tokens
+        )
         self.max_slots = self.runner.slots_budget()
         self._slot_pool: List[int] = list(range(self.max_slots - 1, -1, -1))
         self.runner.set_max_slots(self.max_slots)
@@ -787,6 +793,16 @@ class Scheduler:
                 return False
         return True
 
+    def _spec_k(self) -> int:
+        """Draft length for the next verify round: EMA(accepted)+1, capped
+        by the configured maximum — short drafts when acceptance is poor
+        keep the verify rows (and wasted KV writes) proportional to the
+        realized speedup (reference adaptive_spec_params.py)."""
+        return max(1, min(self.spec.num_draft, int(self._spec_accept_ema) + 1))
+
+    def _spec_observe_accept(self, n: int) -> None:
+        self._spec_accept_ema = 0.8 * self._spec_accept_ema + 0.2 * n
+
     def _forward_spec_decode_tree(self) -> List[ReqStrOutput]:
         """Tree speculation (EAGLE-2-lite): the draft proposes tree_width
         root-branched candidate paths per request; ALL paths verify in one
@@ -805,7 +821,7 @@ class Scheduler:
         capped: List[List[List[int]]] = []
         for r, paths in zip(reqs, trees):
             k_cap = min(
-                self.spec.num_draft,
+                self._spec_k(),
                 self.max_context_len - r.seqlen - 1,
                 r.sampling_params.max_new_tokens - len(r.output_ids) - 1,
             )
@@ -912,6 +928,7 @@ class Scheduler:
             self.stats.num_spec_steps += 1
             self.stats.num_spec_accepted += len(acc)
             self.stats.num_decode_tokens += len(acc)
+            self._spec_observe_accept(len(acc))
             for tok in acc:
                 self._append_token(r, int(tok), 0.0)
                 if r.finished():
@@ -965,7 +982,7 @@ class Scheduler:
         drafts: List[List[int]] = []
         for r, d in zip(reqs, raw):
             k_cap = min(
-                self.spec.num_draft,
+                self._spec_k(),
                 self.max_context_len - r.seqlen - 1,
                 r.sampling_params.max_new_tokens - len(r.output_ids) - 1,
             )
@@ -1032,6 +1049,7 @@ class Scheduler:
             self.stats.num_spec_steps += 1
             self.stats.num_spec_accepted += len(acc)
             self.stats.num_decode_tokens += len(acc)
+            self._spec_observe_accept(len(acc))
             for tok in acc:
                 self._append_token(r, int(tok), 0.0)
                 if r.finished():
@@ -1075,6 +1093,11 @@ class Scheduler:
         fresh dispatch costs several RTTs; a chained one costs ~1 ms)."""
         batch = self.running_batch
         k = self.server_args.decode_multi_step
+        if any(r.stream for r in batch.reqs):
+            # streaming requests: cap the fused chunk so inter-token
+            # latency is bounded by stream_interval (adaptive multi-step;
+            # offline batches keep the full K)
+            k = max(4, min(k, self.server_args.stream_interval))
         outputs: List[ReqStrOutput] = []
         rows = self._chain_rows
         # device rows (incl. zombies) still project onto the live batch?
@@ -1084,7 +1107,10 @@ class Scheduler:
         )
         if chain_valid and self.runner.decode_chain_ready():
             # zero-upload dispatch: page table, sampling state, first ids,
-            # base seq lens, and rng are all device-resident
+            # base seq lens, and rng are all device-resident. The chain
+            # replays the K it was compiled with (adaptive K only changes
+            # at fresh dispatches).
+            k = self.runner._chain["k"]
             _t_disp0 = time.perf_counter()
             all_ids, all_lp, last_ids = (
                 self.runner.forward_decode_multi_chained()

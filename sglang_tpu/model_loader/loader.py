@@ -63,10 +63,39 @@ class SafetensorsIndex:
         fname = self.name_to_file[name]
         if fname not in self._open_files:
             self._open_files[fname] = safe_open(fname, framework="numpy")
-        return self._open_files[fname].get_tensor(name)
+        try:
+            return self._open_files[fname].get_tensor(name)
+        except (AttributeError, TypeError):
+            # dtypes this safetensors build cannot map (float8_*): parse
+            # the file header directly and view the bytes as ml_dtypes
+            return _raw_read_safetensor(fname, name)
 
     def close(self):
         self._open_files.clear()
+
+
+def _raw_read_safetensor(fname: str, name: str) -> np.ndarray:
+    """Minimal safetensors reader for dtypes the installed backends choke
+    on (fp8): 8-byte LE header length | JSON header | raw data."""
+    import ml_dtypes
+    import struct
+
+    raw_dtypes = {
+        "F8_E4M3": ml_dtypes.float8_e4m3fn,
+        "F8_E5M2": ml_dtypes.float8_e5m2,
+        "BF16": ml_dtypes.bfloat16,
+    }
+    with open(fname, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        meta = header[name]
+        dt = raw_dtypes.get(meta["dtype"])
+        if dt is None:
+            raise TypeError(f"unsupported raw dtype {meta['dtype']} for {name}")
+        lo, hi = meta["data_offsets"]
+        f.seek(8 + hlen + lo)
+        buf = f.read(hi - lo)
+    return np.frombuffer(buf, dtype=dt).reshape(meta["shape"]).copy()
 
 
 def _device_put_leafdict(
@@ -122,7 +151,10 @@ def load_model_weights(
         from sglang_tpu.quantization.ingest import load_prequantized_weights
 
         return load_prequantized_weights(model, model_config, mesh)
-    if model_config.quantization in ("awq", "gptq") and model_config.quant_config:
+    if (
+        model_config.quantization in ("awq", "gptq", "fp8_block")
+        and model_config.quant_config
+    ):
         from sglang_tpu.quantization.ingest import load_prequantized_weights
 
         return load_prequantized_weights(model, model_config, mesh)

@@ -91,6 +91,9 @@ class LlamaForCausalLM:
         group = 128
         if c.quant_config:
             group = c.quant_config.get("group_size", 128)
+            wbs = c.quant_config.get("weight_block_size")
+            if wbs:  # fp8 block quant: [block_in, block_out]
+                group = int(wbs[0])
         self.methods: Dict[str, LinearMethod] = {
             "qkv": make_linear_method(c.quantization, bias=self.qkv_bias, group_size=group),
             "o": make_linear_method(c.quantization, bias=self.o_bias, group_size=group),

@@ -138,6 +138,29 @@ def load_one_compressed(index, prefix: str) -> Dict[str, np.ndarray]:
     return {"q": q, "s": s_}
 
 
+def load_one_fp8_block(index, prefix: str):
+    """DeepSeek-V3-style block-fp8 linear: `weight` [out, in] e4m3 +
+    `weight_scale_inv` [out/B, in/B] f32 (the DEQUANT multiplier) -> our
+    [in, out] q + [in/B, out/B] s layout (reference fp8 block path)."""
+    import ml_dtypes
+
+    q = np.asarray(index.get(f"{prefix}.weight"))
+    q = q.view(ml_dtypes.float8_e4m3fn) if q.dtype == np.uint8 else q
+    s_ = np.asarray(
+        index.get(f"{prefix}.weight_scale_inv"), dtype=np.float32
+    )
+    return {"q": np.ascontiguousarray(q.T), "s": np.ascontiguousarray(s_.T)}
+
+
+def _concat_fp8_block(parts):
+    # fused sources concat on the OUT axis; every source's out dim must be
+    # whole blocks for the scale grids to concatenate
+    return {
+        "q": np.concatenate([p["q"] for p in parts], axis=1),
+        "s": np.concatenate([p["s"] for p in parts], axis=1),
+    }
+
+
 def _concat_int8(parts: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {
         "q": np.concatenate([p["q"] for p in parts], axis=1),
@@ -154,7 +177,7 @@ def load_prequantized_weights(model, model_config, mesh) -> dict:
     )
     from sglang_tpu.model_loader.weight_mapping import get_in_tree, set_in_tree
 
-    method = model_config.quantization  # "awq" | "gptq" | int8 schemes
+    method = model_config.quantization  # "awq" | "gptq" | fp8_block | int8
     qc = model_config.quant_config or {}
     compressed = qc.get("quant_method", "").lower() == "compressed-tensors"
     loader_fn = load_one_awq if method == "awq" else load_one_gptq
@@ -166,7 +189,13 @@ def load_prequantized_weights(model, model_config, mesh) -> dict:
     for rule in model.weight_rules():
         if rule.kind == "linear":
             prefixes = [s[: -len(".weight")] for s in rule.sources]
-            if compressed and index.has(f"{prefixes[0]}.weight_scale"):
+            if method == "fp8_block" and index.has(
+                f"{prefixes[0]}.weight_scale_inv"
+            ):
+                value = _concat_fp8_block(
+                    [load_one_fp8_block(index, p) for p in prefixes]
+                )
+            elif compressed and index.has(f"{prefixes[0]}.weight_scale"):
                 value = _concat_int8(
                     [load_one_compressed(index, p) for p in prefixes]
                 )

@@ -157,3 +157,116 @@ def test_unknown_scheme_rejected():
 
     with pytest.raises(ValueError, match="unsupported"):
         resolve_model_path("gs://bucket/model")
+
+
+# ------------------------------------------------------- blockwise FP8 (Q1)
+
+def test_fp8_block_quantize_roundtrip():
+    import jax.numpy as jnp
+
+    from sglang_tpu.layers.linear import Fp8BlockLinear
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((96, 64)).astype(np.float32) * 0.2
+    m = Fp8BlockLinear(block=32)
+    q = m.quantize(w)
+    assert q["q"].shape == (96, 64) and q["s"].shape == (3, 2)
+    x = rng.standard_normal((5, 96)).astype(np.float32)
+    got = np.asarray(m.apply({k: jnp.asarray(v) for k, v in q.items()}, jnp.asarray(x)))
+    want = x @ w
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.06, rel
+
+
+def _export_fp8_block(src_dir, dst_dir, block=32):
+    """Re-export a float checkpoint in DeepSeek-style block-fp8 form:
+    `weight` e4m3 [out, in] + `weight_scale_inv` [out/B, in/B]."""
+    import ml_dtypes
+    import safetensors.numpy
+
+    from sglang_tpu.layers.linear import Fp8BlockLinear
+
+    os.makedirs(dst_dir, exist_ok=True)
+    tensors = safetensors.numpy.load_file(
+        os.path.join(src_dir, "model.safetensors")
+    )
+    m = Fp8BlockLinear(block=block)
+    out = {}
+    for name, w in tensors.items():
+        if (
+            w.ndim == 2 and "embed" not in name and "lm_head" not in name
+            and w.shape[0] % block == 0 and w.shape[1] % block == 0
+        ):
+            q = m.quantize(np.asarray(w, dtype=np.float32).T)  # [in, out]
+            out[name] = np.ascontiguousarray(q["q"].T)  # back to [out, in]
+            out[name + "_scale_inv"] = np.ascontiguousarray(q["s"].T)
+        else:
+            out[name] = w
+    assert out[next(k for k in out if k.endswith("_scale_inv"))].dtype == np.float32
+    # true F8_E4M3 on-disk dtype needs the flax backend (numpy's lacks fp8)
+    import jax.numpy as jnp
+    import safetensors.flax
+
+    safetensors.flax.save_file(
+        {k: jnp.asarray(v) for k, v in out.items()},
+        os.path.join(dst_dir, "model.safetensors"),
+    )
+    with open(os.path.join(src_dir, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["quantization_config"] = {
+        "quant_method": "fp8",
+        "fmt": "e4m3",
+        "weight_block_size": [block, block],
+        "activation_scheme": "dynamic",
+    }
+    with open(os.path.join(dst_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
+def test_fp8_block_checkpoint_serves(tmp_path_factory):
+    """DeepSeek-style block-fp8 checkpoint through the normal engine path:
+    quantization auto-detects as fp8_block and logits track the float
+    model (reference fp8.py block path + weight_scale_inv ingest)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    src = tmp_path_factory.mktemp("fp8b_src")
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    torch.manual_seed(5)
+    hf = LlamaForCausalLM(cfg).eval()
+    hf.save_pretrained(src)
+    dst = tmp_path_factory.mktemp("fp8b_ckpt")
+    _export_fp8_block(str(src), str(dst), block=32)
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_utils import tiny_server_args
+
+    sa = tiny_server_args(model_path=str(dst), load_format="auto", dtype="float32")
+    mc = ModelConfig.from_server_args(sa)
+    assert mc.quantization == "fp8_block"
+    runner = ModelRunner(sa, mc)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 250, size=11).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(prompt[None].astype(np.int64))).logits[0].numpy()
+    ps = runner.page_size
+    n_pages = -(-len(prompt) // ps)
+    pages = list(range(1, 1 + n_pages))
+    out_loc = np.array(
+        [pages[i // ps] * ps + i % ps for i in range(len(prompt))],
+        dtype=np.int32,
+    )
+    pt = np.zeros((1, runner.max_pages_per_req), dtype=np.int32)
+    pt[0, : len(pages)] = pages
+    got = runner.forward_extend_logits(
+        prompt, np.arange(len(prompt)), out_loc, pt,
+        np.array([len(prompt)]), np.array([len(prompt)]),
+    )
+    corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
+    assert corr > 0.99, corr
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.85, agree
