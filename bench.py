@@ -202,31 +202,41 @@ def main():
     _warm_all_buckets(sched, runner, mc)
     print(f"# warmup done at {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    for i in range(num_prompts):
-        sched.add_request(
-            TokenizedGenerateReqInput(
-                rid=f"r{i}",
-                input_ids=rng.integers(
-                    3, mc.vocab_size - 1, size=int(in_lens[i])
-                ).tolist(),
-                sampling_params=SamplingParams(
-                    max_new_tokens=int(out_lens[i]),
-                    ignore_eos=True,
-                    temperature=0.0,
-                ),
+    # THREE measured passes, median reported: the tunneled runtime's
+    # per-dispatch latency varies run to run (measured 595-957 tok/s on
+    # identical code); the median is the honest point estimate. The radix
+    # cache is flushed between passes so each pass does the same work.
+    n_pass = 1 if tiny else int(os.environ.get("BENCH_PASSES", "3"))
+    results = []
+    for p in range(n_pass):
+        for i in range(num_prompts):
+            sched.add_request(
+                TokenizedGenerateReqInput(
+                    rid=f"p{p}r{i}",
+                    input_ids=rng.integers(
+                        3, mc.vocab_size - 1, size=int(in_lens[i])
+                    ).tolist(),
+                    sampling_params=SamplingParams(
+                        max_new_tokens=int(out_lens[i]),
+                        ignore_eos=True,
+                        temperature=0.0,
+                    ),
+                )
             )
-        )
-    t1 = time.perf_counter()
-    done = 0
-    gen_tokens = 0
-    while sched.has_work():
-        for out in sched.step():
-            if out.finished:
-                done += 1
-                gen_tokens += out.completion_tokens
-    elapsed = time.perf_counter() - t1
-    assert done == num_prompts, f"{done}/{num_prompts} finished"
-    toks_per_s = gen_tokens / elapsed
+        t1 = time.perf_counter()
+        done = 0
+        gen_tokens = 0
+        while sched.has_work():
+            for out in sched.step():
+                if out.finished:
+                    done += 1
+                    gen_tokens += out.completion_tokens
+        elapsed = time.perf_counter() - t1
+        assert done == num_prompts, f"{done}/{num_prompts} finished"
+        results.append(gen_tokens / elapsed)
+        print(f"# pass {p}: {results[-1]:.1f} tok/s", file=sys.stderr)
+        sched.flush_cache()
+    toks_per_s = sorted(results)[len(results) // 2]
     # where the scheduler thread spent the measured window (host view;
     # "dispatch" includes device wait when the pipeline is not deep enough)
     stages = dict(sched.stats.stage_time)
