@@ -203,9 +203,12 @@ class ModelConfig:
                 # emits one group for the linear layers)
                 groups = quant_config.get("config_groups", {})
                 g0 = next(iter(groups.values()), {}) if groups else {}
-                wbits = (g0.get("weights") or {}).get("num_bits", 8)
+                wcfg = g0.get("weights") or {}
+                wbits = wcfg.get("num_bits", 8)
                 acts = g0.get("input_activations")
-                if wbits == 8:
+                if wcfg.get("type") == "float" and wbits == 8:
+                    quantization = "fp8"  # ct FP8 scheme (per-channel)
+                elif wbits == 8:
                     quantization = "w8a8_int8" if acts else "int8"
                 else:
                     quantization = "int4"

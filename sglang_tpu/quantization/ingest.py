@@ -161,6 +161,17 @@ def _concat_fp8_block(parts):
     }
 
 
+def load_one_compressed_fp8(index, prefix: str):
+    """compressed-tensors FP8 linear: `weight` [out, in] e4m3 +
+    `weight_scale` per-channel f32 -> Fp8Linear layout ([in, out] q +
+    [1, out] s; reference compressed_tensors fp8 scheme)."""
+    q = np.ascontiguousarray(np.asarray(index.get(f"{prefix}.weight")).T)
+    s_ = np.asarray(
+        index.get(f"{prefix}.weight_scale"), dtype=np.float32
+    ).reshape(1, -1)
+    return {"q": q, "s": s_}
+
+
 def _concat_int8(parts: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {
         "q": np.concatenate([p["q"] for p in parts], axis=1),
@@ -196,9 +207,12 @@ def load_prequantized_weights(model, model_config, mesh) -> dict:
                     [load_one_fp8_block(index, p) for p in prefixes]
                 )
             elif compressed and index.has(f"{prefixes[0]}.weight_scale"):
-                value = _concat_int8(
-                    [load_one_compressed(index, p) for p in prefixes]
+                loader = (
+                    load_one_compressed_fp8
+                    if method == "fp8"
+                    else load_one_compressed
                 )
+                value = _concat_int8([loader(index, p) for p in prefixes])
             elif index.has(f"{prefixes[0]}.qweight"):
                 parts = [loader_fn(index, p) for p in prefixes]
                 value = to_int4_layout(parts)

@@ -379,3 +379,83 @@ def test_compressed_tensors_checkpoint(tmp_path):
         np.array([len(prompt)]), np.array([len(prompt)]),
     )
     np.testing.assert_allclose(logits, hf_logits, atol=5e-3, rtol=5e-3)
+
+
+def test_compressed_tensors_fp8_scheme(tmp_path_factory):
+    """compressed-tensors FP8 (Q6): ct config with float 8-bit weights maps
+    onto the Fp8Linear per-channel layout; logits track the float model."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    import safetensors.flax
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    src = tmp_path_factory.mktemp("ctfp8_src")
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    torch.manual_seed(9)
+    hf = LlamaForCausalLM(cfg).eval()
+    hf.save_pretrained(src)
+
+    import safetensors.numpy
+
+    tensors = safetensors.numpy.load_file(
+        os.path.join(src, "model.safetensors")
+    )
+    dst = tmp_path_factory.mktemp("ctfp8_ckpt")
+    out = {}
+    for name, w in tensors.items():
+        if w.ndim == 2 and "embed" not in name and "norm" not in name:
+            wf = np.asarray(w, dtype=np.float32)  # [out, in]
+            amax = np.abs(wf).max(axis=1, keepdims=True)
+            s = (amax / 448.0).clip(min=1e-8)
+            out[name] = jnp.asarray(wf / s, dtype=jnp.float8_e4m3fn)
+            out[name + "_scale"] = jnp.asarray(s.reshape(-1), dtype=jnp.float32)
+        else:
+            out[name] = jnp.asarray(w)
+    safetensors.flax.save_file(out, os.path.join(dst, "model.safetensors"))
+    with open(os.path.join(src, "config.json")) as f:
+        c = json.load(f)
+    c["quantization_config"] = {
+        "quant_method": "compressed-tensors",
+        "config_groups": {
+            "group_0": {
+                "weights": {"num_bits": 8, "type": "float", "strategy": "channel"},
+                "input_activations": None,
+            }
+        },
+    }
+    with open(os.path.join(dst, "config.json"), "w") as f:
+        json.dump(c, f)
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_utils import tiny_server_args
+
+    sa = tiny_server_args(model_path=str(dst), load_format="auto", dtype="float32")
+    mc = ModelConfig.from_server_args(sa)
+    assert mc.quantization == "fp8"
+    runner = ModelRunner(sa, mc)
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(3, 250, size=10).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(prompt[None].astype(np.int64))).logits[0].numpy()
+    ps = runner.page_size
+    pages = list(range(1, 1 + (-(-len(prompt) // ps))))
+    out_loc = np.array(
+        [pages[i // ps] * ps + i % ps for i in range(len(prompt))], dtype=np.int32
+    )
+    pt = np.zeros((1, runner.max_pages_per_req), dtype=np.int32)
+    pt[0, : len(pages)] = pages
+    got = runner.forward_extend_logits(
+        prompt, np.arange(len(prompt)), out_loc, pt,
+        np.array([len(prompt)]), np.array([len(prompt)]),
+    )
+    corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
+    assert corr > 0.99, corr
