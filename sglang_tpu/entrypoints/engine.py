@@ -184,7 +184,12 @@ class Engine:
                 if pix.ndim == 3:
                     pix = pix[None]
                 mm_embeds = self._encode_images(pix)
-            mm_positions = _np.where(_np.asarray(ids) == img_tok)[0]
+            vid_tok = getattr(self.runner.model, "video_token_id", None)
+            ids_arr = _np.asarray(ids)
+            is_mm = ids_arr == img_tok
+            if vid_tok is not None:
+                is_mm |= ids_arr == vid_tok
+            mm_positions = _np.where(is_mm)[0]
             if len(mm_positions) != mm_embeds.shape[0]:
                 raise ValueError(
                     f"prompt has {len(mm_positions)} image-placeholder "

@@ -91,6 +91,10 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         self.temporal_patch = v.get("temporal_patch_size", 2)
         self.merge = v.get("spatial_merge_size", 2)
         self.image_token_id = hf.get("image_token_id", 151655)
+        # video spans reuse the image pipeline: same ViT (temporal patches
+        # tile the grid's t axis), same rope-index math (reference
+        # get_rope_index handles both token kinds)
+        self.video_token_id = hf.get("video_token_id", 151656)
         self.vision_start_id = hf.get("vision_start_token_id", 151652)
         rs = hf.get("rope_scaling") or {}
         self.mrope_section = tuple(rs.get("mrope_section", []))
@@ -291,7 +295,7 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         st = 0
         i = 0
         while i < T:
-            if input_ids[i] == self.image_token_id:
+            if input_ids[i] in (self.image_token_id, self.video_token_id):
                 t, h, w = next(img_iter)
                 lh, lw = h // m, w // m
                 n = t * lh * lw

@@ -126,3 +126,42 @@ def test_text_only_matches_hf(setup):
                          "ignore_eos": True},
     )
     assert out["output_ids"] == ref
+
+
+VGRID = (2, 4, 4)  # 2 temporal patch groups -> 8 merged video tokens
+N_VID = 8
+
+
+def test_generate_with_video_matches_hf(setup):
+    """Video spans (C17): the same ViT tiles the temporal axis and
+    get_rope_index advances the t coordinate per frame; greedy output
+    must equal HF with pixel_values_videos."""
+    hf, eng = setup
+    rng = np.random.default_rng(5)
+    pre = rng.integers(3, 240, size=3).tolist()
+    post = rng.integers(3, 240, size=4).tolist()
+    ids = pre + [VSTART] + [VID_TOK] * N_VID + post
+    npatch = VGRID[0] * VGRID[1] * VGRID[2]
+    pix = rng.standard_normal((npatch, 3 * 2 * 14 * 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values_videos=torch.tensor(pix),
+            video_grid_thw=torch.tensor([list(VGRID)]),
+            max_new_tokens=8, do_sample=False, pad_token_id=0,
+            eos_token_id=None,
+        )[0, len(ids):].tolist()
+    out = eng.generate(
+        input_ids=ids,
+        image_data={"pixel_values": pix, "grid_thw": VGRID},
+        sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                         "ignore_eos": True},
+    )
+    assert out["output_ids"] == ref
+    # rope-index parity for the video span specifically
+    ref_pos, ref_delta = hf.model.get_rope_index(
+        torch.tensor([ids]), None, torch.tensor([list(VGRID)]), None
+    )
+    pos, delta = eng.runner.model.get_rope_index(ids, [VGRID])
+    np.testing.assert_array_equal(pos, ref_pos[:, 0].numpy())
+    assert delta == int(ref_delta[0, 0])
