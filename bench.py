@@ -141,11 +141,11 @@ def main():
     from sglang_tpu.server_args import ServerArgs
 
     hf = tiny_cfg() if tiny else llama8b_cfg()
-    # bf16 KV default: v5e has no native fp8 compute, so the in-kernel
-    # fp8->bf16 casts cost more than the halved KV bandwidth saves
-    # (measured 185 vs 606 tok/s); BENCH_KV=fp8_e4m3 to override on
-    # fp8-capable chips (v6e+)
-    kv_dtype = os.environ.get("BENCH_KV", "auto")
+    # int8 KV default on v5e: Mosaic's int8->bf16 upcast is the one fast
+    # 8-bit path, the kernel wins 1.13-1.27x and the 1.94x pool doubles
+    # serving concurrency — warm 3-pass median 1628 vs 1409 tok/s bf16.
+    # (fp8 KV still loses on v5e: no native fp8 compute — 185 vs 606.)
+    kv_dtype = os.environ.get("BENCH_KV", "auto" if tiny else "int8")
     sa = ServerArgs(
         model_path="bench-llama-8b" if not tiny else "bench-tiny",
         load_format="zeros",
