@@ -184,17 +184,37 @@ class Router:
         self.mirrors[worker_url] = mirror
 
         def _pump():
+            import time as _time
+
             import zmq
 
             ctx = zmq.Context.instance()
-            sock = ctx.socket(zmq.SUB)
-            sock.connect(zmq_addr)
-            sock.setsockopt_string(zmq.SUBSCRIBE, "")
-            while True:
+            backoff = 0.2
+            while worker_url in self.mirrors:
+                sock = ctx.socket(zmq.SUB)
                 try:
-                    pub._emit(_json.loads(sock.recv_string()))
+                    sock.connect(zmq_addr)
+                    sock.setsockopt_string(zmq.SUBSCRIBE, "")
+                    sock.setsockopt(zmq.RCVTIMEO, 5000)
+                    backoff = 0.2
+                    while worker_url in self.mirrors:
+                        try:
+                            msg = sock.recv_string()
+                        except zmq.Again:
+                            continue  # idle worker; keep listening
+                        pub._emit(_json.loads(msg))
                 except Exception:
-                    return
+                    # connection-level failure: drop mirror state (it is
+                    # stale in an unknown way) and reconnect with backoff
+                    with mirror._lock:
+                        mirror.blocks.clear()
+                        mirror.page_to_hash.clear()
+                        mirror._next_seq = None
+                        mirror.resyncs += 1
+                    _time.sleep(backoff)
+                    backoff = min(backoff * 2, 5.0)
+                finally:
+                    sock.close(0)
 
         threading.Thread(target=_pump, daemon=True).start()
 

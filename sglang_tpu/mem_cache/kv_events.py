@@ -66,6 +66,9 @@ class KVEventPublisher:
 
     def _emit(self, event: dict) -> None:
         event["ts"] = time.time()
+        # monotone sequence number: mirrors detect lost events (ZMQ PUB
+        # drops under backpressure / reconnect) and reconcile by clearing
+        event["seq"] = self.events_published
         self.events_published += 1
         with self._lock:
             subs = list(self._subs)
@@ -120,6 +123,8 @@ class KVEventMirror:
     def __init__(self, publisher: KVEventPublisher):
         self.blocks: Dict[str, dict] = {}  # hash -> block
         self.page_to_hash: Dict[int, str] = {}
+        self._next_seq = None  # expected next sequence number
+        self.resyncs = 0  # gap-triggered clears (observability)
         # events arrive on the subscriber (ZMQ pump) thread while a router
         # reads via match_prefix_pages on its own thread
         self._lock = threading.Lock()
@@ -127,6 +132,17 @@ class KVEventMirror:
 
     def _on_event(self, e: dict) -> None:
         with self._lock:
+            seq = e.get("seq")
+            if seq is not None:
+                if self._next_seq is not None and seq != self._next_seq:
+                    # lost events (PUB drop / reconnect): the mirror is
+                    # stale in an unknown way — reconcile by clearing; it
+                    # reconverges as new stored events arrive (reference
+                    # gateway cache-aware tree resync)
+                    self.blocks.clear()
+                    self.page_to_hash.clear()
+                    self.resyncs += 1
+                self._next_seq = seq + 1
             if e["event"] == "block_stored":
                 for b in e["blocks"]:
                     self.blocks[b["hash"]] = b

@@ -86,3 +86,26 @@ def test_eviction_emits_block_removed():
     sched.radix_cache.evict(1 << 30)
     assert removed  # eviction was announced with page ids
     assert sched.check_memory() == 0
+
+
+def test_mirror_reconciles_on_sequence_gap():
+    """Lost events (ZMQ PUB drops/reconnect) leave the mirror stale in an
+    unknown way: a sequence gap must clear it, and it must reconverge
+    from subsequent stored events (reference gateway tree resync)."""
+    from sglang_tpu.mem_cache.kv_events import KVEventMirror, KVEventPublisher
+
+    pub = KVEventPublisher()
+    mirror = KVEventMirror(pub)
+    pub.block_stored([1, 2, 3, 4], [7], page_size=4)
+    assert mirror.match_prefix_pages([1, 2, 3, 4], 4) == 1
+    # simulate a dropped event: bump the publisher's counter silently
+    pub.events_published += 3
+    pub.block_stored([9, 9, 9, 9], [8], page_size=4)
+    assert mirror.resyncs == 1
+    # pre-gap state is gone; post-gap events apply
+    assert mirror.match_prefix_pages([1, 2, 3, 4], 4) == 0
+    assert mirror.match_prefix_pages([9, 9, 9, 9], 4) == 1
+    # contiguous events after the resync do not trigger further clears
+    pub.block_stored([5, 5, 5, 5], [9], page_size=4)
+    assert mirror.resyncs == 1
+    assert mirror.match_prefix_pages([5, 5, 5, 5], 4) == 1
