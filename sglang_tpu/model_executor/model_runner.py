@@ -109,6 +109,13 @@ class ModelRunner:
         self.dp_size = (
             server_args.dp_size if server_args.enable_dp_attention else 1
         )
+        # CP reuses the "data" mesh axis (mutually exclusive with
+        # DP-attention — both claim row ownership on that axis)
+        self.cp_size = getattr(server_args, "attn_cp_size", 1) or 1
+        if self.cp_size > 1 and self.dp_size > 1:
+            raise ValueError("attn_cp_size and enable-dp-attention conflict")
+        if self.cp_size > 1:
+            self.dp_size = self.cp_size
         self.mesh = mesh if mesh is not None else create_mesh(
             tp_size=server_args.tp_size,
             dp_size=self.dp_size,
@@ -403,7 +410,13 @@ class ModelRunner:
                 if self.kv_pool.stacked is not None
                 else self.kv_pool.layers
             )
-        if self.dp_size > 1:
+        if self.cp_size > 1:
+            from sglang_tpu.parallel.cp_attention import CPAttentionBackend
+
+            self.attn_backend = CPAttentionBackend(
+                self.attn_backend, self.mesh, self.cp_size
+            )
+        elif self.dp_size > 1:
             from sglang_tpu.parallel.dp_attention import DPAttentionBackend
 
             self.attn_backend = DPAttentionBackend(

@@ -112,6 +112,9 @@ class ServerArgs:
     # DP-attention (reference --enable-dp-attention): attention + KV pool
     # sharded over the "data" axis, dense/MoE parts run over dp x tp
     enable_dp_attention: bool = False
+    # attention context parallelism (reference --attn-cp-size): prefill
+    # rows round-robin across the "data" axis, decode data-local
+    attn_cp_size: int = 1
     # SP for the dense parts of MoE models (reference --moe-dense-tp-size):
     # 1 = replicate dense-MLP weights, shard the token axis over "model"
     # (skips the dense layers' per-layer all-reduce)
