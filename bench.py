@@ -126,7 +126,9 @@ def main():
     # v5e has 16 GiB HBM: 8B bf16 does not fit — weight-only INT8 is the
     # single-chip serving config (reference W8A16 path)
     quant = os.environ.get("BENCH_QUANT", None if tiny else "int8")
-    num_prompts = int(os.environ.get("BENCH_NUM_PROMPTS", "16" if tiny else "100"))
+    # 300 prompts approaches the reference 500-prompt methodology while
+    # keeping three measured passes inside the round budget
+    num_prompts = int(os.environ.get("BENCH_NUM_PROMPTS", "16" if tiny else "300"))
 
     if tiny:
         import jax
@@ -164,7 +166,16 @@ def main():
         # decode is weight-read-bound so padded rows are nearly free
         # KV pool (~46k tokens) caps concurrency near 70 at this workload's
         # lengths, so bs>128 buckets never run — don't warm/compile them
-        decode_bs_buckets=[32, 64, 96, 128] if not tiny else [8, 16, 32],
+        # int8 KV's 1.94x pool sustains ~190 concurrent at this workload's
+        # lengths — the 192 bucket is reachable and decode is weight-bound,
+        # so bigger batches amortize the same weight reads
+        decode_bs_buckets=(
+            [32, 64, 128, 192]
+            if kv_dtype == "int8"
+            else [32, 64, 96, 128]
+        )
+        if not tiny
+        else [8, 16, 32],
         prefill_token_buckets=[2048, 4096] if not tiny else [512],
         max_running_requests=256,
         device="cpu" if tiny else "auto",

@@ -152,8 +152,7 @@ def test_awq_int4_accuracy(checkpoint):
     assert acc >= base - 0.15, (acc, base)
 
 
-def test_fp8_kv_cache_accuracy(checkpoint):
-    # reference fp8-KV GSM8K gate (test_fp8kv_triton.py:54)
+def _kv_dtype_eval(checkpoint, kv_dtype):
     base = _serve_and_eval(checkpoint)
     from sglang_tpu import Engine
 
@@ -161,7 +160,7 @@ def test_fp8_kv_cache_accuracy(checkpoint):
         model_path=checkpoint,
         device="cpu",
         dtype="float32",
-        kv_cache_dtype="fp8_e4m3",
+        kv_cache_dtype=kv_dtype,
         skip_tokenizer_init=True,
         page_size=16,
         max_total_tokens=8192,
@@ -187,5 +186,16 @@ def test_fp8_kv_cache_accuracy(checkpoint):
         ) / N_EVAL
     finally:
         engine.shutdown()
-    print(f"\nEVAL fp8 KV: {acc:.3f} vs float {base:.3f}")
-    assert acc >= base - 0.10, (acc, base)
+    print(f"\nEVAL {kv_dtype} KV: {acc:.3f} vs float {base:.3f}")
+    assert acc >= base - 0.10, (acc, base, kv_dtype)
+
+
+def test_fp8_kv_cache_accuracy(checkpoint):
+    # reference fp8-KV GSM8K gate (test_fp8kv_triton.py:54)
+    _kv_dtype_eval(checkpoint, "fp8_e4m3")
+
+
+def test_int8_kv_cache_accuracy(checkpoint):
+    # int8 KV is the v5e serving default (per-(token, head) scales) —
+    # gate it like the reference gates fp8 KV
+    _kv_dtype_eval(checkpoint, "int8")
