@@ -27,6 +27,7 @@ def main():
         model_path="bench-llama-8b",
         load_format="zeros",
         quantization="int8",
+        kv_cache_dtype=__import__("os").environ.get("BENCH_KV", "auto"),
         skip_tokenizer_init=True,
         random_seed=0,
         log_level="warning",

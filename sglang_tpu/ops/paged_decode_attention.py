@@ -99,17 +99,18 @@ def _pda_kernel(
     out_hbm,  # [bb, qh, d]
     # scratch
     q_v,  # [R, qh, d]
-    kv_v,  # [2, 2*kvh, kvblk, d] (head-major)
-    sc_v,  # [2, pblk, S, 128] f32, or None
+    kv_v,  # [NBUF, 2*kvh, kvblk, d] (head-major)
+    sc_v,  # [NBUF, pblk, S, 128] f32, or None
     o_v,  # [R, qh, d]
     q_sem,
-    kv_sems,  # [2, pblk]
-    sc_sems,  # [2, pblk], or None
+    kv_sems,  # [NBUF, pblk]
+    sc_sems,  # [NBUF, pblk], or None
     o_sem,
     *,
     R: int,
     ps: int,
     pblk: int,
+    nbuf: int,
     kvh: int,
     g: int,
     d: int,
@@ -161,27 +162,15 @@ def _pda_kernel(
             if scales_hbm is not None:
                 sc_dma(r, chunk, slot, p).start()
 
-    # global double-buffer over the flattened (row, chunk) stream: slot
-    # parity advances once per chunk across ALL rows, so the prefetch of
-    # the next row's first chunk lands in the right buffer.
+    # NBUF-deep ring buffer over the flattened (row, chunk) stream: the
+    # slot index advances once per chunk across ALL rows, so chunk f+nbuf-1
+    # is in flight while chunk f computes — a chunk's 2*pblk DMAs cost
+    # ~2 us of latency each, far above their transfer time, so decode
+    # attention is DMA-LATENCY-bound and pipeline depth (not bandwidth)
+    # sets the kernel's speed.
     def first_live(r):
         # chunk count of row r (0 when the row is padding)
         return n_kv_of(r) - lo_of(r)
-
-    # start the very first live chunk (if any row is live); unrolled over
-    # the static R (Mosaic does not lower lax.scan with extensive ins/outs)
-    started = jnp.zeros((), jnp.bool_)
-    for r in range(R):
-        live = jnp.logical_and(jnp.logical_not(started), first_live(r) > 0)
-
-        @pl.when(live)
-        def _(r=r):
-            start_chunk(r, lo_of(r), 0)
-
-        started = jnp.logical_or(started, live)
-
-    q_dma.wait()
-    o_v[...] = jnp.zeros_like(o_v)
 
     # flat (row, chunk) walk: cum[r] = live chunks before row r, computed
     # ONCE as unrolled scalars; flat index -> (row, chunk) is then O(R)
@@ -211,6 +200,21 @@ def _pda_kernel(
             t = t + jnp.where(row == rr, los[rr], 0)
         return t
 
+    def start_flat(f, slot):
+        r = row_of_flat(f)
+        start_chunk(r, lo_at(r) + (f - cum_at(r)), slot)
+
+    # prime the ring: chunks 0..nbuf-2 in flight before the walk starts
+    # (unrolled over the static nbuf; each is one slot of the ring)
+    for f0 in range(nbuf - 1):
+
+        @pl.when(f0 < total)
+        def _(f0=f0):
+            start_flat(jnp.int32(f0), f0 % nbuf)
+
+    q_dma.wait()
+    o_v[...] = jnp.zeros_like(o_v)
+
     # static block-diagonal head mask: q row i belongs to kv head i//g,
     # lane j of the stacked [kvh*kvblk] axis belongs to kv head j//kvblk.
     # Fusing all kvh heads into ONE [qh, d] x [d, kvh*kvblk] score matmul
@@ -227,17 +231,16 @@ def _pda_kernel(
 
     def body(f, carry):
         m, l, acc, prev_r = carry
-        slot = jax.lax.rem(f, 2)
+        slot = jax.lax.rem(f, nbuf)
         r = row_of_flat(f)
         c = lo_at(r) + (f - cum_at(r))
 
-        # prefetch next flat chunk
-        @pl.when(f + 1 < total)
+        # keep the ring full: start chunk f+nbuf-1 (it lands in the slot
+        # consumed at iteration f-1 — the same one-iteration reuse gap as
+        # a classic double buffer)
+        @pl.when(f + nbuf - 1 < total)
         def _():
-            nf = f + 1
-            nr = row_of_flat(nf)
-            nc = lo_at(nr) + (nf - cum_at(nr))
-            start_chunk(nr, nc, jax.lax.rem(nf, 2))
+            start_flat(f + nbuf - 1, jax.lax.rem(f + nbuf - 1, nbuf))
 
         for p in range(pblk):
             kv_dma(r, c, slot, p).wait()
@@ -360,6 +363,9 @@ def paged_decode_attention(
     assert bb % R == 0, bb
     pblk = max(1, 256 // ps)
     assert page_table.shape[1] % pblk == 0
+    # ring depth: each chunk's DMAs are latency- (not bandwidth-) bound,
+    # so keep several chunks in flight; VMEM cost is nbuf * ~0.5-1 MB
+    nbuf = 8
 
     has_sinks = sinks is not None
     has_scales = scales is not None
@@ -373,20 +379,20 @@ def paged_decode_attention(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch_shapes = [
         pltpu.VMEM((R, qh, d), q.dtype),  # q_v
-        pltpu.VMEM((2, two_kvh, pblk * ps, d), pages.dtype),  # kv_v
+        pltpu.VMEM((nbuf, two_kvh, pblk * ps, d), pages.dtype),  # kv_v
     ]
     if has_scales:
         assert ps <= 128 and 128 % ps == 0, "int8 KV needs ps in {8..128}"
         scratch_shapes.append(
-            pltpu.VMEM((2, pblk) + scales.shape[1:], jnp.float32)
+            pltpu.VMEM((nbuf, pblk) + scales.shape[1:], jnp.float32)
         )
     scratch_shapes += [
         pltpu.VMEM((R, qh, d), q.dtype),  # o_v
         pltpu.SemaphoreType.DMA(()),
-        pltpu.SemaphoreType.DMA((2, pblk)),
+        pltpu.SemaphoreType.DMA((nbuf, pblk)),
     ]
     if has_scales:
-        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, pblk)))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((nbuf, pblk)))
     scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -436,6 +442,7 @@ def paged_decode_attention(
         R=R,
         ps=ps,
         pblk=pblk,
+        nbuf=nbuf,
         kvh=kvh,
         g=g,
         d=d,
