@@ -222,6 +222,7 @@ def main():
     # cache is flushed between passes so each pass does the same work.
     n_pass = 1 if tiny else int(os.environ.get("BENCH_PASSES", "3"))
     results = []
+    measured_wall = 0.0
     for p in range(n_pass):
         for i in range(num_prompts):
             sched.add_request(
@@ -246,16 +247,20 @@ def main():
                     done += 1
                     gen_tokens += out.completion_tokens
         elapsed = time.perf_counter() - t1
+        measured_wall += elapsed
         assert done == num_prompts, f"{done}/{num_prompts} finished"
         results.append(gen_tokens / elapsed)
         print(f"# pass {p}: {results[-1]:.1f} tok/s", file=sys.stderr)
         sched.flush_cache()
     toks_per_s = sorted(results)[len(results) // 2]
     # where the scheduler thread spent the measured window (host view;
-    # "dispatch" includes device wait when the pipeline is not deep enough)
+    # "dispatch" includes device wait when the pipeline is not deep enough).
+    # Stage counters accumulate over ALL measured passes, so compare against
+    # the summed pass wall time (r2's negative "untracked" compared 3-pass
+    # stage totals to 1-pass elapsed).
     stages = dict(sched.stats.stage_time)
     accounted = sum(stages.values())
-    stages["untracked"] = elapsed - accounted
+    stages["untracked"] = measured_wall - accounted
     print(
         "# stage times: "
         + ", ".join(f"{k}={v:.2f}s" for k, v in sorted(stages.items())),

@@ -3,6 +3,7 @@ geometry, zeros weights): measures tok/s of forward_decode_multi chunks at a
 fixed batch size, isolating the fused decode graph from scheduler/prefill.
 """
 
+import os
 import sys
 import time
 
@@ -13,6 +14,7 @@ def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     seq = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    kv_dtype = os.environ.get("BENCH_KV", "auto")
 
     sys.path.insert(0, ".")
     from bench import llama8b_cfg
@@ -27,7 +29,7 @@ def main():
         model_path="bench-llama-8b",
         load_format="zeros",
         quantization="int8",
-        kv_cache_dtype=__import__("os").environ.get("BENCH_KV", "auto"),
+        kv_cache_dtype=kv_dtype,
         skip_tokenizer_init=True,
         random_seed=0,
         log_level="warning",
@@ -82,7 +84,7 @@ def main():
     dt = time.perf_counter() - t0
     toks = n * k * bs
     print(
-        f"bs={bs} seq={seq} k={k}: {dt/n/k*1000:.2f} ms/step, "
+        f"bs={bs} seq={seq} k={k} kv={kv_dtype}: {dt/n/k*1000:.2f} ms/step, "
         f"{toks/dt:.0f} tok/s"
     )
 

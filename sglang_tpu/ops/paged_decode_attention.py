@@ -8,10 +8,11 @@ Mosaic block dispatch) dominates the step: measured ~14-23 us/block, i.e.
 actual KV reads.
 
 This kernel amortizes that cost across R=8 decode rows per block:
-- Grid: (batch/R,). Each block DMAs its R q rows once, then streams each
-  row's KV pages through a double-buffered VMEM window; the first chunk
-  of row r+1 is prefetched while row r's last chunk computes, so the DMA
-  pipeline never drains at row boundaries.
+- Grid: (batch/R,). Each block DMAs its R q rows once, then streams the
+  flattened (row, chunk) KV stream through an nbuf-deep VMEM ring buffer
+  (nbuf chosen per-config under a VMEM budget); chunk f+nbuf-1 is in
+  flight while chunk f computes, so the DMA pipeline never drains at row
+  boundaries.
 - Per row, per KV head: one [kvblk, d] x [g, d]^T score matmul and one
   [kvblk, d]^T x [kvblk, g] value matmul with online softmax in f32 —
   identical math to the unified kernel (shared oracle tests).
@@ -27,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -364,8 +366,14 @@ def paged_decode_attention(
     pblk = max(1, 256 // ps)
     assert page_table.shape[1] % pblk == 0
     # ring depth: each chunk's DMAs are latency- (not bandwidth-) bound,
-    # so keep several chunks in flight; VMEM cost is nbuf * ~0.5-1 MB
-    nbuf = 8
+    # so keep several chunks in flight — but cap the KV + scale scratch at
+    # a fixed fraction of the VMEM budget so large kvh/d configs still fit
+    # alongside the q/o buffers (ADVICE r2: 8 MiB at kvh=8/d=128 bf16).
+    vmem_limit = 100 * 1024 * 1024
+    chunk_bytes = two_kvh * 256 * d * pages.dtype.itemsize
+    if isinstance(scales, jax.Array):
+        chunk_bytes += pblk * int(np.prod(scales.shape[1:])) * 4
+    nbuf = max(2, min(8, (vmem_limit // 2) // max(1, chunk_bytes)))
 
     has_sinks = sinks is not None
     has_scales = scales is not None
