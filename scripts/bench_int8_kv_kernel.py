@@ -31,15 +31,15 @@ def run(bs, seq):
     pf = rng.standard_normal((total_pages, 2 * KVH, PS, D)).astype(np.float32) * 0.3
     pages16 = jnp.asarray(pf, jnp.bfloat16)
 
-    # quantize to the pool layout: int8 values + [P, S, 128] scale plane
-    from sglang_tpu.mem_cache.memory_pool import scale_sublanes
+    # quantize to the pool layout: int8 values + [P, rows, 128] scale plane
+    from sglang_tpu.mem_cache.memory_pool import scale_plane_rows
 
     s = np.maximum(np.abs(pf).max(axis=-1), 1e-8) / 127.0  # [P, 2kvh, ps]
     q8 = np.clip(np.round(pf / s[..., None]), -127, 127).astype(np.int8)
-    sub = scale_sublanes(KVH, PS)
-    sb = np.zeros((total_pages, sub * 128), np.float32)
-    sb[:, : 2 * KVH * PS] = s.reshape(total_pages, 2 * KVH * PS)
-    pages8 = (jnp.asarray(q8), jnp.asarray(sb.reshape(total_pages, sub, 128)))
+    rows = scale_plane_rows(KVH)
+    sb = np.zeros((total_pages, rows, 128), np.float32)
+    sb[:, : 2 * KVH, :PS] = s
+    pages8 = (jnp.asarray(q8), jnp.asarray(sb))
 
     page_table = np.zeros((bs, pmax), np.int32)
     nx = 1
@@ -76,10 +76,10 @@ def run(bs, seq):
 
     t16 = timeit("bf16")
     t8 = timeit("int8")
-    from sglang_tpu.mem_cache.memory_pool import scale_sublanes
+    from sglang_tpu.mem_cache.memory_pool import scale_plane_rows
 
     kv16 = bs * npages_per * PS * 2 * KVH * D * 2
-    kv8 = bs * npages_per * (PS * 2 * KVH * D + scale_sublanes(KVH, PS) * 512)
+    kv8 = bs * npages_per * (PS * 2 * KVH * D + scale_plane_rows(KVH) * 512)
     print(
         f"  bf16: {t16:8.1f} us/layer ({kv16 / (t16 * 1e-6) / 1e9:6.1f} GB/s)   "
         f"int8: {t8:8.1f} us/layer ({kv8 / (t8 * 1e-6) / 1e9:6.1f} GB/s)   "

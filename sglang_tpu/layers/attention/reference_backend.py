@@ -27,10 +27,9 @@ def _gather_kv(pages, page_table: jax.Array):
     _, two_kvh, ps, d = pages.shape
     kv = pages[page_table]  # [B, Pmax, 2kvh, ps, d]
     if scales is not None:
-        # per-page scale plane [P, S, 128]: flat order head-major then
-        # token offset, padded to whole (8, 128) tiles
-        sc = scales[page_table].reshape(b, pmax, -1)[:, :, : two_kvh * ps]
-        sc = sc.reshape(b, pmax, two_kvh, ps)
+        # per-page scale plane [P, rows, 128]: one row per (K then V)
+        # head, token offsets on lanes 0..ps-1, rows padded to 8
+        sc = scales[page_table][:, :, :two_kvh, :ps]  # [B, Pmax, 2kvh, ps]
         kv = kv.astype(jnp.float32) * sc[..., None]
     kv = jnp.transpose(kv, (0, 1, 3, 2, 4)).reshape(b, pmax * ps, two_kvh, d)
     kvh = two_kvh // 2

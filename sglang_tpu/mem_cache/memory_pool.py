@@ -112,14 +112,18 @@ class KVCachePool:
         # travels opaquely through model code, so downstream only the
         # write path and the attention kernels unpack it
         self.has_scales = kv_cache_dtype == "int8"
-        # per-page scale plane [S, 128] f32, S a multiple of 8: Mosaic DMA
-        # of one page's scales must move whole (8, 128) f32 tiles (a flat
-        # [P, blob] 2-D layout fails on hardware — dim-0 slices of size 1
-        # are not 8-sublane aligned). Flat order inside the plane:
-        # head-major, then token offset.
-        self.scale_sub = scale_sublanes(num_kv_heads, page_size)
-        self.scale_blob = self.scale_sub * 128
-        scale_shape = (num_pages, self.scale_sub, 128)
+        # per-page scale plane [rows, 128] f32, one row per (K or V) head,
+        # token offsets on lanes 0..ps-1 (needs ps <= 128; rows padded to a
+        # multiple of 8 so a page's plane DMAs as whole (8, 128) tiles — a
+        # flat [P, blob] 2-D layout fails on hardware). Row-per-head keeps
+        # kernel indexing static (`sc[p, head, :ps]`), lets the Pallas
+        # write kernel merge with one lane mask, and makes the plane
+        # shardable by KV head for tp>1.
+        if self.has_scales:
+            assert page_size <= 128, "int8 KV needs page_size <= 128"
+        self.scale_rows = scale_plane_rows(num_kv_heads)
+        self.scale_blob = self.scale_rows * 128
+        scale_shape = (num_pages, self.scale_rows, 128)
 
         def _make_layer():
             vals = jnp.zeros(shape, dtype=self.store_dtype)
@@ -189,13 +193,11 @@ class KVCachePool:
         return per_layer // self.num_pages * self.num_layers
 
 
-def scale_sublanes(num_kv_heads: int, page_size: int) -> int:
-    """Sublane count S of the int8-KV per-page scale plane [S, 128] f32.
-
-    S*128 >= 2*kvh*ps (one f32 scale per (token, head) slot) and S % 8 == 0
-    so a single page's plane DMAs as whole (8, 128) tiles."""
-    need = -(-(2 * num_kv_heads * page_size) // 128)
-    return -(-need // 8) * 8
+def scale_plane_rows(num_kv_heads: int) -> int:
+    """Row count of the int8-KV per-page scale plane [rows, 128] f32: one
+    row per K head then per V head, padded to a multiple of 8 so a single
+    page's plane DMAs as whole (8, 128) tiles."""
+    return -(-(2 * num_kv_heads) // 8) * 8
 
 
 def compute_num_pages(
@@ -218,7 +220,7 @@ def compute_num_pages(
     ) * num_layers
     if store_dtype == jnp.int8:
         # per-(token, head) f32 scale plane, tile-padded
-        bytes_per_page += scale_sublanes(num_kv_heads, page_size) * 512 * num_layers
+        bytes_per_page += scale_plane_rows(num_kv_heads) * 512 * num_layers
     num_pages = max(2, available_bytes // bytes_per_page)
     if max_total_tokens is not None:
         num_pages = min(num_pages, cdiv(max_total_tokens, page_size) + 1)

@@ -87,6 +87,13 @@ class ForwardBatch:
     # indexes the conv/delta-rule state pools; None for pure-attention
     # models -> absent from the treedef)
     state_slots: jax.Array = None  # [B] i32
+    # extend KV-write jobs (host-built): page j receives kv rows
+    # wr_src[j, off] at offset off (-1 = keep old). Lets write_kv_pages
+    # gather-merge-rewrite whole pages instead of scattering token rows —
+    # XLA's row scatter runs at ~5 GB/s on v5e (153 ms of a 380 ms
+    # 4096-token prefill round, profiled).
+    wr_pages: jax.Array = None  # [J] i32 page ids (pad -> page 0)
+    wr_src: jax.Array = None  # [J, page_size] i32 source token (-1 = keep)
     # dLLM block diffusion: per-token mask positions that OVERRIDE
     # fb.positions in the attention mask only (rope keeps true positions).
     # Setting every block row's mask position to block_end-1 makes the
@@ -110,6 +117,31 @@ class ForwardBatch:
 # wasted compute on padded rows.
 EXTEND_QBLK = 128
 DECODE_QBLK = 8
+
+
+def build_write_jobs(
+    out_cache_loc: np.ndarray, n_valid: int, page_size: int, jmax: int
+):
+    """Group the first `n_valid` tokens' KV-write slots by page.
+
+    Returns (wr_pages [jmax] i32, wr_src [jmax, page_size] i32): page
+    wr_pages[j] takes kv row wr_src[j, off] at offset off; -1 keeps the
+    page's old value. Padding jobs point at the reserved garbage page 0
+    with an all-(-1) row. The extend allocator hands every sequence its
+    own pages (radix sharing is page-aligned), so each real page appears
+    in exactly one job.
+    """
+    loc = np.asarray(out_cache_loc[:n_valid])
+    pages = loc // page_size
+    offs = loc % page_size
+    uniq, inv = np.unique(pages, return_inverse=True)
+    j = len(uniq)
+    assert j <= jmax, (j, jmax)
+    wr_pages = np.zeros(jmax, dtype=np.int32)
+    wr_pages[:j] = uniq
+    wr_src = np.full((jmax, page_size), -1, dtype=np.int32)
+    wr_src[inv, offs] = np.arange(n_valid, dtype=np.int32)
+    return wr_pages, wr_src
 
 
 def build_attn_blocks(
@@ -185,6 +217,7 @@ def make_extend_batch(
     mode: ForwardMode = ForwardMode.EXTEND,
     output_start: Optional[np.ndarray] = None,  # [B] prompt length per seq
     lora_ids: Optional[np.ndarray] = None,  # [T] per-token adapter slot
+    page_size: int = 0,  # > 0: build per-page KV write jobs
 ) -> ForwardBatch:
     t = len(input_ids)
     b = len(seq_lens)
@@ -222,4 +255,22 @@ def make_extend_batch(
         blk_pos0=jnp.asarray(blk_pos0),
         lora_ids=jnp.asarray(lora_ids, jnp.int32) if lora_ids is not None else None,
         mode=mode,
+        **(
+            dict(
+                zip(
+                    ("wr_pages", "wr_src"),
+                    map(
+                        jnp.asarray,
+                        build_write_jobs(
+                            out_cache_loc,
+                            total,
+                            page_size,
+                            t // page_size + b,
+                        ),
+                    ),
+                )
+            )
+            if page_size > 0
+            else {}
+        ),
     )

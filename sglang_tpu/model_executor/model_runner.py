@@ -711,6 +711,7 @@ class ModelRunner:
             )
             if lora_ids is not None
             else None,
+            page_size=self.page_size,
         )
         if mm_rows is not None and len(mm_rows) > 0:
             h = mm_embeds.shape[1]
@@ -775,6 +776,7 @@ class ModelRunner:
         from sglang_tpu.model_executor.forward_batch_info import (
             EXTEND_QBLK,
             build_attn_blocks,
+            build_write_jobs,
         )
         from sglang_tpu.sampling.sampling_batch_info import unpack_sinfo
 
@@ -800,6 +802,10 @@ class ModelRunner:
         token_kind = np.where(valid, np.where(is_out, 2, 1), 0).astype(np.int32)
         nb = tt // EXTEND_QBLK + bb
         blk = build_attn_blocks(cu, _pad(seq_lens, bb), EXTEND_QBLK, nb)
+        jmax = tt // self.page_size + bb
+        wr_pages, wr_src = build_write_jobs(
+            out_cache_loc, min(total, t), self.page_size, jmax
+        )
         i32_parts = [
             _pad(input_ids, tt),
             _pad(positions, tt),
@@ -810,6 +816,8 @@ class ModelRunner:
             token_kind,
             token_to_seq,
             *blk,
+            wr_pages,
+            wr_src.ravel(),
         ]
         i32_blob, f32_blob = sampling_meta.pack(extra_i32=i32_parts)
         # packed upload excludes grammar masks (flag 5 forced off) but
@@ -825,6 +833,7 @@ class ModelRunner:
         if key not in self._jit_cache:
             model, backend = self.model, self.attn_backend
             fwd = self._model_forward
+            ps_ = self.page_size
 
             def _extend(params, kv_layers, counts, i32, f32, rng):
                 o = 0
@@ -849,6 +858,8 @@ class ModelRunner:
                     take(nb),
                     take(nb),
                 )
+                wrp = take(jmax)
+                wrs = take(jmax * ps_, (jmax, ps_))
                 sinfo = unpack_sinfo(i32, f32, o, bb, flags)
                 fb = ForwardBatch(
                     input_ids=ids,
@@ -866,6 +877,8 @@ class ModelRunner:
                     state_slots=sinfo.slot_ids
                     if self._needs_state_slots
                     else None,
+                    wr_pages=wrp,
+                    wr_src=wrs,
                     mode=ForwardMode.EXTEND,
                 )
                 hidden, new_kv = fwd(params, kv_layers, fb, backend)
@@ -1113,6 +1126,7 @@ class ModelRunner:
             _pad(seq_lens, bb),
             cu,
             mode=ForwardMode.TARGET_VERIFY,
+            page_size=self.page_size,
         )
         if "verify" not in self._jit_cache:
 
@@ -1170,6 +1184,7 @@ class ModelRunner:
             _pad2(page_table, bb, self.max_pages_per_req),
             _pad(seq_lens, bb),
             cu,
+            page_size=self.page_size,
         )
         key = f"embed_{pooling}"
         if key not in self._jit_cache:
@@ -1228,6 +1243,7 @@ class ModelRunner:
             _pad2(page_table, bb, self.max_pages_per_req),
             _pad(seq_lens, bb),
             cu,
+            page_size=self.page_size,
         )
         if self._needs_state_slots:
             # sinfo-free path (parity tests / scoring): one state slot per
@@ -1284,6 +1300,7 @@ class ModelRunner:
             _pad2(page_table, bb, self.max_pages_per_req),
             _pad(seq_lens, bb),
             cu,
+            page_size=self.page_size,
         )
         fb = _dc.replace(
             fb, mask_positions=jnp.asarray(_pad(mask_positions, tt))
@@ -1336,6 +1353,7 @@ class ModelRunner:
             _pad2(page_table, bb, self.max_pages_per_req),
             _pad(seq_lens, bb),
             cu,
+            page_size=self.page_size,
         )
         if "hidden_all" not in self._jit_cache:
 

@@ -248,11 +248,20 @@ def load_zero_weights(model, mesh: Optional[Mesh]) -> dict:
 
     shardings = model.param_shardings()
 
+    def _make(shape, dtype, val):
+        # int4 full/zeros hits a recursive-jit bug in eager dispatch on
+        # some PJRT runtimes — build under an explicit jit instead
+        fn = _jax.jit(
+            lambda: jnp.full(shape, val, dtype=jnp.float32).astype(dtype)
+            if val
+            else jnp.zeros(shape, dtype=dtype)
+        )
+        return fn()
+
     def walk(spec_node, shard_node, key=None):
         if isinstance(spec_node, jax.ShapeDtypeStruct):
             val = 0.01 if key == "s" else 0.0
-            arr = jnp.full(spec_node.shape, val, dtype=spec_node.dtype) \
-                if val else jnp.zeros(spec_node.shape, dtype=spec_node.dtype)
+            arr = _make(spec_node.shape, spec_node.dtype, val)
             if mesh is not None:
                 arr = _jax.device_put(
                     arr,

@@ -277,14 +277,11 @@ def _pda_kernel(
         )  # [qh, S]
         if scales_hbm is not None:
             # int8 KV: fold the per-(token, head) K scales into the scores
-            # — each piece is a lane slice of one page's [S, 128] plane
-            # (flat order head-major then offset; ps divides 128, so a
-            # head's ps scales never straddle a 128-lane row), assembling
-            # the [1, kvh*kvblk] row with no sublane->lane relayout
+            # — the plane is row-per-head [rows, 128] (offsets on lanes),
+            # so each piece is a static [1, ps] lane slice, assembling the
+            # [1, kvh*kvblk] row with no sublane->lane relayout
             def _sc(hh, p):
-                f0 = hh * ps
-                return sc_v[slot, p, f0 // 128 : f0 // 128 + 1,
-                            f0 % 128 : f0 % 128 + ps]
+                return sc_v[slot, p, hh : hh + 1, 0:ps]
 
             ks_row = jnp.concatenate(
                 [_sc(h, p) for h in range(kvh) for p in range(pblk)],

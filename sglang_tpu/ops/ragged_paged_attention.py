@@ -153,15 +153,12 @@ def _rpa_kernel(
             # int8 KV: per-(token, head) scales arrive lane-major
             # [2kvh, kvblk]; ONE transpose per chunk puts kv tokens on
             # sublanes so per-head [kvblk, 1] columns slice for free.
-            # Each piece is a lane slice of one page's [S, 128] plane
-            # (flat order head-major then offset; ps divides 128, so a
-            # head's ps scales never straddle a 128-lane row).
+            # The plane is row-per-head [rows, 128] (offsets on lanes),
+            # so each piece is a static [1, ps] lane slice.
             sc_t = None
             if scales_hbm is not None:
                 def _sc(hh, p):
-                    f0 = hh * ps
-                    return sc_v[slot, p, f0 // 128 : f0 // 128 + 1,
-                                f0 % 128 : f0 % 128 + ps]
+                    return sc_v[slot, p, hh : hh + 1, 0:ps]
 
                 sc_lane = jnp.concatenate(
                     [

@@ -84,20 +84,23 @@ def test_int8_kv_pool_capacity():
     assert vals.dtype.itemsize == 1
     assert scales.dtype == jnp.float32
     # per-page scale plane: [P, S, 128] with S a multiple of 8
-    from sglang_tpu.mem_cache.memory_pool import scale_sublanes
+    from sglang_tpu.mem_cache.memory_pool import scale_plane_rows
 
-    sub = scale_sublanes(vals.shape[1] // 2, vals.shape[2])
+    sub = scale_plane_rows(vals.shape[1] // 2)
     assert scales.shape == (vals.shape[0], sub, 128)
     # pool sizing is exact: the tiny config's 8-sublane tile padding makes
     # int8 LARGER per page than bf16 here (ps=16, d=16), so assert the
     # analytic ratio rather than a win; the win is a real-geometry
     # property, asserted below without allocating
     kvh, ps, d = vals.shape[1] // 2, vals.shape[2], vals.shape[3]
-    b8 = 2 * kvh * ps * d + scale_sublanes(kvh, ps) * 512
+    b8 = 2 * kvh * ps * d + scale_plane_rows(kvh) * 512
     b16 = 2 * kvh * ps * d * 2
     ratio = b16 / b8
     assert r8.max_total_tokens >= r16.max_total_tokens * ratio * 0.9
-    # llama-8B geometry (kvh=8, ps=64, d=128): 1.94x capacity vs bf16
-    big8 = 2 * 8 * 64 * 128 + scale_sublanes(8, 64) * 512
+    # llama-8B geometry (kvh=8, ps=64, d=128): 1.88x capacity vs bf16
+    # (was 1.94x with the flat scale plane; the row-per-head layout costs
+    # ~3% more scale memory but keeps Mosaic indexing static, enables the
+    # Pallas write kernel, and shards by KV head for tp>1)
+    big8 = 2 * 8 * 64 * 128 + scale_plane_rows(8) * 512
     big16 = 2 * 8 * 64 * 128 * 2
-    assert big16 / big8 > 1.9
+    assert big16 / big8 > 1.85

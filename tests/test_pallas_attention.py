@@ -196,18 +196,18 @@ def test_attention_sinks_extend():
 def _quantize_pages_int8(pages):
     """[P, 2kvh, ps, d] f32 -> (int8 values, per-page scale plane).
 
-    Scales are the pool's tile-aligned layout: [P, S, 128] f32 with
-    S = round_up(ceil(2kvh*ps/128), 8), flat order head-major then offset."""
+    Scales are the pool's tile-aligned layout: [P, rows, 128] f32 — one
+    row per (K then V) head, token offsets on lanes 0..ps-1."""
     p = np.asarray(pages, np.float32)
     np_, two_kvh, ps, d = p.shape
     s = np.maximum(np.max(np.abs(p), axis=-1), 1e-8) / 127.0  # [P,2kvh,ps]
     q = np.clip(np.round(p / s[..., None]), -127, 127).astype(np.int8)
-    from sglang_tpu.mem_cache.memory_pool import scale_sublanes
+    from sglang_tpu.mem_cache.memory_pool import scale_plane_rows
 
-    sub = scale_sublanes(two_kvh // 2, ps)
-    sb = np.zeros((np_, sub * 128), np.float32)
-    sb[:, : two_kvh * ps] = s.reshape(np_, two_kvh * ps)
-    return jnp.asarray(q), jnp.asarray(sb.reshape(np_, sub, 128))
+    rows = scale_plane_rows(two_kvh // 2)
+    sb = np.zeros((np_, rows, 128), np.float32)
+    sb[:, :two_kvh, :ps] = s
+    return jnp.asarray(q), jnp.asarray(sb)
 
 
 def test_decode_int8_kv_matches_reference():
