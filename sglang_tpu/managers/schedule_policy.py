@@ -27,6 +27,34 @@ logger = get_logger(__name__)
 # like the reference's IN_BATCH_PREFIX_CACHING thresholds.
 RETRACT_DECODE_HEADROOM_STEPS = 20
 
+# Adaptive decode-headroom ratio (reference `scheduler.py` new_token_ratio):
+# admission reserves `ratio * remaining_new_tokens` KV per request. Starts
+# conservative, decays toward MIN while no retractions happen, and jumps
+# back up on every retraction — so steady workloads converge to the exact
+# reservation their output lengths need without hand tuning.
+INIT_NEW_TOKEN_RATIO = 0.7
+MIN_NEW_TOKEN_RATIO = 0.3
+NEW_TOKEN_RATIO_DECAY = 0.001  # per prefill admission round
+NEW_TOKEN_RATIO_RETRACT_BUMP = 0.2
+
+
+def req_decode_reserve(req: Req, ratio: float, lookahead: int) -> int:
+    """KV tokens reserved for one request's future decode output: the
+    ratio-scaled remaining output, floored at the bounded headroom plus
+    the decode chain's per-row lookahead (a multi-step chunk allocates
+    `k` tokens per row up front even for nearly-finished requests)."""
+    remaining = req.sampling_params.max_new_tokens - len(req.output_ids)
+    return int(
+        max(
+            remaining * ratio,
+            min(remaining, RETRACT_DECODE_HEADROOM_STEPS) + lookahead,
+        )
+    )
+
+
+def total_decode_reserve(reqs: List[Req], ratio: float, lookahead: int) -> int:
+    return sum(req_decode_reserve(r, ratio, lookahead) for r in reqs)
+
 
 class SchedulePolicy:
     """Orders the waiting queue; cache-aware policies consult the radix tree."""
@@ -89,20 +117,22 @@ class PrefillAdder:
         max_batch_tokens: int,
         conservativeness: float = 1.0,
         page_size: int = 1,
+        new_token_ratio: float = 1.0,
+        decode_lookahead: int = 0,
     ):
         self.allocator = allocator
         self.radix_cache = radix_cache
         self.page_size = page_size
+        self.new_token_ratio = new_token_ratio
+        self.decode_lookahead = decode_lookahead
         self.rem_input_tokens = min(max_prefill_tokens, max_batch_tokens)
         self.rem_chunk_tokens = chunked_prefill_size
+        # Reserve `ratio * remaining_new_tokens` per running request —
+        # but never less than the decode chain's per-row page lookahead
+        # (zombie chains preallocate `horizon*k` tokens per row up front,
+        # which can exceed a nearly-finished request's remaining output).
         decode_reserve = int(
-            sum(
-                min(
-                    r.sampling_params.max_new_tokens - len(r.output_ids),
-                    RETRACT_DECODE_HEADROOM_STEPS,
-                )
-                for r in running_reqs
-            )
+            total_decode_reserve(running_reqs, new_token_ratio, decode_lookahead)
             * conservativeness
         )
         self.rem_total_tokens = (
@@ -157,9 +187,8 @@ class PrefillAdder:
             prefix_len = round_down(len(req.fill_ids) - 1, self.page_size)
         input_len = len(req.fill_ids) - prefix_len
         new_pages = cdiv(len(req.fill_ids), self.page_size) - prefix_len // self.page_size
-        total_need = (
-            new_pages * self.page_size
-            + min(req.sampling_params.max_new_tokens, RETRACT_DECODE_HEADROOM_STEPS)
+        total_need = new_pages * self.page_size + req_decode_reserve(
+            req, self.new_token_ratio, self.decode_lookahead
         )
         if total_need > self.rem_total_tokens:
             return AddReqResult.NO_TOKEN

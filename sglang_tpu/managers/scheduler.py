@@ -166,6 +166,11 @@ class Scheduler:
                 ),
             )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix_cache)
+        # Adaptive decode-headroom (reference scheduler new_token_ratio):
+        # starts conservative, decays while retraction-free, bumps on OOM.
+        from sglang_tpu.managers.schedule_policy import INIT_NEW_TOKEN_RATIO
+
+        self.new_token_ratio = INIT_NEW_TOKEN_RATIO
         from sglang_tpu.constrained import create_grammar_backend
 
         self.grammar_backend = create_grammar_backend(server_args, tokenizer)
@@ -416,6 +421,11 @@ class Scheduler:
         top = min(
             self.waiting_queue, key=lambda r: (-r.priority, r.arrival_time)
         )
+        from sglang_tpu.managers.schedule_policy import (
+            req_decode_reserve,
+            total_decode_reserve,
+        )
+
         ps = self.page_size
         need_pages = -(
             -min(
@@ -427,7 +437,20 @@ class Scheduler:
         slots_blocked = (
             len(self.running_batch.reqs) >= self.max_running_requests
         )
-        pages_blocked = self.allocator.available_pages() < need_pages
+        # mirror the adder's reserve-aware admission test: blocked means
+        # the adder would refuse `top` this round
+        lookahead = self.server_args.decode_multi_step
+        need_tokens = need_pages * ps + req_decode_reserve(
+            top, self.new_token_ratio, lookahead
+        )
+        headroom = (
+            self.allocator.available_tokens()
+            + self.radix_cache.evictable_pages * ps
+            - total_decode_reserve(
+                self.running_batch.reqs, self.new_token_ratio, lookahead
+            )
+        )
+        pages_blocked = headroom < need_tokens
         if not (slots_blocked or pages_blocked):
             return []
         # lowest priority first; among equals, newest (least progress) first
@@ -446,8 +469,15 @@ class Scheduler:
             outputs = self._resolve_inflight()
         self._break_chain()
         for v in victims:
+            headroom = (
+                self.allocator.available_tokens()
+                + self.radix_cache.evictable_pages * ps
+                - total_decode_reserve(
+                    self.running_batch.reqs, self.new_token_ratio, lookahead
+                )
+            )
             if (
-                self.allocator.available_pages() >= need_pages
+                headroom >= need_tokens
                 and len(self.running_batch.reqs) < self.max_running_requests
             ):
                 break
@@ -505,6 +535,16 @@ class Scheduler:
             max_batch_tokens=self.runner.prefill_token_buckets[-1] - mix_reserve,
             conservativeness=self.server_args.schedule_conservativeness,
             page_size=self.page_size,
+            new_token_ratio=self.new_token_ratio,
+            decode_lookahead=self.server_args.decode_multi_step,
+        )
+        from sglang_tpu.managers.schedule_policy import (
+            MIN_NEW_TOKEN_RATIO,
+            NEW_TOKEN_RATIO_DECAY,
+        )
+
+        self.new_token_ratio = max(
+            MIN_NEW_TOKEN_RATIO, self.new_token_ratio - NEW_TOKEN_RATIO_DECAY
         )
         if self.chunked_req is not None:
             still_chunked = adder.add_chunked_req(self.chunked_req)
@@ -1282,6 +1322,13 @@ class Scheduler:
                 lambda r: self._release_req(r, insert=False)
             )
             self.stats.num_retractions += len(retracted)
+            from sglang_tpu.managers.schedule_policy import (
+                NEW_TOKEN_RATIO_RETRACT_BUMP,
+            )
+
+            self.new_token_ratio = min(
+                1.0, self.new_token_ratio + NEW_TOKEN_RATIO_RETRACT_BUMP
+            )
             for r in reversed(retracted):
                 self.waiting_queue.insert(0, r)
             logger.warning(
