@@ -42,11 +42,18 @@ def req_decode_reserve(req: Req, ratio: float, lookahead: int) -> int:
     """KV tokens reserved for one request's future decode output: the
     ratio-scaled remaining output, floored at the bounded headroom plus
     the decode chain's per-row lookahead (a multi-step chunk allocates
-    `k` tokens per row up front even for nearly-finished requests)."""
+    `k` tokens per row up front even for nearly-finished requests).
+
+    `remaining` is clipped before scaling (reference CLIP_MAX_NEW_TOKENS):
+    a context-length max_new_tokens would otherwise reserve more than the
+    whole pool and starve the request in the waiting queue forever."""
+    from sglang_tpu.managers.schedule_batch import CLIP_MAX_NEW_TOKENS_ESTIMATE
+
     remaining = req.sampling_params.max_new_tokens - len(req.output_ids)
+    clipped = min(remaining, CLIP_MAX_NEW_TOKENS_ESTIMATE)
     return int(
         max(
-            remaining * ratio,
+            clipped * ratio,
             min(remaining, RETRACT_DECODE_HEADROOM_STEPS) + lookahead,
         )
     )

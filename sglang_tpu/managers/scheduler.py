@@ -427,19 +427,18 @@ class Scheduler:
         )
 
         ps = self.page_size
-        need_pages = -(
-            -min(
-                len(top.fill_ids) - top.kv_len,
-                self.server_args.chunked_prefill_size,
-            )
-            // ps
-        )
+        # full remaining input, not the chunk cap: the adder's total_need
+        # counts every new page even on chunked admission, and mismatching
+        # it here retracts victims without ever unblocking `top`
+        need_pages = -(-(len(top.fill_ids) - top.kv_len) // ps)
         slots_blocked = (
             len(self.running_batch.reqs) >= self.max_running_requests
         )
         # mirror the adder's reserve-aware admission test: blocked means
-        # the adder would refuse `top` this round
+        # the adder would refuse `top` this round (including the
+        # conservativeness multiplier the adder applies to its reserve)
         lookahead = self.server_args.decode_multi_step
+        conserv = self.server_args.schedule_conservativeness
         need_tokens = need_pages * ps + req_decode_reserve(
             top, self.new_token_ratio, lookahead
         )
@@ -449,6 +448,7 @@ class Scheduler:
             - total_decode_reserve(
                 self.running_batch.reqs, self.new_token_ratio, lookahead
             )
+            * conserv
         )
         pages_blocked = headroom < need_tokens
         if not (slots_blocked or pages_blocked):
@@ -475,6 +475,7 @@ class Scheduler:
                 - total_decode_reserve(
                     self.running_batch.reqs, self.new_token_ratio, lookahead
                 )
+                * conserv
             )
             if (
                 headroom >= need_tokens

@@ -130,6 +130,15 @@ def build_write_jobs(
     with an all-(-1) row. The extend allocator hands every sequence its
     own pages (radix sharing is page-aligned), so each real page appears
     in exactly one job.
+
+    jmax sizing: each sequence's extend writes one contiguous slot run
+    (tail-page partial fill + fresh pages), touching at most
+    n_i//page_size + 2 pages (the run may both start AND end mid-page on
+    chunked-prefill continuations), so t//page_size + 2*b bounds the
+    batch. Speculative verify/draft batches write non-contiguous runs
+    (committed boundary + scratch pages) and must NOT use this path —
+    `make_extend_batch` skips job building for those modes, falling back
+    to the row-scatter write.
     """
     loc = np.asarray(out_cache_loc[:n_valid])
     pages = loc // page_size
@@ -265,12 +274,14 @@ def make_extend_batch(
                             out_cache_loc,
                             total,
                             page_size,
-                            t // page_size + b,
+                            t // page_size + 2 * b,
                         ),
                     ),
                 )
             )
-            if page_size > 0
+            # spec verify/draft batches write non-contiguous per-seq runs
+            # (scratch pages) — row-scatter handles those (tiny batches)
+            if page_size > 0 and mode == ForwardMode.EXTEND
             else {}
         ),
     )
