@@ -154,12 +154,22 @@ class LoRAManager:
     """Adapter registry + stacked device pool (reference LoRAManager +
     `lora/mem_pool.py`)."""
 
-    def __init__(self, model, max_loras: int = 4, max_rank: Optional[int] = None):
+    def __init__(
+        self,
+        model,
+        max_loras: int = 4,
+        max_rank: Optional[int] = None,
+        uniform_layout: bool = False,
+    ):
         self.model = model
         self.max_loras = max_loras
         self.adapters: Dict[str, int] = {}  # name -> slot
         self._loaded: List[Optional[LoRAAdapter]] = [None] * max_loras
         self.max_rank = max_rank or 0
+        # uniform_layout (layer-scanned runners): every layer carries every
+        # target at one pool-wide rank so the pool stacks to [L, ...]
+        # arrays and rides the scan's xs
+        self.uniform_layout = uniform_layout
         self.pool = None  # params["lora"]: [layer][target] = {"a": .., "b": ..}
 
     @property
@@ -219,6 +229,16 @@ class LoRAManager:
             self.pool = None
             return
         n_layers = max(len(a.weights) for a in live)
+        uniform = self.uniform_layout
+        if uniform:
+            n_layers = self.model.num_layers
+            uni_r = self.max_rank or max(a.rank for a in live)
+        target_in_dims = {
+            "qkv": self.model.hidden_size,
+            "o": self.model.q_size,
+            "gate_up": self.model.hidden_size,
+            "down": self.model.config.intermediate_size,
+        }
         pool = []
         for i in range(n_layers):
             per_layer = {}
@@ -227,14 +247,20 @@ class LoRAManager:
                 fused = {
                     slot: fuse_target(a, i, target, part_dims)
                     for slot, a in enumerate(self._loaded)
-                    if a is not None
+                    if a is not None and i < len(a.weights)
                 }
                 fused = {s_: f for s_, f in fused.items() if f is not None}
-                if not fused:
+                if not fused and not uniform:
                     continue
-                in_dim = next(iter(fused.values()))[0].shape[0]
                 out_dim = sum(part_dims)
-                max_r = max(f[0].shape[1] for f in fused.values())
+                if fused:
+                    in_dim = next(iter(fused.values()))[0].shape[0]
+                    max_r = max(f[0].shape[1] for f in fused.values())
+                else:
+                    in_dim = target_in_dims[target]
+                    max_r = 1
+                if uniform:
+                    max_r = max(max_r, uni_r)
                 a_stack = np.zeros(
                     (self.max_loras + 1, in_dim, max_r), np.float32
                 )
@@ -250,4 +276,7 @@ class LoRAManager:
                     "b": jnp.asarray(b_stack, self.model.config.dtype),
                 }
             pool.append(per_layer)
+        if uniform:
+            # stacked [L, ...] pool for the scanned forward
+            pool = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *pool)
         self.pool = pool

@@ -93,6 +93,7 @@ class KVCachePool:
         kv_cache_dtype: str = "auto",
         sharding: Optional[jax.sharding.NamedSharding] = None,
         stacked_sharding: Optional[jax.sharding.NamedSharding] = None,
+        fused: bool = False,
     ):
         self.num_pages = num_pages
         self.page_size = page_size
@@ -135,7 +136,38 @@ class KVCachePool:
             return [_make_layer() for _ in range(num_layers)]
 
         self.stacked = None
-        if stacked_sharding is not None:
+        self.fused = None
+        if fused:
+            # layer-fused pool for the scanned forward: ONE array
+            # [L * P, 2kvh, ps, d] where layer i's pages live at rows
+            # [i*P, (i+1)*P) — layer selection is page-id arithmetic, so
+            # the lax.scan over layers never slices whole layer planes
+            # (see model_executor/scan_forward.py)
+            fshape = (num_layers * num_pages,) + shape[1:]
+            vals = jnp.zeros(fshape, dtype=self.store_dtype)
+            if sharding is not None:
+                vals = jax.device_put(vals, sharding)
+            if self.has_scales:
+                sc = jnp.zeros(
+                    (num_layers * num_pages,) + scale_shape[1:],
+                    dtype=jnp.float32,
+                )
+                if sharding is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    sc = jax.device_put(
+                        sc,
+                        NamedSharding(
+                            sharding.mesh,
+                            PartitionSpec(sharding.spec[0], None, None),
+                        ),
+                    )
+                self.fused = (vals, sc)
+            else:
+                self.fused = vals
+            self.layers = None
+            nbytes = sum(x.nbytes for x in jax.tree.leaves(self.fused))
+        elif stacked_sharding is not None:
             # PP mode: one [L, P, 2kvh, ps, d] array, layer axis sharded
             # over "pipe" — each stage owns its layers' planes for every
             # page, so the (global-page-id) allocator is stage-agnostic
@@ -188,7 +220,24 @@ class KVCachePool:
     def capacity_tokens(self) -> int:
         return (self.num_pages - 1) * self.page_size
 
+    def layer_view(self, i: int):
+        """Layer i's page array(s), in any storage mode (list / fused /
+        pp-stacked) — introspection helper for tests and debugging."""
+        if self.layers is not None:
+            return self.layers[i]
+        if self.fused is not None:
+            lo, hi = i * self.num_pages, (i + 1) * self.num_pages
+            if self.has_scales:
+                v, s = self.fused
+                return (v[lo:hi], s[lo:hi])
+            return self.fused[lo:hi]
+        return self.stacked[i]
+
     def bytes_per_page(self) -> int:
+        if self.layers is None:
+            src = self.fused if self.fused is not None else self.stacked
+            total = sum(x.nbytes for x in jax.tree.leaves(src))
+            return total // self.num_pages
         per_layer = sum(x.nbytes for x in jax.tree.leaves(self.layers[0]))
         return per_layer // self.num_pages * self.num_layers
 

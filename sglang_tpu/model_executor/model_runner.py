@@ -140,11 +140,28 @@ class ModelRunner:
         self.attn_backend = create_attention_backend(
             server_args.attention_backend, on_tpu=self.device_kind == "tpu"
         )
+        # Layer-scanned forward (compile the layer body once instead of
+        # num_layers times — see model_executor/scan_forward.py). Models
+        # with non-uniform layers keep the unrolled loop (they override
+        # `forward`), as do pp/dp/cp meshes (own pool partitioning) and
+        # hybrid/NSA models (non-array kv layers).
+        from sglang_tpu.models.llama import LlamaForCausalLM
+
+        self._use_scan = (
+            self.pp_size == 1
+            and self.dp_size == 1
+            and self.cp_size == 1
+            and self.kv_kinds is None
+            and not getattr(self.model, "use_nsa", False)
+            and type(self.model).forward is LlamaForCausalLM.forward
+            and os.environ.get("SGLANG_TPU_NO_SCAN") != "1"
+        )
         logger.info(
-            "model: %s, %d layers, attn backend: %s",
+            "model: %s, %d layers, attn backend: %s, layer_scan: %s",
             model_cls.__name__,
             self.model.num_layers,
             type(self.attn_backend).__name__,
+            self._use_scan,
         )
 
         self.params = load_model_weights(
@@ -172,6 +189,12 @@ class ModelRunner:
                 microbatches=server_args.pp_microbatches,
             )
             self._model_forward = self._pp_forward
+        if self._use_scan:
+            from sglang_tpu.model_executor.scan_forward import layers_stackable
+
+            if not layers_stackable(self.params["layers"]):
+                logger.info("layer params not uniform; keeping unrolled loop")
+                self._use_scan = False
         self.lora_manager = None
         if server_args.lora_paths:
             from sglang_tpu.lora.lora_manager import LoRAManager
@@ -180,6 +203,7 @@ class ModelRunner:
                 self.model,
                 max_loras=server_args.max_loras_per_batch,
                 max_rank=server_args.max_lora_rank,
+                uniform_layout=self._use_scan,
             )
             for spec in server_args.lora_paths:
                 name, _, path = spec.partition("=")
@@ -196,6 +220,20 @@ class ModelRunner:
             cdiv(self.model_config.context_length, server_args.page_size), 16
         )
         self._init_kv_pool()
+        if self._use_scan:
+            from sglang_tpu.model_executor.scan_forward import (
+                ScanForward,
+                stack_layer_params,
+            )
+
+            self.params["layers"] = stack_layer_params(
+                self.params["layers"],
+                self.model.param_shardings()["layers"][0],
+                self.mesh,
+            )
+            self._model_forward = ScanForward(
+                self.model, self.num_pages, self.page_size
+            )
         # custom logit processors: "name=module:attr" -> jittable
         # fn(logits [B,V], params [B,P]) -> logits (reference
         # custom_logit_processor; ours are named + registered at launch
@@ -372,6 +410,7 @@ class ModelRunner:
             kv_cache_dtype=sa.kv_cache_dtype,
             sharding=kv_sharding,
             stacked_sharding=stacked_sharding,
+            fused=self._use_scan,
         )
         if self.kv_kinds is not None:
             # interleave paged arrays and state-pool dicts by model layer
@@ -404,6 +443,8 @@ class ModelRunner:
                 )
                 for layer in self.kv_pool.layers
             ]
+        elif self._use_scan:
+            self.kv_layers = self.kv_pool.fused
         else:
             self.kv_layers = (
                 self.kv_pool.stacked
@@ -475,6 +516,9 @@ class ModelRunner:
         specs = self.model.param_specs()
         shardings = self.model.param_shardings()
         n = 0
+        stacked_layers = self._use_scan and not isinstance(
+            self.params.get("layers"), list
+        )
         for rule in self.model.weight_rules():
             if not all(index.has(s) for s in rule.sources):
                 continue
@@ -483,11 +527,20 @@ class ModelRunner:
                 continue
             spec = get_in_tree(shardings, rule.target)
             sds = get_in_tree(specs, rule.target)
-            set_in_tree(
-                self.params,
-                rule.target,
-                _device_put_leafdict(value, spec, sds, self.mesh),
-            )
+            placed = _device_put_leafdict(value, spec, sds, self.mesh)
+            if stacked_layers and rule.target[0] == "layers":
+                from sglang_tpu.model_executor.scan_forward import (
+                    set_stacked_layer_value,
+                )
+
+                set_stacked_layer_value(
+                    self.params["layers"],
+                    tuple(rule.target[2:]),
+                    int(rule.target[1]),
+                    placed,
+                )
+            else:
+                set_in_tree(self.params, rule.target, placed)
             n += 1
         logger.info("updated %d weight groups from tensors", n)
         return n
@@ -527,12 +580,25 @@ class ModelRunner:
         logger.info("resumed model + KV memory")
 
     def _restack_pp_params(self) -> None:
-        """Re-stack per-layer params over the "pipe" axis after any path
-        that reloads them as a per-layer list (weight lifecycle)."""
-        if self.pp_size > 1 and isinstance(self.params.get("layers"), list):
+        """Re-stack per-layer params (over "pipe" for PP, or the plain [L]
+        scan axis) after any path that reloads them as a per-layer list
+        (weight lifecycle)."""
+        if not isinstance(self.params.get("layers"), list):
+            return
+        if self.pp_size > 1:
             from sglang_tpu.parallel.pp_executor import stack_layers
 
             self.params["layers"] = stack_layers(
+                self.params["layers"],
+                self.model.param_shardings()["layers"][0],
+                self.mesh,
+            )
+        elif self._use_scan:
+            from sglang_tpu.model_executor.scan_forward import (
+                stack_layer_params,
+            )
+
+            self.params["layers"] = stack_layer_params(
                 self.params["layers"],
                 self.model.param_shardings()["layers"][0],
                 self.mesh,
@@ -548,6 +614,7 @@ class ModelRunner:
                 self.model,
                 max_loras=self.server_args.max_loras_per_batch,
                 max_rank=self.server_args.max_lora_rank,
+                uniform_layout=self._use_scan,
             )
         return self.lora_manager
 
@@ -631,6 +698,16 @@ class ModelRunner:
             self._dummy_counts = counts
 
     # ------------------------------------------------------------- forward
+
+    def _forward_capture_aux(self, params, kv_layers, fb):
+        """EAGLE3 multi-layer feature capture, scan-aware."""
+        if self._use_scan:
+            return self._model_forward.capture_aux(
+                params, kv_layers, fb, self.attn_backend
+            )
+        return self.model.forward_capture_aux(
+            params, kv_layers, fb, self.attn_backend
+        )
 
     def forward_decode(
         self,
@@ -802,7 +879,7 @@ class ModelRunner:
         token_kind = np.where(valid, np.where(is_out, 2, 1), 0).astype(np.int32)
         nb = tt // EXTEND_QBLK + bb
         blk = build_attn_blocks(cu, _pad(seq_lens, bb), EXTEND_QBLK, nb)
-        jmax = tt // self.page_size + bb
+        jmax = tt // self.page_size + 2 * bb
         wr_pages, wr_src = build_write_jobs(
             out_cache_loc, min(total, t), self.page_size, jmax
         )
@@ -1133,8 +1210,8 @@ class ModelRunner:
             def _verify(params, kv_layers, fb):
                 if self.capture_aux:
                     # EAGLE3: the draft consumes multi-layer aux features
-                    hidden, aux, new_kv = self.model.forward_capture_aux(
-                        params, kv_layers, fb, self.attn_backend
+                    hidden, aux, new_kv = self._forward_capture_aux(
+                        params, kv_layers, fb
                     )
                 else:
                     hidden, new_kv = self._model_forward(
@@ -1359,8 +1436,8 @@ class ModelRunner:
 
             def _fwd(params, kv_layers, fb):
                 if self.capture_aux:
-                    _, aux, new_kv = self.model.forward_capture_aux(
-                        params, kv_layers, fb, self.attn_backend
+                    _, aux, new_kv = self._forward_capture_aux(
+                        params, kv_layers, fb
                     )
                     return aux.astype(jnp.float32), new_kv
                 hidden, new_kv = self._model_forward(
@@ -1392,16 +1469,46 @@ class ModelRunner:
         if key not in self._jit_cache:
             ps = self.page_size
 
-            def _copy(kv_layers, src, dst, off):
-                rows = jnp.arange(ps)
-                mask = rows[None, :] < off[:, None]  # [m, ps]
-                # pages are head-major [P, 2kvh, ps, d]: token dim is axis 2
-                return [
-                    l.at[dst].set(
-                        jnp.where(mask[:, None, :, None], l[src], l[dst])
+            if self._use_scan:
+                L, P_ = self.model.num_layers, self.num_pages
+
+                def _copy(kv, src, dst, off):
+                    # fused pool: copy every layer's region in one scatter
+                    lo = jnp.arange(L, dtype=jnp.int32)[:, None] * P_
+                    srcs = (lo + src[None, :]).reshape(-1)
+                    dsts = (lo + dst[None, :]).reshape(-1)
+                    offs = jnp.tile(off, L)
+                    rows = jnp.arange(ps)
+                    mask = rows[None, :] < offs[:, None]  # [L*m, ps]
+                    scales = None
+                    if isinstance(kv, tuple):
+                        kv, scales = kv
+                    kv = kv.at[dsts].set(
+                        jnp.where(mask[:, None, :, None], kv[srcs], kv[dsts])
                     )
-                    for l in kv_layers
-                ]
+                    if scales is None:
+                        return kv
+                    lanes = jnp.arange(128)
+                    smask = lanes[None, :] < offs[:, None]  # [L*m, 128]
+                    scales = scales.at[dsts].set(
+                        jnp.where(
+                            smask[:, None, :], scales[srcs], scales[dsts]
+                        )
+                    )
+                    return (kv, scales)
+
+            else:
+
+                def _copy(kv_layers, src, dst, off):
+                    rows = jnp.arange(ps)
+                    mask = rows[None, :] < off[:, None]  # [m, ps]
+                    # pages are head-major [P, 2kvh, ps, d]: token dim is axis 2
+                    return [
+                        l.at[dst].set(
+                            jnp.where(mask[:, None, :, None], l[src], l[dst])
+                        )
+                        for l in kv_layers
+                    ]
 
             self._jit_cache[key] = jax.jit(_copy, donate_argnums=(0,))
         self.kv_layers = self._jit_cache[key](
@@ -1423,8 +1530,17 @@ class ModelRunner:
         key = ("kv_gather", nb)
         if key not in self._jit_cache:
 
-            def _gather(kv_layers, idx):
-                return jnp.stack([l[idx] for l in kv_layers], axis=1)
+            if self._use_scan:
+                L, P_ = self.model.num_layers, self.num_pages
+
+                def _gather(kv, idx):
+                    full = jnp.arange(L, dtype=jnp.int32)[:, None] * P_ + idx
+                    return jnp.swapaxes(kv[full], 0, 1)  # [n, L, ...]
+
+            else:
+
+                def _gather(kv_layers, idx):
+                    return jnp.stack([l[idx] for l in kv_layers], axis=1)
 
             self._jit_cache[key] = jax.jit(_gather)
         idx = np.zeros(nb, dtype=np.int32)
@@ -1446,10 +1562,20 @@ class ModelRunner:
         key = ("kv_scatter", nb)
         if key not in self._jit_cache:
 
-            def _scatter(kv_layers, idx, vals):
-                return [
-                    l.at[idx].set(vals[:, i]) for i, l in enumerate(kv_layers)
-                ]
+            if self._use_scan:
+                L, P_ = self.model.num_layers, self.num_pages
+
+                def _scatter(kv, idx, vals):
+                    full = jnp.arange(L, dtype=jnp.int32)[:, None] * P_ + idx
+                    return kv.at[full].set(jnp.swapaxes(vals, 0, 1))
+
+            else:
+
+                def _scatter(kv_layers, idx, vals):
+                    return [
+                        l.at[idx].set(vals[:, i])
+                        for i, l in enumerate(kv_layers)
+                    ]
 
             self._jit_cache[key] = jax.jit(_scatter, donate_argnums=(0,))
         idx = np.zeros(nb, dtype=np.int32)

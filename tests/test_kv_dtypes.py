@@ -54,7 +54,7 @@ def test_fp8_kv_pool_is_half_size():
     r8 = tiny_runner(sa8)
     sa16 = tiny_server_args(max_total_tokens=None)
     r16 = tiny_runner(sa16)
-    assert r8.kv_pool.layers[0].dtype.itemsize == 1
+    assert r8.kv_pool.layer_view(0).dtype.itemsize == 1
     assert r8.max_total_tokens >= r16.max_total_tokens * 1.9
 
 
@@ -80,7 +80,7 @@ def test_int8_kv_pool_capacity():
     r8 = tiny_runner(sa8)
     sa16 = tiny_server_args(max_total_tokens=None)
     r16 = tiny_runner(sa16)
-    vals, scales = r8.kv_pool.layers[0]
+    vals, scales = r8.kv_pool.layer_view(0)
     assert vals.dtype.itemsize == 1
     assert scales.dtype == jnp.float32
     # per-page scale plane: [P, S, 128] with S a multiple of 8
