@@ -33,7 +33,15 @@ def moe_shapes(
     }
 
 
-def moe_specs() -> Dict[str, P]:
+def moe_specs(ep: bool = False) -> Dict[str, P]:
+    if ep:
+        # EP: experts sharded over the axis, FFN dims whole per expert
+        # (reference ep_moe / token_dispatcher layout)
+        return {
+            "router": P(None, None),
+            "w1": P("model", None, None),
+            "w2": P("model", None, None),
+        }
     # MoE-TP: shard the expert FFN dim; router replicated
     return {
         "router": P(None, None),
@@ -135,3 +143,46 @@ def fused_moe(
     out = jnp.zeros((t, h), dtype=jnp.float32)
     out = out.at[token_of_slot].add(h2 * w_sorted[:, None])
     return out.astype(x.dtype)
+
+
+def moe_forward(model, lp: dict, x: jax.Array, **routing_kw) -> jax.Array:
+    """Route through the model's configured MoE dispatch: the dense
+    sort+ragged_dot `fused_moe` by default, or the all-to-all EP dispatch
+    (`parallel/ep.py`) when `enable_ep` was called (reference
+    --enable-ep-moe / `layers/moe/token_dispatcher/`)."""
+    if getattr(model, "use_ep", False):
+        cb = routing_kw.get("correction_bias")
+        return model._ep_fn(x, lp["router"], lp["w1"], lp["w2"], cb)
+    return fused_moe(x, lp["router"], lp["w1"], lp["w2"], **routing_kw)
+
+
+class EPMoEMixin:
+    """Adds expert-parallel dispatch to a MoE model with the standard
+    (router, w1, w2) layer layout. `enable_ep` must run BEFORE weight
+    loading — it flips the expert shardings from FFN-dim TP to
+    expert-dim EP."""
+
+    use_ep = False
+
+    def moe_routing_kwargs(self) -> dict:
+        return dict(top_k=self.top_k, norm_topk_prob=self.norm_topk_prob)
+
+    def enable_ep(
+        self,
+        mesh,
+        axis: str = "model",
+        capacity_factor: float = 2.0,
+        lossless: bool = False,
+    ) -> None:
+        from sglang_tpu.parallel.ep import make_ep_moe
+
+        kw = dict(self.moe_routing_kwargs())
+        kw.pop("correction_bias", None)
+        self.use_ep = True
+        self._ep_fn = make_ep_moe(
+            mesh,
+            axis,
+            capacity_factor=capacity_factor,
+            lossless=lossless,
+            **kw,
+        )

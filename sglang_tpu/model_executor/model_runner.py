@@ -127,6 +127,16 @@ class ModelRunner:
         self.model = model_cls(self.model_config)
         # models that place sharding constraints (dense-SP) need the mesh
         self.model.mesh = self.mesh
+        if server_args.enable_ep_moe:
+            if not hasattr(self.model, "enable_ep"):
+                raise NotImplementedError(
+                    f"{model_cls.__name__} does not support --enable-ep-moe"
+                )
+            # before load: flips expert shardings from FFN-TP to expert-EP
+            self.model.enable_ep(
+                self.mesh,
+                capacity_factor=server_args.ep_capacity_factor,
+            )
         # hybrid models (linear attention / Mamba-class layers) carry
         # slot-indexed recurrent state pools instead of paged KV on some
         # layers and need per-seq state slots in the ForwardBatch
@@ -219,10 +229,11 @@ class ModelRunner:
         self.max_pages_per_req = round_up(
             cdiv(self.model_config.context_length, server_args.page_size), 16
         )
-        self._init_kv_pool()
         if self._use_scan:
+            # stack BEFORE the KV pool exists: the stacking transient
+            # (~one stacked leaf) and the pool must not coexist on a
+            # 16 GiB chip with an 8B model
             from sglang_tpu.model_executor.scan_forward import (
-                ScanForward,
                 stack_layer_params,
             )
 
@@ -231,6 +242,10 @@ class ModelRunner:
                 self.model.param_shardings()["layers"][0],
                 self.mesh,
             )
+        self._init_kv_pool()
+        if self._use_scan:
+            from sglang_tpu.model_executor.scan_forward import ScanForward
+
             self._model_forward = ScanForward(
                 self.model, self.num_pages, self.page_size
             )
@@ -293,7 +308,11 @@ class ModelRunner:
             if gb is None:
                 gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
                 gb = self._HBM_BY_GEN.get(gen, 16)
-            limit = int(float(gb) * (1 << 30))
+            # nameplate HBM minus the XLA runtime's own reserve: measured
+            # ~1.75 GiB unusable on v5e (readback succeeds at 14 GiB of
+            # buffers, fails at 15) — without this the pool sizing eats
+            # the executables' temp arena and the first big compile OOMs
+            limit = int(float(gb) * (1 << 30)) - (1792 << 20)
             used = param_bytes
         logger.info(
             "hbm: limit %.2f GiB, in_use %.2f GiB (params %.2f GiB), "

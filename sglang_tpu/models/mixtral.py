@@ -11,12 +11,17 @@ from typing import List
 import numpy as np
 
 from sglang_tpu.configs.model_config import ModelConfig
-from sglang_tpu.layers.moe import fused_moe, moe_shapes, moe_specs
+from sglang_tpu.layers.moe import (
+    EPMoEMixin,
+    moe_forward,
+    moe_shapes,
+    moe_specs,
+)
 from sglang_tpu.model_loader.weight_mapping import WeightRule
 from sglang_tpu.models.llama import LlamaForCausalLM
 
 
-class MixtralForCausalLM(LlamaForCausalLM):
+class MixtralForCausalLM(EPMoEMixin, LlamaForCausalLM):
     architectures = ["MixtralForCausalLM"]
 
     def __init__(self, config: ModelConfig):
@@ -32,16 +37,11 @@ class MixtralForCausalLM(LlamaForCausalLM):
         )
 
     def mlp_specs(self):
-        return moe_specs()
+        return moe_specs(ep=self.use_ep)
 
     def mlp_forward(self, lp, x, lora=None, lora_ids=None):
-        return fused_moe(
-            x,
-            lp["router"],
-            lp["w1"],
-            lp["w2"],
-            top_k=self.top_k,
-            norm_topk_prob=self.norm_topk_prob,
+        return moe_forward(
+            self, lp, x, top_k=self.top_k, norm_topk_prob=self.norm_topk_prob
         )
 
     def mlp_weight_rules(self, lp: str, L: tuple) -> List[WeightRule]:

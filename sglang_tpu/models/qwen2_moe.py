@@ -13,12 +13,17 @@ import jax
 import jax.numpy as jnp
 
 from sglang_tpu.configs.model_config import ModelConfig
-from sglang_tpu.layers.moe import fused_moe, moe_shapes, moe_specs
+from sglang_tpu.layers.moe import (
+    EPMoEMixin,
+    moe_forward,
+    moe_shapes,
+    moe_specs,
+)
 from sglang_tpu.model_loader.weight_mapping import WeightRule
 from sglang_tpu.models.llama import LlamaForCausalLM, _linear_sharding
 
 
-class Qwen3MoeForCausalLM(LlamaForCausalLM):
+class Qwen3MoeForCausalLM(EPMoEMixin, LlamaForCausalLM):
     architectures = ["Qwen3MoeForCausalLM"]
     qk_norm = True
 
@@ -35,16 +40,11 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
         )
 
     def mlp_specs(self):
-        return moe_specs()
+        return moe_specs(ep=self.use_ep)
 
     def mlp_forward(self, lp, x, lora=None, lora_ids=None):
-        return fused_moe(
-            x,
-            lp["router"],
-            lp["w1"],
-            lp["w2"],
-            top_k=self.top_k,
-            norm_topk_prob=self.norm_topk_prob,
+        return moe_forward(
+            self, lp, x, top_k=self.top_k, norm_topk_prob=self.norm_topk_prob
         )
 
     def mlp_weight_rules(self, lp: str, L: tuple) -> List[WeightRule]:

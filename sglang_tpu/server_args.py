@@ -119,6 +119,13 @@ class ServerArgs:
     # 1 = replicate dense-MLP weights, shard the token axis over "model"
     # (skips the dense layers' per-layer all-reduce)
     moe_dense_tp_size: Optional[int] = None
+    # expert parallelism (reference --enable-ep-moe / moe_a2a_backend):
+    # experts sharded over the "model" axis, tokens dispatched via
+    # all_to_all inside shard_map (parallel/ep.py)
+    enable_ep_moe: bool = False
+    # capacity factor for the EP dispatch buckets (overflow picks drop;
+    # >= ep axis size makes dispatch lossless)
+    ep_capacity_factor: float = 2.0
     nnodes: int = 1
     node_rank: int = 0
     dist_init_addr: Optional[str] = None

@@ -104,3 +104,65 @@ def test_ep_capacity_drop_is_bounded(mesh):
         )
     )
     np.testing.assert_allclose(out_ll, np.asarray(ref), atol=1e-4)
+
+
+def test_ep_serving_matches_tp(tmp_path):
+    """--enable-ep-moe end-to-end: a Mixtral engine with experts sharded
+    over a 4-device axis (lossless capacity) generates exactly the same
+    greedy tokens as the single-spec MoE-TP engine."""
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig
+    from transformers import MixtralForCausalLM as HFMixtral
+
+    from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+    from sglang_tpu.managers.scheduler import Scheduler
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.sampling.sampling_params import SamplingParams
+    from tests.test_utils import tiny_server_args
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    path = str(tmp_path / "mixtral")
+    cfg = MixtralConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=96,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        vocab_size=256,
+        max_position_embeddings=256,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    HFMixtral(cfg).eval().save_pretrained(path)
+
+    def run(**over):
+        sa = tiny_server_args(
+            model_path=path, load_format="auto", dtype="float32", **over
+        )
+        runner = ModelRunner(sa, ModelConfig.from_server_args(sa))
+        sched = Scheduler(sa, runner)
+        prompt = np.random.default_rng(0).integers(3, 250, size=12).tolist()
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid="ep0",
+                input_ids=prompt,
+                sampling_params=SamplingParams(
+                    max_new_tokens=12, temperature=0.0, ignore_eos=True
+                ),
+            )
+        )
+        out = None
+        while sched.has_work():
+            for o in sched.step():
+                if o.finished:
+                    out = o
+        return out.output_ids
+
+    # ep_capacity_factor >= axis size -> lossless dispatch
+    ids_ep = run(tp_size=4, enable_ep_moe=True, ep_capacity_factor=4.0)
+    ids_tp = run(tp_size=1)
+    assert ids_ep == ids_tp, (ids_ep, ids_tp)
