@@ -183,7 +183,11 @@ def main():
         )
         if not tiny
         else [8, 16, 32],
-        prefill_token_buckets=[2048, 4096] if not tiny else [512],
+        # finer prefill buckets: steady-state rounds average ~2.1-2.6k real
+        # tokens (admission is pool-limited, not budget-limited), and with
+        # only {2048, 4096} most rounds padded to 4096 — measured ~2x token
+        # cost (42.5s prefill_run for 325k tokens vs 131us/tok honest rate)
+        prefill_token_buckets=[1024, 2048, 3072, 4096] if not tiny else [512],
         max_running_requests=256,
         device="cpu" if tiny else "auto",
         decode_multi_step=int(os.environ.get("BENCH_MULTI_STEP", "16")),

@@ -391,10 +391,21 @@ class ScheduleBatch:
         need: List[Tuple[Req, int]] = []
         total = 0
         for r in self.reqs:
+            # never allocate past the row's maximum possible generation:
+            # kv can only ever reach prompt + max_new_tokens, so lookahead
+            # pages beyond that are pure waste (they were measured to eat
+            # other requests' admission reserves and trigger retraction —
+            # a finishing row used to allocate up to k+lookahead tokens
+            # past its end, and zombie rows kept them until chain break)
+            end_cap = len(r.input_ids) + r.sampling_params.max_new_tokens
             cap = min(
                 r.kv_len + k_steps + lookahead_tokens,
+                end_cap,
                 self.max_pages_per_req * ps,
             )
+            # rows at/past end_cap allocate nothing (n <= 0): their extra
+            # in-chunk steps write to the garbage page and are trimmed at
+            # resolution, exactly like zombie rows
             n = cdiv(cap, ps) - len(r.pages)
             if n > 0:
                 need.append((r, n))

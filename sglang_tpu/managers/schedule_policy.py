@@ -38,7 +38,13 @@ NEW_TOKEN_RATIO_DECAY = 0.001  # per prefill admission round
 NEW_TOKEN_RATIO_RETRACT_BUMP = 0.2
 
 
-def req_decode_reserve(req: Req, ratio: float, lookahead: int) -> int:
+def req_decode_reserve(
+    req: Req,
+    ratio: float,
+    lookahead: int,
+    page_size: int = 1,
+    base_len: Optional[int] = None,
+) -> int:
     """KV tokens reserved for one request's future decode output: the
     ratio-scaled remaining output, floored at the bounded headroom plus
     the decode chain's per-row lookahead (a multi-step chunk allocates
@@ -46,7 +52,13 @@ def req_decode_reserve(req: Req, ratio: float, lookahead: int) -> int:
 
     `remaining` is clipped before scaling (reference CLIP_MAX_NEW_TOKENS):
     a context-length max_new_tokens would otherwise reserve more than the
-    whole pool and starve the request in the waiting queue forever."""
+    whole pool and starve the request in the waiting queue forever.
+
+    The reserve is PAGE-aware: allocation happens in pages, so the true
+    future allocation is cdiv(base+est, ps)*ps - cdiv(base, ps)*ps, not
+    `est` tokens. Token-granular reserves under-counted ~ps/2 tokens per
+    request (half-page tail), which over-admitted ~8 requests per bench
+    pass and caused a retract/re-prefill churn cycle."""
     from sglang_tpu.managers.schedule_batch import CLIP_MAX_NEW_TOKENS_ESTIMATE
 
     remaining = req.sampling_params.max_new_tokens - len(req.output_ids)
@@ -58,16 +70,26 @@ def req_decode_reserve(req: Req, ratio: float, lookahead: int) -> int:
         # requests that are guaranteed to be retracted later (measured:
         # 26 retract/re-prefill cycles per bench pass at ratio 0.7).
         ratio = 1.0
-    return int(
+    est = int(
         max(
             clipped * ratio,
             min(remaining, RETRACT_DECODE_HEADROOM_STEPS) + lookahead,
         )
     )
+    if page_size > 1:
+        base = base_len if base_len is not None else req.kv_len
+        up = -(-(base + est) // page_size) * page_size
+        held = -(-base // page_size) * page_size
+        return up - held
+    return est
 
 
-def total_decode_reserve(reqs: List[Req], ratio: float, lookahead: int) -> int:
-    return sum(req_decode_reserve(r, ratio, lookahead) for r in reqs)
+def total_decode_reserve(
+    reqs: List[Req], ratio: float, lookahead: int, page_size: int = 1
+) -> int:
+    return sum(
+        req_decode_reserve(r, ratio, lookahead, page_size) for r in reqs
+    )
 
 
 class SchedulePolicy:
@@ -146,7 +168,9 @@ class PrefillAdder:
         # (zombie chains preallocate `horizon*k` tokens per row up front,
         # which can exceed a nearly-finished request's remaining output).
         decode_reserve = int(
-            total_decode_reserve(running_reqs, new_token_ratio, decode_lookahead)
+            total_decode_reserve(
+                running_reqs, new_token_ratio, decode_lookahead, page_size
+            )
             * conservativeness
         )
         self.rem_total_tokens = (
@@ -202,7 +226,11 @@ class PrefillAdder:
         input_len = len(req.fill_ids) - prefix_len
         new_pages = cdiv(len(req.fill_ids), self.page_size) - prefix_len // self.page_size
         total_need = new_pages * self.page_size + req_decode_reserve(
-            req, self.new_token_ratio, self.decode_lookahead
+            req,
+            self.new_token_ratio,
+            self.decode_lookahead,
+            self.page_size,
+            base_len=len(req.fill_ids),
         )
         if total_need > self.rem_total_tokens:
             return AddReqResult.NO_TOKEN

@@ -440,13 +440,14 @@ class Scheduler:
         lookahead = self.server_args.decode_multi_step
         conserv = self.server_args.schedule_conservativeness
         need_tokens = need_pages * ps + req_decode_reserve(
-            top, self.new_token_ratio, lookahead
+            top, self.new_token_ratio, lookahead, ps,
+            base_len=len(top.fill_ids),
         )
         headroom = (
             self.allocator.available_tokens()
             + self.radix_cache.evictable_pages * ps
             - total_decode_reserve(
-                self.running_batch.reqs, self.new_token_ratio, lookahead
+                self.running_batch.reqs, self.new_token_ratio, lookahead, ps
             )
             * conserv
         )
@@ -473,7 +474,8 @@ class Scheduler:
                 self.allocator.available_tokens()
                 + self.radix_cache.evictable_pages * ps
                 - total_decode_reserve(
-                    self.running_batch.reqs, self.new_token_ratio, lookahead
+                    self.running_batch.reqs, self.new_token_ratio, lookahead,
+                    ps,
                 )
                 * conserv
             )
@@ -1317,8 +1319,20 @@ class Scheduler:
 
         arrays = batch.prepare_for_decode(with_input_ids=not chained)
         if arrays is None:
-            # OOM: resolve first (retract needs exact state), then retract
+            # OOM: resolve first (retract needs exact state). Resolution
+            # finishes in-flight requests and releases their radix refs, so
+            # pages that were un-evictable a moment ago may now be free —
+            # evict + retry BEFORE retracting (measured: alloc-time evicts
+            # freed 0 pages while the in-flight chunk pinned them, then the
+            # same evict freed 100+ pages right after resolution).
             outputs += self._resolve_inflight()
+            chained = False
+            batch.filter_finished()
+            if not batch.reqs:
+                return outputs
+            self.radix_cache.evict(1 << 30)
+            arrays = batch.prepare_for_decode()
+        if arrays is None:
             retracted = batch.retract_decode(
                 lambda r: self._release_req(r, insert=False)
             )
@@ -1583,6 +1597,18 @@ class Scheduler:
             self.radix_cache.insert(
                 r.cache_ids[:aligned], r.pages[: aligned // self.page_size]
             )
+            # move the request's tree lock onto the inserted path: a
+            # running request's own prefix must NOT count as evictable —
+            # evicting it frees nothing (the request still holds allocator
+            # refs), and counting it let admission over-admit by the whole
+            # running set's prompt footprint (measured: 173 admitted into a
+            # pool that fits ~130 -> 26 retract/re-prefill cycles per pass)
+            m = self.radix_cache.match_prefix(r.cache_ids[:aligned])
+            if m.length > 0 and m.node is not None:
+                self.radix_cache.lock_path(m.node)
+                if r.last_node is not None:
+                    self.radix_cache.unlock(r.last_node)
+                r.last_node = m.node
 
     def _release_req(self, r: Req, insert: bool) -> None:
         """Return a request's KV to the pool; optionally publish its prefix

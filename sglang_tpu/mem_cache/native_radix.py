@@ -70,6 +70,12 @@ class NativeRadixCache:
         if match.node:
             self.lib.rt_lock(self.tree, match.node, 1)
 
+    def lock_path(self, node) -> None:
+        """Lock without allocator refs (see RadixCache.lock_path)."""
+        if self.disable or not node:
+            return
+        self.lib.rt_lock(self.tree, node, 1)
+
     def unlock(self, node) -> None:
         if self.disable or not node:
             return

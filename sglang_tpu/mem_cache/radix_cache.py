@@ -138,6 +138,22 @@ class RadixCache:
                 self._evictable_pages -= len(node.pages)
             node = node.parent
 
+    def lock_path(self, node: TreeNode) -> None:
+        """Lock a path WITHOUT taking allocator refs: used to pin a running
+        request's own radix-inserted prefix (`_cache_unfinished`). The
+        request already holds allocator refs on those pages, so evicting
+        the nodes would free nothing into the pool — locking them keeps
+        `evictable_pages` an honest \"tokens reclaimable by eviction\"
+        count for admission (reference `cache_unfinished_req` moves the
+        request's lock onto the inserted node the same way)."""
+        if self.disable or node is None:
+            return
+        while node is not None:
+            node.lock_ref += 1
+            if node is not self.root and node.lock_ref == 1:
+                self._evictable_pages -= len(node.pages)
+            node = node.parent
+
     def unlock(self, node: TreeNode) -> None:
         if self.disable or node is None:
             return
