@@ -162,13 +162,13 @@ def main():
         log_level="warning",
         context_length=2048,
         max_total_tokens=4096 if tiny else None,
-        mem_fraction_static=0.88,
+        mem_fraction_static=float(os.environ.get("BENCH_MEM_FRAC", "0.88")),
         # ps=128 halves the decode kernel's per-page DMA count but costs
         # more page-granularity waste (measured e2e 1434 vs 1591 tok/s at
         # ps=64 on this workload's short sequences) — ps=64 stays default
         page_size=64 if not tiny else 16,
-        max_prefill_tokens=4096,
-        chunked_prefill_size=4096,
+        max_prefill_tokens=int(os.environ.get("BENCH_PREFILL_TOKENS", "4096")),
+        chunked_prefill_size=int(os.environ.get("BENCH_PREFILL_TOKENS", "4096")),
         # few buckets: each (bucket, variant) pair is one XLA compile, and
         # decode is weight-read-bound so padded rows are nearly free
         # KV pool (~46k tokens) caps concurrency near 70 at this workload's
@@ -191,6 +191,10 @@ def main():
         max_running_requests=256,
         device="cpu" if tiny else "auto",
         decode_multi_step=int(os.environ.get("BENCH_MULTI_STEP", "16")),
+        # accumulate KV headroom before prefill rounds: fewer, fuller
+        # rounds (105 -> 78 per 3 passes) — measured 2079 -> 2154 tok/s;
+        # 10240 showed no further gain
+        prefill_accumulate_tokens=int(os.environ.get("BENCH_ACCUM", "6144")),
     )
     mc = ModelConfig.from_hf_dict(
         hf,

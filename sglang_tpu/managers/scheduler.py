@@ -549,6 +549,18 @@ class Scheduler:
         self.new_token_ratio = max(
             MIN_NEW_TOKEN_RATIO, self.new_token_ratio - NEW_TOKEN_RATIO_DECAY
         )
+        if (
+            self.server_args.prefill_accumulate_tokens
+            and self.running_batch.reqs
+            and self.chunked_req is None
+            and self.waiting_queue
+            and adder.rem_total_tokens
+            < self.server_args.prefill_accumulate_tokens
+        ):
+            # headroom-accumulation: decode keeps the chip busy while
+            # enough pool frees to fill a whole prefill bucket, instead of
+            # paying a padded round for a sliver of admissions
+            return None
         if self.chunked_req is not None:
             still_chunked = adder.add_chunked_req(self.chunked_req)
             if not still_chunked:

@@ -396,11 +396,11 @@ class ModelRunner:
                     sa.page_size * nsa_idx_dim * jnp.dtype(mc.dtype).itemsize
                 ),
             )
-        if sa.kv_cache_dtype == "int8" and self.tp_size > 1:
-            raise NotImplementedError(
-                "int8 KV does not compose with tp_size>1 yet (the flat "
-                "head-major scale blob cannot shard by head)"
-            )
+        # int8 KV composes with tp>1 since the r3 row-per-head scale-plane
+        # relayout: values shard by KV head over "model"; the per-page
+        # scale plane (3% of pool bytes) shards on the page dim only and
+        # keeps its rows replicated — GSPMD keeps the math identical
+        # (tested: tp=2 int8-KV output == tp=1 exactly on a CPU mesh).
         head_spec = (
             "model"
             if mc.num_key_value_heads * 2 % max(1, self.tp_size) == 0
@@ -1537,13 +1537,15 @@ class ModelRunner:
     # -------------------------------------------------- KV page host I/O
 
     def gather_kv_pages(self, pages) -> np.ndarray:
-        """Copy KV pages device->host as one [n, L, page, 2*kvh, hd] array
-        (HiCache write path). One jitted gather + one transfer; page count
-        padded to a power of two so compiles are bucketed."""
-        if self.kv_pool.has_scales:
-            raise NotImplementedError(
-                "int8 KV does not support HiCache/PD page transfer yet"
-            )
+        """Copy KV pages device->host as one [n, L, ...] array (HiCache
+        write path). One jitted gather + one transfer; page count padded to
+        a power of two so compiles are bucketed.
+
+        int8 KV pools carry a per-page scale plane: the gather returns ONE
+        uint8 blob [n, L, page_bytes + scale_bytes] (values' int8 bytes then
+        the f32 plane's bytes), so HiCache slabs, the PD TCP transfer, and
+        remote stores stay payload-agnostic (reference kvcacheio moves
+        opaque per-page buffers the same way)."""
         n = len(pages)
         nb = max(1, next_power_of_2(n))
         key = ("kv_gather", nb)
@@ -1554,43 +1556,96 @@ class ModelRunner:
 
                 def _gather(kv, idx):
                     full = jnp.arange(L, dtype=jnp.int32)[:, None] * P_ + idx
+                    if isinstance(kv, tuple):
+                        return (
+                            jnp.swapaxes(kv[0][full], 0, 1),
+                            jnp.swapaxes(kv[1][full], 0, 1),
+                        )
                     return jnp.swapaxes(kv[full], 0, 1)  # [n, L, ...]
 
             else:
 
                 def _gather(kv_layers, idx):
+                    if isinstance(kv_layers[0], tuple):
+                        return (
+                            jnp.stack([l[0][idx] for l in kv_layers], axis=1),
+                            jnp.stack([l[1][idx] for l in kv_layers], axis=1),
+                        )
                     return jnp.stack([l[idx] for l in kv_layers], axis=1)
 
             self._jit_cache[key] = jax.jit(_gather)
         idx = np.zeros(nb, dtype=np.int32)
         idx[:n] = pages
         out = self._jit_cache[key](self.kv_layers, jnp.asarray(idx))
-        return np.asarray(jax.device_get(out))[:n]
+        if not self.kv_pool.has_scales:
+            return np.asarray(jax.device_get(out))[:n]
+        vals, sc = jax.device_get(out)
+        vals = np.asarray(vals)[:n]
+        sc = np.asarray(sc)[:n]
+        L = vals.shape[1]
+        blob = np.concatenate(
+            [
+                vals.reshape(n, L, -1).view(np.uint8),
+                sc.reshape(n, L, -1).view(np.uint8),
+            ],
+            axis=-1,
+        )
+        return blob
 
     def scatter_kv_pages(self, pages, data: np.ndarray) -> None:
-        """Write host KV pages ([n, L, page, 2*kvh, hd]) into the device
-        pool (HiCache load path). Donates the pool so XLA updates in place;
-        padding rows target page 0 (the garbage page) harmlessly."""
-        if self.kv_pool.has_scales:
-            raise NotImplementedError(
-                "int8 KV does not support HiCache/PD page transfer yet"
-            )
+        """Write host KV pages into the device pool (HiCache load path).
+        Donates the pool so XLA updates in place; padding rows target page
+        0 (the garbage page) harmlessly. For int8 KV pools `data` is the
+        uint8 blob `gather_kv_pages` produced (values bytes + scale-plane
+        bytes per page per layer)."""
         self._chain = None
         n = len(pages)
+        has_scales = self.kv_pool.has_scales
+        if has_scales:
+            pool = self.kv_pool
+            vshape = (2 * pool.num_kv_heads, self.page_size, pool.head_dim)
+            vbytes = int(np.prod(vshape))
+            L = data.shape[1]
+            vals = (
+                np.ascontiguousarray(data[..., :vbytes])
+                .view(np.int8)
+                .reshape((n, L) + vshape)
+            )
+            sc = (
+                np.ascontiguousarray(data[..., vbytes:])
+                .view(np.float32)
+                .reshape(n, L, pool.scale_rows, 128)
+            )
+            payload = (vals, sc)
+        else:
+            payload = data
         nb = max(1, next_power_of_2(n))
         key = ("kv_scatter", nb)
         if key not in self._jit_cache:
 
             if self._use_scan:
-                L, P_ = self.model.num_layers, self.num_pages
+                L_, P_ = self.model.num_layers, self.num_pages
 
                 def _scatter(kv, idx, vals):
-                    full = jnp.arange(L, dtype=jnp.int32)[:, None] * P_ + idx
+                    full = jnp.arange(L_, dtype=jnp.int32)[:, None] * P_ + idx
+                    if isinstance(kv, tuple):
+                        return (
+                            kv[0].at[full].set(jnp.swapaxes(vals[0], 0, 1)),
+                            kv[1].at[full].set(jnp.swapaxes(vals[1], 0, 1)),
+                        )
                     return kv.at[full].set(jnp.swapaxes(vals, 0, 1))
 
             else:
 
                 def _scatter(kv_layers, idx, vals):
+                    if isinstance(kv_layers[0], tuple):
+                        return [
+                            (
+                                l[0].at[idx].set(vals[0][:, i]),
+                                l[1].at[idx].set(vals[1][:, i]),
+                            )
+                            for i, l in enumerate(kv_layers)
+                        ]
                     return [
                         l.at[idx].set(vals[:, i])
                         for i, l in enumerate(kv_layers)
@@ -1599,11 +1654,16 @@ class ModelRunner:
             self._jit_cache[key] = jax.jit(_scatter, donate_argnums=(0,))
         idx = np.zeros(nb, dtype=np.int32)
         idx[:n] = pages
-        if nb != n:
-            pad = np.zeros((nb - n,) + data.shape[1:], dtype=data.dtype)
-            data = np.concatenate([data, pad], axis=0)
+
+        def _pad(a):
+            if nb == n:
+                return a
+            pad = np.zeros((nb - n,) + a.shape[1:], dtype=a.dtype)
+            return np.concatenate([a, pad], axis=0)
+
+        payload = jax.tree.map(_pad, payload)
         self.kv_layers = self._jit_cache[key](
-            self.kv_layers, jnp.asarray(idx), jnp.asarray(data)
+            self.kv_layers, jnp.asarray(idx), jax.tree.map(jnp.asarray, payload)
         )
 
     def _run(self, fb: ForwardBatch, logits_indices, sinfo: SamplingBatchInfo):

@@ -81,6 +81,12 @@ class ServerArgs:
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
     max_prefill_tokens: int = 8192
+    # offline-throughput knob: skip a prefill round while KV headroom is
+    # below this many tokens (0 = admit eagerly). Fewer, fuller prefill
+    # rounds amortize the per-round compile-bucket padding; decode keeps
+    # running while headroom accumulates. Raises TTFT — leave 0 for
+    # latency-sensitive serving.
+    prefill_accumulate_tokens: int = 0
     max_running_requests: Optional[int] = None
     stream_interval: int = 8
     disable_radix_cache: bool = False

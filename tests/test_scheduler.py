@@ -221,10 +221,11 @@ def test_priority_preemption():
     """A strictly-higher-priority waiting request retracts low-priority
     running ones when the pool blocks admission (reference
     `schedule_policy.py:1008 preempt_to_schedule`)."""
-    # 192 tokens: enough for honest (reserve-aware) admission of both
-    # low-priority requests, but not for a third concurrent request
+    # 240 tokens: enough for honest (reserve-aware) admission of both
+    # low-priority requests (2 x ceil((48+60)/16)*16 = 224), but not for a
+    # third concurrent request
     sched = make_scheduler(
-        max_total_tokens=192,
+        max_total_tokens=240,
         page_size=16,
         schedule_policy="priority",
         enable_priority_preemption=True,
