@@ -54,6 +54,10 @@ def write_kv_pages(
     ):
         vals = pages[0] if isinstance(pages, tuple) else pages
         ps_ok = vals.shape[2] <= 128 and 128 % vals.shape[2] == 0
+        # hardware lane tiling needs a 128-multiple head dim; smaller
+        # geometries (tiny draft/test models) fall back to the XLA scatter
+        # (Mosaic: "unsupported shape cast" at d=64 on v5e)
+        ps_ok = ps_ok and vals.shape[3] % 128 == 0
         if ps_ok and vals.dtype in (jnp.int8, jnp.bfloat16, jnp.float32):
             from sglang_tpu.ops.kv_write import paged_kv_write
 

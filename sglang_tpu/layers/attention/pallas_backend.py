@@ -25,6 +25,23 @@ class PallasAttentionBackend(AttentionBackend):
         # interpret=True runs the kernel in the Pallas interpreter (CPU CI —
         # the reference's "CPU suite runs the whole engine" seam).
         self.interpret = interpret
+        self._fallback = None
+
+    def _tileable(self, q) -> bool:
+        """Hardware DMA tiling needs a 128-multiple head dim; smaller
+        geometries (tiny draft/test models) route to the jnp reference
+        backend instead of failing Mosaic compilation. Interpreter mode
+        has no tiling constraint."""
+        return self.interpret or q.shape[-1] % 128 == 0
+
+    def _ref(self):
+        if self._fallback is None:
+            from sglang_tpu.layers.attention.reference_backend import (
+                ReferenceAttentionBackend,
+            )
+
+            self._fallback = ReferenceAttentionBackend()
+        return self._fallback
 
     def _attend(
         self, q, pages, fb: ForwardBatch, qblk, sm_scale, window, logit_cap,
@@ -58,6 +75,11 @@ class PallasAttentionBackend(AttentionBackend):
         # bandwidth (scripts/bench_decode_kernel.py)
         import os
 
+        if not self._tileable(q):
+            return self._ref().forward_decode(
+                q, pages, fb, sm_scale, sliding_window=sliding_window,
+                logit_cap=logit_cap, sinks=sinks,
+            )
         if os.environ.get("SGLANG_TPU_DECODE_KERNEL") == "unified":
             return self._attend(
                 q, pages, fb, DECODE_QBLK, sm_scale, sliding_window,
@@ -87,6 +109,11 @@ class PallasAttentionBackend(AttentionBackend):
     ):
         from sglang_tpu.model_executor.forward_batch_info import ForwardMode
 
+        if not self._tileable(q):
+            return self._ref().forward_extend(
+                q, pages, fb, sm_scale, sliding_window=sliding_window,
+                logit_cap=logit_cap, sinks=sinks,
+            )
         qblk = DECODE_QBLK if fb.mode == ForwardMode.TARGET_VERIFY else EXTEND_QBLK
         return self._attend(
             q, pages, fb, qblk, sm_scale, sliding_window, logit_cap,

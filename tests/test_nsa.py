@@ -19,8 +19,17 @@ torch = pytest.importorskip("torch")
 
 
 def _sparse_vs_dense_mqa(seed, topk, seqs):
-    """nsa sparse attention == dense MQA oracle when topk >= max seq len."""
+    """nsa sparse attention == dense MQA oracle when topk >= max seq len.
+
+    On hardware the MXU contracts f32 operands at bf16 input precision, so
+    the device scores/logits deviate from the numpy oracle by ~1e-2
+    relative on these tiny dims — the device bound reflects that; CPU
+    stays at 1e-4."""
+    import os
+
     import jax.numpy as jnp
+
+    atol = 1e-2 if os.environ.get("SGLANG_TPU_TEST_DEVICE") == "tpu" else 1e-4
 
     from sglang_tpu.layers.attention.nsa import (
         indexer_scores,
@@ -89,13 +98,13 @@ def _sparse_vs_dense_mqa(seed, topk, seqs):
         sel = top_pos_np[b][top_valid_np[b]]
         assert len(sel) == k_eff
         np.testing.assert_allclose(
-            np.sort(sc[sel]), np.sort(sc)[sl - k_eff :], atol=1e-4
+            np.sort(sc[sel]), np.sort(sc)[sl - k_eff :], atol=atol
         )
         logits = (q[b] @ keys[sel].T) * d**-0.5
         p = np.exp(logits - logits.max(-1, keepdims=True))
         p /= p.sum(-1, keepdims=True)
         want = p @ keys[sel]
-        np.testing.assert_allclose(np.asarray(out)[b], want, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out)[b], want, atol=atol)
 
 
 def test_sparse_equals_dense_when_topk_covers():

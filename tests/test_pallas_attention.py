@@ -5,6 +5,8 @@ SURVEY §4): every optimized kernel is validated against the oracle backend
 (A5 role). Runs the kernel in interpreter mode on CPU.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -19,7 +21,21 @@ from sglang_tpu.model_executor.forward_batch_info import (
 )
 
 PS = 16  # page size
-D = 64
+
+# CPU runs the kernels in the Pallas interpreter (effectively exact f32
+# math): keep the strict 2e-5 oracle bound. On hardware the suite compiles
+# the REAL Mosaic kernels, and the v5e MXU contracts f32 operands at bf16
+# input precision by default, so kernel-vs-reference deviations are a few
+# bf16 ULPs of the output scale (measured max 1.2e-3 abs at |o|~1.6 across
+# these shapes) — the on-device-valid bound is 4e-3 abs / 1e-2 rel. int8
+# KV adds the scale-fold ordering difference on top: 6e-3 / 2e-2.
+ON_TPU = os.environ.get("SGLANG_TPU_TEST_DEVICE", "cpu") == "tpu"
+INTERPRET = not ON_TPU
+TOL = dict(atol=4e-3, rtol=1e-2) if ON_TPU else dict(atol=2e-5, rtol=2e-5)
+TOL8 = dict(atol=6e-3, rtol=2e-2) if ON_TPU else dict(atol=1e-3, rtol=1e-3)
+# hardware DMA tiling needs a 128-lane head dim (the serving geometry);
+# CPU interpret keeps the smaller d=64 for speed
+D = 128 if ON_TPU else 64
 
 
 def _setup(seq_lens, q_lens, qh=4, kvh=2, num_pages=64, dtype=jnp.float32, seed=0):
@@ -55,7 +71,7 @@ def _setup(seq_lens, q_lens, qh=4, kvh=2, num_pages=64, dtype=jnp.float32, seed=
 
 def _run_both(q, pages, meta, mode, sm_scale=0.25, window=-1):
     ref = ReferenceAttentionBackend()
-    pal = PallasAttentionBackend(interpret=True)
+    pal = PallasAttentionBackend(interpret=INTERPRET)
     if mode == "decode":
         fb = make_decode_batch(
             np.zeros(len(meta["seq_lens"]), np.int32),
@@ -85,14 +101,14 @@ def test_decode_matches_reference():
     seq_lens = [1, 17, 33, 48]
     q, pages, meta = _setup(seq_lens, [1] * 4)
     o_ref, o_pal = _run_both(q, pages, meta, "decode")
-    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL)
 
 
 def test_decode_gqa_heads():
     seq_lens = [25, 40]
     q, pages, meta = _setup(seq_lens, [1, 1], qh=8, kvh=2)
     o_ref, o_pal = _run_both(q, pages, meta, "decode")
-    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL)
 
 
 def test_extend_fresh_prefill():
@@ -100,7 +116,7 @@ def test_extend_fresh_prefill():
     seq_lens = [13, 64, 7]
     q, pages, meta = _setup(seq_lens, seq_lens)
     o_ref, o_pal = _run_both(q, pages, meta, "extend")
-    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL)
 
 
 def test_extend_with_prefix():
@@ -109,7 +125,7 @@ def test_extend_with_prefix():
     q_lens = [16, 25]
     q, pages, meta = _setup(seq_lens, q_lens)
     o_ref, o_pal = _run_both(q, pages, meta, "extend")
-    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL)
 
 
 def test_extend_long_multiblock():
@@ -118,7 +134,7 @@ def test_extend_long_multiblock():
     q_lens = [200, 100]
     q, pages, meta = _setup(seq_lens, q_lens, num_pages=64)
     o_ref, o_pal = _run_both(q, pages, meta, "extend")
-    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL)
 
 
 def test_decode_padded_batch():
@@ -126,21 +142,21 @@ def test_decode_padded_batch():
     seq_lens = [20, 35, 0, 0]
     q, pages, meta = _setup(seq_lens, [1] * 4)
     o_ref, o_pal = _run_both(q, pages, meta, "decode")
-    np.testing.assert_allclose(o_pal[:2], o_ref[:2], atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal[:2], o_ref[:2], **TOL)
 
 
 def test_sliding_window_decode():
     seq_lens = [40, 60]
     q, pages, meta = _setup(seq_lens, [1, 1])
     o_ref, o_pal = _run_both(q, pages, meta, "decode", window=24)
-    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL)
 
 
 def test_logit_cap():
     seq_lens = [30]
     q, pages, meta = _setup(seq_lens, [1])
     ref = ReferenceAttentionBackend()
-    pal = PallasAttentionBackend(interpret=True)
+    pal = PallasAttentionBackend(interpret=INTERPRET)
     fb = make_decode_batch(
         np.zeros(1, np.int32),
         meta["positions"],
@@ -150,7 +166,7 @@ def test_logit_cap():
     )
     o_ref = ref.forward_decode(q, pages, fb, 0.25, logit_cap=30.0)
     o_pal = pal.forward_decode(q, pages, fb, 0.25, logit_cap=30.0)
-    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref), **TOL)
 
 
 def test_attention_sinks():
@@ -161,14 +177,14 @@ def test_attention_sinks():
 
     sinks = jnp.asarray(np.linspace(-1.0, 2.0, 4), jnp.float32)
     ref = ReferenceAttentionBackend()
-    pal = PallasAttentionBackend(interpret=True)
+    pal = PallasAttentionBackend(interpret=INTERPRET)
     fb = make_decode_batch(
         np.zeros(2, np.int32), meta["positions"], np.zeros(2, np.int32),
         meta["page_table"], meta["seq_lens"],
     )
     o_ref = np.asarray(ref.forward_decode(q, pages, fb, 0.25, sinks=sinks))
     o_pal = np.asarray(pal.forward_decode(q, pages, fb, 0.25, sinks=sinks))
-    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL)
     # sinks must change the output vs no-sinks
     o_none = np.asarray(ref.forward_decode(q, pages, fb, 0.25))
     assert np.abs(o_none - o_ref).max() > 1e-4
@@ -182,7 +198,7 @@ def test_attention_sinks_extend():
 
     sinks = jnp.asarray([0.5, -0.5, 1.0, 0.0], jnp.float32)
     ref = ReferenceAttentionBackend()
-    pal = PallasAttentionBackend(interpret=True)
+    pal = PallasAttentionBackend(interpret=INTERPRET)
     t = q.shape[0]
     fb = make_extend_batch(
         np.zeros(t, np.int32), meta["positions"], np.zeros(t, np.int32),
@@ -190,7 +206,7 @@ def test_attention_sinks_extend():
     )
     o_ref = np.asarray(ref.forward_extend(q, pages, fb, 0.25, sinks=sinks))
     o_pal = np.asarray(pal.forward_extend(q, pages, fb, 0.25, sinks=sinks))
-    np.testing.assert_allclose(o_pal, o_ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL)
 
 
 def _quantize_pages_int8(pages):
@@ -218,7 +234,7 @@ def test_decode_int8_kv_matches_reference():
     q, pages, meta = _setup(seq_lens, [1] * 4)
     pq = _quantize_pages_int8(pages)
     o_ref, o_pal = _run_both(q, pq, meta, "decode")
-    np.testing.assert_allclose(o_pal, o_ref, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL8)
 
 
 def test_decode_int8_kv_window():
@@ -226,7 +242,7 @@ def test_decode_int8_kv_window():
     q, pages, meta = _setup(seq_lens, [1, 1], qh=8, kvh=2)
     pq = _quantize_pages_int8(pages)
     o_ref, o_pal = _run_both(q, pq, meta, "decode", window=24)
-    np.testing.assert_allclose(o_pal, o_ref, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL8)
 
 
 def test_extend_int8_kv_matches_reference():
@@ -235,4 +251,4 @@ def test_extend_int8_kv_matches_reference():
     q, pages, meta = _setup(seq_lens, q_lens)
     pq = _quantize_pages_int8(pages)
     o_ref, o_pal = _run_both(q, pq, meta, "extend")
-    np.testing.assert_allclose(o_pal, o_ref, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL8)

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+import jax
 import jax.numpy as jnp
 
 from sglang_tpu.ops.quant_matmul import matmul_int4, matmul_int8
@@ -38,7 +39,7 @@ def test_int4_matmul_matches_reference(with_zeros):
     m, k, n, g = 16, 512, 512, 128
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
     qi = rng.integers(-8, 8, size=(k, n))
-    q = jnp.asarray(qi, jnp.int4)
+    q8 = jnp.asarray(qi, jnp.int8)
     s = jnp.asarray(rng.uniform(0.001, 0.01, size=(k // g, n)), jnp.float32)
     z = (
         jnp.asarray(rng.integers(-8, 8, size=(k // g, n)), jnp.int8)
@@ -50,7 +51,15 @@ def test_int4_matmul_matches_reference(with_zeros):
         qf = qf - z.astype(jnp.float32)[:, None, :]
     wdeq = (qf * s[:, None, :]).reshape(k, n)
     ref = jnp.dot(x, wdeq)
-    out = matmul_int4(x, q, s, z, group=g, bn=256, bk=256, interpret=True)
+    # the int8->int4 cast stays INSIDE one jit: int4 arrays crossing a jit
+    # boundary trigger a recursive device_put on some PJRT runtimes (same
+    # class of bug the model loader's zero-weights path works around)
+    out = jax.jit(
+        lambda x, q8, s, z: matmul_int4(
+            x, q8.astype(jnp.int4), s, z, group=g, bn=256, bk=256,
+            interpret=True,
+        )
+    )(x, q8, s, z)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2, rtol=1e-3)
 
 
