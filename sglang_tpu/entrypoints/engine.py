@@ -54,6 +54,15 @@ class Engine:
 
         self.plugins = load_plugins(server_args)
         self.tokenizer = _load_tokenizer(server_args)
+        # audio (whisper-class) checkpoints run the dedicated encoder-
+        # decoder transcription path, not the paged-KV scheduler
+        # (reference: srt/models/whisper.py + /v1/audio/transcriptions)
+        self.is_audio_model = False
+        self.audio_model = None
+        archs = _read_architectures(server_args.model_path)
+        if "WhisperForConditionalGeneration" in archs:
+            self._init_audio(server_args)
+            return
         self.runner = ModelRunner(server_args)
         self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)
         from sglang_tpu.managers.session import SessionManager
@@ -65,6 +74,87 @@ class Engine:
             server_args.model_path,
             self.runner.max_total_tokens,
         )
+
+    # -------------------------------------------------------------- audio
+
+    def _init_audio(self, server_args: ServerArgs) -> None:
+        import json as _json
+        import os as _os
+
+        import jax.numpy as jnp
+
+        from sglang_tpu.models.whisper import WhisperForConditionalGeneration
+
+        with open(
+            _os.path.join(server_args.model_path, "config.json")
+        ) as f:
+            cfg = _json.load(f)
+        dtype = (
+            jnp.bfloat16 if server_args.dtype == "bfloat16" else jnp.float32
+        )
+        self.audio_model = WhisperForConditionalGeneration(
+            cfg, dtype=dtype
+        ).load(server_args.model_path)
+        self.is_audio_model = True
+        self.runner = None
+        self.scheduler = None
+        self.sessions = None
+        self.tm = None
+        self._feature_extractor = None
+        logger.info("audio engine ready: %s", server_args.model_path)
+
+    def transcribe(
+        self,
+        audio_bytes: Optional[bytes] = None,
+        mel: Optional[np.ndarray] = None,
+        prompt_ids: Optional[List[int]] = None,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+    ) -> Dict[str, Any]:
+        """`/v1/audio/transcriptions` backend: WAV bytes (or precomputed
+        log-mel features) -> token ids (+ text when a tokenizer is
+        loaded)."""
+        if not self.is_audio_model:
+            raise ValueError("transcribe() requires a whisper-class model")
+        if mel is None:
+            if audio_bytes is None:
+                raise ValueError("provide audio_bytes or mel")
+            from sglang_tpu.entrypoints.audio import decode_wav
+
+            pcm, sr = decode_wav(audio_bytes)
+            if self._feature_extractor is None:
+                from transformers import WhisperFeatureExtractor
+
+                try:
+                    self._feature_extractor = (
+                        WhisperFeatureExtractor.from_pretrained(
+                            self.server_args.model_path
+                        )
+                    )
+                except OSError:
+                    # no preprocessor config (test checkpoints): build one
+                    # matching the model geometry — chunk length bounded so
+                    # padded features fit max_source_positions
+                    self._feature_extractor = WhisperFeatureExtractor(
+                        feature_size=self.audio_model.n_mels,
+                        chunk_length=max(
+                            1, self.audio_model.max_source * 2 // 100
+                        ),
+                    )
+            feats = self._feature_extractor(
+                pcm, sampling_rate=sr, return_tensors="np"
+            )
+            mel = feats["input_features"][0]
+        ids = self.audio_model.transcribe_ids(
+            np.asarray(mel),
+            prompt_ids=prompt_ids,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+        )[0]
+        text = None
+        if self.tokenizer is not None:
+            text = self.tokenizer.decode(ids, skip_special_tokens=True)
+        return {"token_ids": ids, "text": text}
 
     # ------------------------------------------------------------ generate
 
@@ -84,6 +174,10 @@ class Engine:
     ) -> Union[Dict, List[Dict], Iterator[Dict]]:
         """Synchronous generation (batch or single). With `stream=True` and a
         single prompt, returns an iterator of incremental dicts."""
+        if self.is_audio_model:
+            raise ValueError(
+                "audio model: use Engine.transcribe / /v1/audio/transcriptions"
+            )
         if getattr(self.runner.model, "is_encoder", False):
             raise ValueError(
                 "encoder-only model: use Engine.encode / /v1/embeddings"
@@ -701,6 +795,17 @@ class Engine:
         if getattr(self, "tm", None) is not None:
             self.tm.shutdown()
         pass  # single-process: nothing to tear down
+
+
+def _read_architectures(model_path: str) -> List[str]:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(model_path, "config.json")) as f:
+            return list(_json.load(f).get("architectures") or [])
+    except (OSError, ValueError):
+        return []
 
 
 def _version() -> str:

@@ -809,19 +809,61 @@ def build_app(state: ServerState) -> web.Application:
         return web.json_response(out)
 
     async def v1_audio_transcriptions(request):
-        """Reference `/v1/audio/transcriptions` — served only by
-        audio-capable models (whisper-class); none are registered in this
-        build, so the route reports capability honestly."""
-        return web.json_response(
-            {
-                "error": {
-                    "message": "no audio-capable model is loaded "
-                    "(audio transcription requires a whisper-class model)",
-                    "type": "invalid_request_error",
-                }
-            },
-            status=501,
-        )
+        """Reference `/v1/audio/transcriptions`
+        (`srt/entrypoints/http_server.py:1583`): multipart form with a
+        `file` field (16-bit PCM WAV) — or JSON `{"audio": <base64 wav>}` —
+        transcribed by the loaded whisper-class model."""
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        if not getattr(state.engine, "is_audio_model", False):
+            return web.json_response(
+                {
+                    "error": {
+                        "message": "the loaded model is not audio-capable "
+                        "(audio transcription requires a whisper-class "
+                        "model)",
+                        "type": "invalid_request_error",
+                    }
+                },
+                status=400,
+            )
+        audio = None
+        temperature = 0.0
+        ctype = request.headers.get("Content-Type", "")
+        if ctype.startswith("multipart/"):
+            reader = await request.multipart()
+            async for part in reader:
+                if part.name == "file":
+                    audio = await part.read(decode=False)
+                elif part.name == "temperature":
+                    temperature = float((await part.text()) or 0.0)
+        else:
+            import base64
+
+            body = await request.json()
+            if body.get("audio"):
+                audio = base64.b64decode(body["audio"])
+            temperature = float(body.get("temperature", 0.0))
+        if not audio:
+            return web.json_response(
+                {"error": {"message": "no audio provided"}}, status=400
+            )
+        try:
+            out = await asyncio.get_running_loop().run_in_executor(
+                None,
+                lambda: state.engine.transcribe(
+                    audio_bytes=audio, temperature=temperature
+                ),
+            )
+        except ValueError as e:
+            return web.json_response(
+                {"error": {"message": str(e)}}, status=400
+            )
+        text = out["text"]
+        if text is None:
+            # no tokenizer loaded (tiny/test checkpoints): ids as text
+            text = " ".join(str(i) for i in out["token_ids"])
+        return web.json_response({"text": text})
 
     async def v1_chat_completions(request):
         if not _auth_ok(state, request):

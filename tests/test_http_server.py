@@ -633,7 +633,10 @@ def test_v1_responses_streaming(server):
     assert final["output"][0]["content"][0]["text"] == deltas
 
 
-def test_v1_audio_transcriptions_unsupported(server):
+def test_v1_audio_transcriptions_wrong_model(server):
+    """A text model reports it cannot transcribe (audio requires a
+    whisper-class checkpoint; the audio-capable path is covered by
+    tests/test_whisper.py::test_audio_transcriptions_http_route)."""
     import urllib.error
     import urllib.request
 
@@ -643,9 +646,9 @@ def test_v1_audio_transcriptions_unsupported(server):
     )
     try:
         urllib.request.urlopen(req, timeout=30)
-        assert False, "expected 501"
+        assert False, "expected 400"
     except urllib.error.HTTPError as e:
-        assert e.code == 501
+        assert e.code == 400
 
 
 def test_diffusion_generate_route(server):
