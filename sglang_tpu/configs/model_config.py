@@ -164,14 +164,32 @@ class ModelConfig:
             ("n_head", "num_attention_heads"),
             ("n_positions", "max_position_embeddings"),
             ("n_inner", "intermediate_size"),
+            ("ffn_hidden_size", "intermediate_size"),  # falcon
             ("layer_norm_epsilon", "rms_norm_eps"),
         ):
             if hf.get(src) is not None and dst not in hf:
                 hf = dict(hf)
                 hf[dst] = hf[src]
-        if hf.get("intermediate_size") is None and hf.get("n_embd"):
+        if hf.get("intermediate_size") is None and (
+            hf.get("n_embd") or hf.get("hidden_size")
+        ):
+            # GPT-2/Falcon-style configs: FFN defaults to 4x hidden
             hf = dict(hf)
-            hf["intermediate_size"] = 4 * hf["n_embd"]
+            hf["intermediate_size"] = 4 * (
+                hf.get("n_embd") or hf["hidden_size"]
+            )
+        if hf.get("model_type") == "falcon":
+            # falcon's config carries num_kv_heads, but the CLASSIC
+            # decoder ignores it: multi_query wins (1 kv head), else MHA
+            hf = dict(hf)
+            if hf.get("new_decoder_architecture"):
+                hf["num_key_value_heads"] = (
+                    hf.get("num_kv_heads") or hf.get("num_attention_heads")
+                )
+            elif hf.get("multi_query", True):
+                hf["num_key_value_heads"] = 1
+            else:
+                hf["num_key_value_heads"] = hf.get("num_attention_heads")
         if hf.get("multi_query") and "num_key_value_heads" not in hf:
             hf = dict(hf)
             hf["num_key_value_heads"] = 1

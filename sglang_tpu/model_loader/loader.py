@@ -202,6 +202,8 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
         if kind == "linear":  # HF [out, in] -> [in, out]
             ws = [w.T for w in ws]
         w = ws[0] if len(ws) == 1 else np.concatenate(ws, axis=1)
+        if rule.transform is not None:
+            w = rule.transform(w)
         method = model.get_method(rule.method_key)
         return method.quantize(w)
     if kind == "linear_bias":
@@ -210,7 +212,10 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
         if not index.has(rule.sources[0]):
             return None
         bs = [np.asarray(index.get(s), dtype=np.float32) for s in rule.sources]
-        return bs[0] if len(bs) == 1 else np.concatenate(bs, axis=0)
+        b = bs[0] if len(bs) == 1 else np.concatenate(bs, axis=0)
+        if rule.transform is not None:
+            b = rule.transform(b)
+        return b
     if kind == "embed" or kind == "norm" or kind == "raw":
         if not index.has(rule.sources[0]):
             return None
@@ -222,7 +227,10 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
     if kind == "linear_raw":
         # unquantized [out,in] linears: transpose, concat along out
         ws = [np.asarray(index.get(n), dtype=np.float32).T for n in rule.sources]
-        return ws[0] if len(ws) == 1 else np.concatenate(ws, axis=1)
+        w = ws[0] if len(ws) == 1 else np.concatenate(ws, axis=1)
+        if rule.transform is not None:
+            w = rule.transform(w)
+        return w
     if kind == "router":
         return np.asarray(index.get(rule.sources[0]), dtype=np.float32).T
     if kind == "moe_w1":

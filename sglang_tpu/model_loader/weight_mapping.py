@@ -46,6 +46,10 @@ class WeightRule:
     sources: List[str]  # HF safetensors tensor names, concat order
     kind: str = "linear"
     method_key: Optional[str] = None  # linear-method registry key (see model)
+    # optional layout fix applied AFTER transpose/concat, BEFORE quantize —
+    # e.g. de-interleaving GPT-NeoX/Falcon/Persimmon fused per-head QKV
+    # into the engine's [q | k | v] column blocks
+    transform: Optional[callable] = None
 
     def __post_init__(self):
         assert self.kind in KINDS, self.kind

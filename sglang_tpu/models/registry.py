@@ -95,6 +95,29 @@ def _populate():
     from sglang_tpu.models.phi import PhiForCausalLM
     from sglang_tpu.models.stablelm import StableLmForCausalLM
 
+    # breadth batch 3 (reference srt/models/{olmo,smollm3,arcee,nemotron,
+    # glm,gpt_neox,persimmon,falcon}.py lineage)
+    from sglang_tpu.models.arcee import ArceeForCausalLM
+    from sglang_tpu.models.falcon import FalconForCausalLM
+    from sglang_tpu.models.glm import GlmForCausalLM
+    from sglang_tpu.models.gpt_neox import GPTNeoXForCausalLM
+    from sglang_tpu.models.nemotron import NemotronForCausalLM
+    from sglang_tpu.models.olmo import OlmoForCausalLM
+    from sglang_tpu.models.persimmon import PersimmonForCausalLM
+    from sglang_tpu.models.smollm3 import SmolLM3ForCausalLM
+
+    for cls in (
+        ArceeForCausalLM,
+        FalconForCausalLM,
+        GlmForCausalLM,
+        GPTNeoXForCausalLM,
+        NemotronForCausalLM,
+        OlmoForCausalLM,
+        PersimmonForCausalLM,
+        SmolLM3ForCausalLM,
+    ):
+        register_model(cls)
+
     from sglang_tpu.models.bert import BertModel, XLMRobertaModel
     from sglang_tpu.models.classification import (
         LlamaForSequenceClassification,
