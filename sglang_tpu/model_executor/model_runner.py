@@ -474,7 +474,8 @@ class ModelRunner:
             from sglang_tpu.parallel.cp_attention import CPAttentionBackend
 
             self.attn_backend = CPAttentionBackend(
-                self.attn_backend, self.mesh, self.cp_size
+                self.attn_backend, self.mesh, self.cp_size,
+                mode=getattr(self.server_args, "attn_cp_mode", "round-robin"),
             )
         elif self.dp_size > 1:
             from sglang_tpu.parallel.dp_attention import DPAttentionBackend

@@ -32,33 +32,66 @@ from sglang_tpu.model_executor.forward_batch_info import ForwardBatch
 
 
 class CPAttentionBackend:
-    """Wraps an attention backend with round-robin prefill-row ownership
-    over the "data" axis."""
+    """Wraps an attention backend with prefill-work ownership over the
+    "data" axis. Two modes (reference `--nsa-prefill-cp-mode`):
 
-    def __init__(self, inner, mesh: Mesh, cp_size: int):
+    - "round-robin": ownership at REQUEST granularity (row i -> rank
+      i % cp). Balanced for many-prompt batches, but a single long
+      prompt lands entirely on one rank.
+    - "in-seq": ownership at Q-BLOCK granularity (attention block n ->
+      rank n % cp), so ONE long prompt's attention splits across all cp
+      ranks (reference `layers/communicator_nsa_cp.py:50` in-sequence
+      split). Exact: the KV pool is replicated over the axis, every rank
+      sees the full context, and each query token is computed by exactly
+      one rank before the f32 psum combine. The pool-SHARDED upgrade
+      (HBM scaling, K/V rotating with ppermute) is
+      `parallel/ring_attention.py` — same math, mesh-level primitive.
+    """
+
+    def __init__(self, inner, mesh: Mesh, cp_size: int, mode: str = "round-robin"):
+        assert mode in ("round-robin", "in-seq"), mode
         self.inner = inner
         self.mesh = mesh
         self.cp = cp_size
+        self.mode = mode
 
     def __call__(self, q, k_new, v_new, pages, fb: ForwardBatch, sm_scale,
                  **kw):
         if fb.mode.is_decode():
             return self.inner(q, k_new, v_new, pages, fb, sm_scale, **kw)
         cp = self.cp
+        in_seq = self.mode == "in-seq"
 
         def body(q, k_new, v_new, pages_local, fb):
             rank = jax.lax.axis_index("data")
             b = fb.seq_lens.shape[0]
-            owned_row = (jnp.arange(b, dtype=jnp.int32) % cp) == rank
-            tok_owned = owned_row[fb.token_to_seq]
-            blk_owned = owned_row[
-                jnp.clip(fb.blk_seq, 0, b - 1)
-            ]
-            fb_local = dataclasses.replace(
-                fb,
-                seq_lens=jnp.where(owned_row, fb.seq_lens, 0),
-                blk_nrows=jnp.where(blk_owned, fb.blk_nrows, 0),
-            )
+            if in_seq:
+                nb = fb.blk_seq.shape[0]
+                blk_owned = (jnp.arange(nb, dtype=jnp.int32) % cp) == rank
+                # token -> owning block: padding blocks have nrows 0, so
+                # the [T, nb] interval test names exactly one live block
+                # per real token
+                tt = fb.input_ids.shape[0]
+                j = jnp.arange(tt, dtype=jnp.int32)[:, None]
+                inside = (j >= fb.blk_qoff[None, :]) & (
+                    j < fb.blk_qoff[None, :] + fb.blk_nrows[None, :]
+                )
+                tok_owned = jnp.any(inside & blk_owned[None, :], axis=1)
+                fb_local = dataclasses.replace(
+                    fb,
+                    blk_nrows=jnp.where(blk_owned, fb.blk_nrows, 0),
+                )
+            else:
+                owned_row = (jnp.arange(b, dtype=jnp.int32) % cp) == rank
+                tok_owned = owned_row[fb.token_to_seq]
+                blk_owned = owned_row[
+                    jnp.clip(fb.blk_seq, 0, b - 1)
+                ]
+                fb_local = dataclasses.replace(
+                    fb,
+                    seq_lens=jnp.where(owned_row, fb.seq_lens, 0),
+                    blk_nrows=jnp.where(blk_owned, fb.blk_nrows, 0),
+                )
             out, pages_local = self.inner(
                 q, k_new, v_new, pages_local, fb_local, sm_scale, **kw
             )

@@ -121,6 +121,10 @@ class ServerArgs:
     # attention context parallelism (reference --attn-cp-size): prefill
     # rows round-robin across the "data" axis, decode data-local
     attn_cp_size: int = 1
+    # prefill CP work split: "round-robin" (request granularity) or
+    # "in-seq" (attention-block granularity: one long prompt splits
+    # across all cp ranks — reference --nsa-prefill-cp-mode)
+    attn_cp_mode: str = "round-robin"
     # SP for the dense parts of MoE models (reference --moe-dense-tp-size):
     # 1 = replicate dense-MLP weights, shard the token axis over "model"
     # (skips the dense layers' per-layer all-reduce)

@@ -71,3 +71,26 @@ def test_cp_conflicts_with_dp_attention():
             attn_cp_size=2, dp_size=2, enable_dp_attention=True
         )
         tiny_runner(sa)
+
+
+def test_cp_in_seq_single_long_prompt_matches_cp1():
+    """In-sequence CP: ONE long prompt (several attention q-blocks) at
+    cp=4 must match cp=1 exactly — the block-granular ownership split
+    (reference --nsa-prefill-cp-mode in-seq analogue)."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 4:
+        _pytest.skip("needs >= 4 virtual devices")
+    rng = np.random.default_rng(9)
+    # one prompt spanning multiple EXTEND_QBLK q-blocks + a short one
+    prompts = [rng.integers(3, 250, size=120).tolist(),
+               rng.integers(3, 250, size=9).tolist()]
+    _, base = _run({"prefill_token_buckets": [64, 256]}, prompts)
+    sched, cp = _run(
+        {"attn_cp_size": 4, "attn_cp_mode": "in-seq",
+         "prefill_token_buckets": [64, 256]},
+        prompts,
+    )
+    assert sched.runner.attn_backend.mode == "in-seq"
+    assert cp == base
