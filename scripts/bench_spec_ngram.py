@@ -54,15 +54,16 @@ def run(ckpt, prompts, spec):
         max_running_requests=64,
         random_seed=0,
         log_level="warning",
+        decode_multi_step=int(os.environ.get("SGLANG_TPU_SPEC_BASE_K", "8")),
         speculative_algorithm="NGRAM" if spec else None,
-        speculative_num_draft_tokens=8,
+        speculative_num_draft_tokens=int(os.environ.get("SGLANG_TPU_SPEC_DRAFT", "8")),
         speculative_ngram_min_match=1,
-        speculative_ngram_max_match=4,
+        speculative_ngram_max_match=int(os.environ.get("SGLANG_TPU_SPEC_MAXMATCH", "4")),
     )
     try:
         # warm all jit variants so the measurement is serving, not compiles
         engine.generate(
-            input_ids=prompts[:8],
+            input_ids=prompts,
             sampling_params={"max_new_tokens": OUT_LEN, "temperature": 0.0,
                              "ignore_eos": True},
         )
@@ -111,6 +112,24 @@ def main():
         f"speedup:  {spec['tps'] / base['tps']:.2f}x   "
         f"output mismatches: {mismatch}/{len(prompts)}"
     )
+    tag = os.environ.get("SGLANG_TPU_SPEC_TAG")
+    if tag:
+        import json
+
+        with open(f"SPEC_{tag}.json", "w") as f:
+            json.dump(
+                {
+                    "suite": "ngram-speculative",
+                    "baseline_tok_s": round(base["tps"], 1),
+                    "ngram_tok_s": round(spec["tps"], 1),
+                    "speedup": round(spec["tps"] / base["tps"], 2),
+                    "accept_length": round(spec["accept_len"], 2),
+                    "lossless_mismatches": mismatch,
+                    "n_prompts": len(prompts),
+                },
+                f,
+                indent=1,
+            )
 
 
 if __name__ == "__main__":

@@ -551,7 +551,10 @@ class Scheduler:
         )
         if (
             self.server_args.prefill_accumulate_tokens
-            and self.running_batch.reqs
+            # only delay prefill while decode has a healthy batch to chew
+            # on — during ramp-up/drain, eager admission wins (decode at
+            # bs 20 wastes far more than a padded prefill round)
+            and len(self.running_batch.reqs) >= 64
             and self.chunked_req is None
             and self.waiting_queue
             and adder.rem_total_tokens
@@ -954,6 +957,7 @@ class Scheduler:
             np.asarray(seq_l, dtype=np.int32),
             np.asarray(ext_l, dtype=np.int32),
             num_draft=self.spec.num_draft,
+            need_hidden=hasattr(self.draft_worker, "observe_features"),
         )
         verify_hidden = getattr(self.runner, "_last_verify_hidden", None)
         feed_feats = hasattr(self.draft_worker, "observe_features")
@@ -1075,6 +1079,8 @@ class Scheduler:
             seq_lens,
             extend_lens,
             num_draft=self.spec.num_draft,
+            need_hidden=self.draft_worker is not None
+            and hasattr(self.draft_worker, "observe_features"),
         )
         from sglang_tpu.speculative.ngram_worker import accept_draft_greedy
 

@@ -1202,6 +1202,7 @@ class ModelRunner:
         seq_lens: np.ndarray,  # [b] kv length after this step
         extend_lens: np.ndarray,  # [b] 1 + num_draft_i
         num_draft: int,
+        need_hidden: bool = True,
     ) -> np.ndarray:
         """Target-verify forward: greedy argmax at every packed position
         (reference EAGLEWorker.verify / TARGET_VERIFY mode — here the
@@ -1251,8 +1252,13 @@ class ModelRunner:
         )
         self.kv_layers = new_kv
         # hidden rows feed EAGLE/MTP draft workers (feature capture — the
-        # reference's spec workers read these instead of recomputing)
-        self._last_verify_hidden = np.asarray(hidden)[:t]
+        # reference's spec workers read these instead of recomputing).
+        # NGRAM/host-only drafts skip the fetch: [t, H] f32 per verify
+        # round is ~10 MB over the tunneled runtime (measured: it halved
+        # ngram spec throughput).
+        self._last_verify_hidden = (
+            np.asarray(hidden)[:t] if need_hidden else None
+        )
         return np.asarray(ids)[:t]
 
     def forward_embedding(
