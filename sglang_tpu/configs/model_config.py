@@ -171,9 +171,12 @@ class ModelConfig:
                 hf = dict(hf)
                 hf[dst] = hf[src]
         if hf.get("intermediate_size") is None and (
-            hf.get("n_embd") or hf.get("hidden_size")
+            hf.get("n_embd")
+            or (hf.get("model_type") == "falcon" and hf.get("hidden_size"))
         ):
-            # GPT-2/Falcon-style configs: FFN defaults to 4x hidden
+            # GPT-2/Falcon-style configs: FFN defaults to 4x hidden.
+            # (Only for those families — SSM configs like mamba2 have no
+            # FFN and derive their projections from `expand` instead.)
             hf = dict(hf)
             hf["intermediate_size"] = 4 * (
                 hf.get("n_embd") or hf["hidden_size"]
