@@ -262,7 +262,27 @@ class Engine:
             img_tok = getattr(self.runner.model, "image_token_id", None)
             if img_tok is None:
                 raise ValueError("image_data given but model is text-only")
-            if isinstance(g.image_data, dict):
+            if (
+                isinstance(g.image_data, dict)
+                and "image_sizes" in g.image_data
+            ):
+                # anyres models (LLaVA-NeXT): [N, tiles, 3, S, S] tiles +
+                # per-image original sizes; the jitted tower encodes the
+                # flat tile batch, reassembly happens host-side
+                pix = _np.asarray(
+                    g.image_data["pixel_values"], dtype=_np.float32
+                )
+                n_img, n_tiles = pix.shape[:2]
+                flat = pix.reshape((-1,) + pix.shape[2:])
+                feats = _np.asarray(self._encode_images(flat))
+                mm_embeds = self.runner.model.pack_anyres_features(
+                    feats,
+                    n_img,
+                    n_tiles,
+                    g.image_data["image_sizes"],
+                    _np.asarray(self.runner.params["image_newline"]),
+                )
+            elif isinstance(g.image_data, dict):
                 # grid-native models (Qwen2-VL): patchified pixel rows +
                 # grid_thw; mrope positions derive from the grid
                 pix = _np.asarray(

@@ -123,6 +123,11 @@ class ServerState:
                 "pixel_values": out["pixel_values"],
                 "grid_thw": tuple(int(x) for x in out["image_grid_thw"][0]),
             }
+        elif "image_sizes" in out:  # anyres models (LLaVA-NeXT)
+            image_data = {
+                "pixel_values": out["pixel_values"],
+                "image_sizes": out["image_sizes"],
+            }
         else:
             image_data = out["pixel_values"]
         from sglang_tpu.managers.io_struct import GenerateReqInput as GRI

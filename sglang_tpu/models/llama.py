@@ -395,7 +395,10 @@ class LlamaForCausalLM:
         """hidden [N, H] -> logits [N, vocab] in fp32 (reference
         `layers/logits_processor.py:241` — last-token pruning happens in the
         runner by selecting `hidden` rows before calling this)."""
-        if self.config.tie_word_embeddings:
+        if self.config.tie_word_embeddings or "lm_head" not in params:
+            # second clause: wrapper configs (LLaVA-NeXT) sometimes say
+            # untied while the checkpoint ships no lm_head tensor — tied
+            # in practice
             w = params["embed"].T
         else:
             w = params["lm_head"]

@@ -63,6 +63,9 @@ def _populate():
     from sglang_tpu.models.qwen2_vl import Qwen2VLForConditionalGeneration
 
     register_model(Qwen2VLForConditionalGeneration)
+    from sglang_tpu.models.llava_next import LlavaNextForConditionalGeneration
+
+    register_model(LlavaNextForConditionalGeneration)
     from sglang_tpu.models.qwen3_next import Qwen3NextForCausalLM
 
     register_model(Qwen3NextForCausalLM)
