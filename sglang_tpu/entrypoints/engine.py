@@ -295,7 +295,8 @@ class Engine:
                 )
             else:
                 pix = _np.asarray(g.image_data, dtype=_np.float32)
-                if pix.ndim == 3:
+                if pix.ndim in (2, 3):
+                    # [3,S,S] image or [n_mels,T] audio features -> batch
                     pix = pix[None]
                 mm_embeds = self._encode_images(pix)
             vid_tok = getattr(self.runner.model, "video_token_id", None)

@@ -66,6 +66,9 @@ def _populate():
     from sglang_tpu.models.llava_next import LlavaNextForConditionalGeneration
 
     register_model(LlavaNextForConditionalGeneration)
+    from sglang_tpu.models.qwen2_audio import Qwen2AudioForConditionalGeneration
+
+    register_model(Qwen2AudioForConditionalGeneration)
     from sglang_tpu.models.qwen3_next import Qwen3NextForCausalLM
 
     register_model(Qwen3NextForCausalLM)
