@@ -176,6 +176,17 @@ def load_safetensors_weights(
             from sglang_tpu.quantization.bnb import BnbIndex
 
             index = BnbIndex(index)
+        elif qc.get("quant_method", "").lower() in (
+            "mxfp4",
+            "nvfp4",
+            "modelopt",
+            "modelopt_fp4",
+        ):
+            # fp4 STORAGE formats (v5e has no fp4 compute): dequantize at
+            # load; the engine's int8/int4 paths re-quantize if requested
+            from sglang_tpu.quantization.fp4 import Fp4Index
+
+            index = Fp4Index(index)
     specs = model.param_specs()
     shardings = model.param_shardings()
     params: dict = {"layers": [dict() for _ in range(model.num_layers)]}
