@@ -226,6 +226,24 @@ def main():
     # cache — production serving compiles once and serves forever; without
     # this the measurement is mostly XLA compilation.
     _warm_all_buckets(sched, runner, mc)
+    # short unmeasured serving pre-pass: the first measured pass used to
+    # run ~15% under steady state (host-side dispatch paths, allocator
+    # and radix state warm up beyond the compile cache)
+    for i in range(32 if not tiny else 4):
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid=f"warm{i}",
+                input_ids=rng.integers(
+                    3, mc.vocab_size - 1, size=int(in_lens[i % len(in_lens)])
+                ).tolist(),
+                sampling_params=SamplingParams(
+                    max_new_tokens=32, ignore_eos=True, temperature=0.0
+                ),
+            )
+        )
+    while sched.has_work():
+        sched.step()
+    sched.flush_cache()
     print(f"# warmup done at {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # THREE measured passes, median reported: the tunneled runtime's
