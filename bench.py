@@ -162,7 +162,9 @@ def main():
         log_level="warning",
         context_length=2048,
         max_total_tokens=4096 if tiny else None,
-        mem_fraction_static=float(os.environ.get("BENCH_MEM_FRAC", "0.88")),
+        # 0.90 measured safe (pool 67200 tokens, 0 retractions) and worth
+        # ~+3% decode concurrency; 0.92 risks the compile temp arena
+        mem_fraction_static=float(os.environ.get("BENCH_MEM_FRAC", "0.90")),
         # ps=128 halves the decode kernel's per-page DMA count but costs
         # more page-granularity waste (measured e2e 1434 vs 1591 tok/s at
         # ps=64 on this workload's short sequences) — ps=64 stays default
@@ -250,7 +252,9 @@ def main():
     # per-dispatch latency varies run to run (measured 595-957 tok/s on
     # identical code); the median is the honest point estimate. The radix
     # cache is flushed between passes so each pass does the same work.
-    n_pass = 1 if tiny else int(os.environ.get("BENCH_PASSES", "3"))
+    # 5 passes: the tunneled runtime throws occasional ~700 tok/s freak
+    # passes on identical code; a 5-pass median tolerates two of them
+    n_pass = 1 if tiny else int(os.environ.get("BENCH_PASSES", "5"))
     results = []
     measured_wall = 0.0
     for p in range(n_pass):
