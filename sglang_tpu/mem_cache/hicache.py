@@ -55,6 +55,7 @@ class HostKVCache:
         capacity_bytes: int,
         disk_dir: str = None,
         disk_capacity_bytes: int = 0,
+        storage=None,  # KVStorageBackend; built from disk_dir if None
     ):
         self.page_size = page_size
         self.bytes_per_page = max(1, bytes_per_page)
@@ -62,17 +63,21 @@ class HostKVCache:
         # (parent_chain_id, page_tokens) -> chain id; chain id 0 is the root
         self._intern: Dict[Tuple[int, Tuple[int, ...]], int] = {}
         self._store: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        if storage is None and disk_dir:
+            from sglang_tpu.mem_cache.hicache_storage import (
+                create_storage_backend,
+            )
+
+            storage = create_storage_backend(disk_dir)
+        self.storage = storage
         self.disk_dir = disk_dir
-        self._disk: "OrderedDict[int, str]" = OrderedDict()  # id -> path
+        # L3 LRU index: chain id -> (dtype, shape) of the stored page
+        self._disk: "OrderedDict[int, tuple]" = OrderedDict()
         self.disk_capacity_pages = (
             max(1, disk_capacity_bytes // self.bytes_per_page)
-            if disk_dir and disk_capacity_bytes
-            else (1 << 30 if disk_dir else 0)
+            if storage is not None and disk_capacity_bytes
+            else (1 << 30 if storage is not None else 0)
         )
-        if disk_dir:
-            import os
-
-            os.makedirs(disk_dir, exist_ok=True)
         self.pages_written = 0
         self.pages_loaded = 0
         self.pages_evicted = 0
@@ -157,37 +162,28 @@ class HostKVCache:
     # ---------------------------------------------------------- disk tier
 
     def _spill(self, cid: int, page: np.ndarray) -> None:
-        if not self.disk_dir or cid in self._disk:
+        if self.storage is None or cid in self._disk:
             return
-        import os
-
-        path = os.path.join(self.disk_dir, f"kv_{cid}.bin")
         # raw bytes + in-memory (dtype, shape): np.save mangles ml_dtypes
         # like bfloat16 into void records
         page = np.ascontiguousarray(page)
-        with open(path, "wb") as f:
-            f.write(page.view(np.uint8).tobytes())
-        self._disk[cid] = (path, page.dtype, page.shape)
+        self.storage.put(cid, page.view(np.uint8).tobytes())
+        self._disk[cid] = (page.dtype, page.shape)
         self.pages_spilled += 1
         while len(self._disk) > self.disk_capacity_pages:
-            _, (old, _, _) = self._disk.popitem(last=False)
-            try:
-                os.remove(old)
-            except OSError:
-                pass
+            old_cid, _ = self._disk.popitem(last=False)
+            self.storage.delete(old_cid)
 
     def _promote(self, cid: int):
         entry = self._disk.get(cid)
         if entry is None:
             return None
-        path, dtype, shape = entry
-        try:
-            with open(path, "rb") as f:
-                page = np.frombuffer(f.read(), dtype=np.uint8)
-            page = page.view(dtype).reshape(shape)
-        except (OSError, ValueError):
+        dtype, shape = entry
+        raw = self.storage.get(cid)
+        if raw is None:
             self._disk.pop(cid, None)
             return None
+        page = np.frombuffer(raw, dtype=np.uint8).view(dtype).reshape(shape)
         self.pages_promoted += 1
         self._store[cid] = page  # back into RAM (insert handles overflow)
         while len(self._store) > self.capacity_pages:

@@ -66,7 +66,9 @@ class ServerArgs:
     encode_server_url: Optional[str] = None
     hicache_size: float = 0.0  # GiB; 0 = 2x the device KV pool
     hicache_write_policy: str = "write_through"
-    hicache_storage_dir: Optional[str] = None  # file-backed L3 tier
+    # L3 tier behind the host-RAM cache: a local directory (file store)
+    # or a redis://host[:port]/prefix URL (remote shared store)
+    hicache_storage_dir: Optional[str] = None
     hicache_storage_size: float = 0.0  # GiB; 0 = unbounded
 
     # --- Scheduling ---

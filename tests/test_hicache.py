@@ -169,3 +169,62 @@ def test_hicache_three_tier_end_to_end(tmp_path):
     assert sched.stats.num_hicache_tokens >= 16
     assert sched.hicache.host.pages_promoted >= 1
     assert sched.check_memory() == 0
+
+
+class _FakeRedis:
+    """Minimal redis-py surface (set/get/delete) for hermetic tests."""
+
+    def __init__(self):
+        self.kv = {}
+
+    def set(self, k, v):
+        self.kv[k] = bytes(v)
+
+    def get(self, k):
+        return self.kv.get(k)
+
+    def delete(self, k):
+        self.kv.pop(k, None)
+
+
+def test_redis_storage_backend_spill_and_promote():
+    """The Redis remote-store backend behaves identically to the file
+    tier behind the pluggable KVStorageBackend interface (reference
+    srt/mem_cache/storage/* remote stores)."""
+    from sglang_tpu.mem_cache.hicache_storage import RedisKVStorage
+
+    fake = _FakeRedis()
+    backend = RedisKVStorage("redis://cachehost:6380/testpfx", client=fake)
+    hc = HostKVCache(
+        page_size=4, bytes_per_page=_page(0).nbytes,
+        capacity_bytes=2 * _page(0).nbytes,
+        storage=backend, disk_capacity_bytes=0, disk_dir=None,
+    )
+    a = list(range(8))
+    b = list(range(100, 108))
+    hc.insert(a, 0, np.stack([_page(1), _page(2)]))
+    hc.insert(b, 0, np.stack([_page(3), _page(4)]))
+    assert hc.pages_spilled >= 2
+    assert any(k.startswith("testpfx:") for k in fake.kv)
+    assert hc.match(a) == 2
+    got = hc.load(a, 0, 2)
+    assert got is not None and got[0, 0, 0, 0, 0] == 1
+    assert hc.pages_promoted >= 2
+
+
+def test_storage_backend_url_dispatch(tmp_path):
+    from sglang_tpu.mem_cache.hicache_storage import (
+        FileKVStorage,
+        RedisKVStorage,
+        create_storage_backend,
+    )
+
+    f = create_storage_backend(str(tmp_path / "x"))
+    assert isinstance(f, FileKVStorage)
+    r = create_storage_backend("redis://h:1/p", client=_FakeRedis())
+    assert isinstance(r, RedisKVStorage)
+    assert create_storage_backend(None) is None
+    f.put(3, b"abc")
+    assert f.get(3) == b"abc"
+    f.delete(3)
+    assert f.get(3) is None
