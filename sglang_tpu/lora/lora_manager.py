@@ -165,6 +165,12 @@ class LoRAManager:
         self.max_loras = max_loras
         self.adapters: Dict[str, int] = {}  # name -> slot
         self._loaded: List[Optional[LoRAAdapter]] = [None] * max_loras
+        # lifecycle (reference lora/{eviction_policy,lora_registry}.py):
+        # pin counts from in-flight requests gate eviction; a use counter
+        # orders LRU victims among unpinned slots
+        self._pins: List[int] = [0] * max_loras
+        self._last_use: List[int] = [0] * max_loras
+        self._use_clock = 0
         self.max_rank = max_rank or 0
         # uniform_layout (layer-scanned runners): every layer carries every
         # target at one pool-wide rank so the pool stacks to [L, ...]
@@ -184,9 +190,24 @@ class LoRAManager:
             (i for i, a in enumerate(self._loaded) if a is None), None
         )
         if free is None:
-            raise RuntimeError(
-                f"adapter pool full ({self.max_loras}); unload one first"
-            )
+            # LRU-evict an unpinned adapter (pinned = referenced by an
+            # in-flight request; evicting it would silently swap the
+            # adapter under the request's slot id)
+            victims = [
+                i
+                for i in range(self.max_loras)
+                if self._pins[i] == 0
+            ]
+            if not victims:
+                raise RuntimeError(
+                    f"adapter pool full ({self.max_loras}) and every slot "
+                    "is pinned by in-flight requests; retry later"
+                )
+            free = min(victims, key=lambda i: self._last_use[i])
+            old = self._loaded[free]
+            self.adapters.pop(old.name, None)
+            self._loaded[free] = None
+            logger.info("evicted LRU LoRA %s from slot %d", old.name, free)
         self._loaded[free] = adapter
         self.adapters[name] = free
         self._rebuild_pool()
@@ -206,7 +227,22 @@ class LoRAManager:
             return self.zero_slot
         if name not in self.adapters:
             raise ValueError(f"unknown LoRA adapter {name}")
-        return self.adapters[name]
+        slot = self.adapters[name]
+        self._use_clock += 1
+        self._last_use[slot] = self._use_clock
+        return slot
+
+    def acquire(self, name: Optional[str]) -> int:
+        """slot_of + pin: called at request admission; `release(slot)` at
+        request finish/abort. Pinned slots are never LRU-evicted."""
+        slot = self.slot_of(name)
+        if slot < self.max_loras:
+            self._pins[slot] += 1
+        return slot
+
+    def release(self, slot: int) -> None:
+        if 0 <= slot < self.max_loras and self._pins[slot] > 0:
+            self._pins[slot] -= 1
 
     def _target_dims(self, target: str):
         m = self.model

@@ -283,7 +283,7 @@ class Scheduler:
             lm = self.runner.lora_manager
             if lm is None:
                 raise ValueError("lora_path given but no adapters are loaded")
-            lora_id = lm.slot_of(treq.lora_path)
+            lora_id = lm.acquire(treq.lora_path)
         req = Req(
             rid=treq.rid,
             input_ids=treq.input_ids,
@@ -1660,6 +1660,9 @@ class Scheduler:
             self._deferred.append(r)
         else:
             self._release_req(r, insert=True)
+        if r.lora_id >= 0 and self.runner.lora_manager is not None:
+            self.runner.lora_manager.release(r.lora_id)
+            r.lora_id = -1
         self.reqs.pop(r.rid, None)
         self.stats.num_finished += 1
         ts = time.time()

@@ -125,3 +125,63 @@ def test_mixed_lora_batch(lora_setup):
     assert o1[0]["output_ids"] == base1[len(p1):]
     assert o1[1]["output_ids"] == base2[len(p2):]
     assert out_lora["output_ids"] == mrg1[len(p1):]
+
+
+def test_finish_releases_lora_pin(lora_setup):
+    """A served request pins its adapter slot for its lifetime and the
+    finish path releases it."""
+    eng, _, _ = lora_setup
+    lm = eng.runner.ensure_lora_manager()
+    slot = lm.adapters.get("ad1")
+    if slot is None:
+        pytest.skip("ad1 evicted by a previous test")
+    before = lm._pins[slot]
+    out = eng.generate(
+        input_ids=[5, 9, 23], lora_path="ad1",
+        sampling_params={"max_new_tokens": 4, "temperature": 0.0,
+                         "ignore_eos": True},
+    )
+    assert len(out["output_ids"]) == 4
+    assert lm._pins[slot] == before  # acquired then released at finish
+
+
+def test_lru_eviction_and_pinning(lora_setup, tmp_path_factory):
+    """Loading past max_loras LRU-evicts an UNPINNED adapter; slots
+    referenced by in-flight requests are never evicted (reference
+    lora/{eviction_policy,lora_registry}.py)."""
+    eng, hf, _ = lora_setup
+    lm = eng.runner.ensure_lora_manager()
+    lm.max_loras if True else None
+    # fill the pool with extra adapters
+    dirs = []
+    for i in range(lm.max_loras + 1):
+        adir, _ = _make_adapter_dir(
+            tmp_path_factory.mktemp(f"ad_ev{i}"), hf, seed=10 + i
+        )
+        dirs.append(adir)
+    base_loaded = dict(lm.adapters)
+    names = []
+    for i, adir in enumerate(dirs[: lm.max_loras - len(base_loaded)]):
+        names.append(f"ev{i}")
+        lm.load(names[-1], adir)
+    assert len(lm.adapters) == lm.max_loras  # full
+    # pin every slot except the LRU one
+    lru_name = min(lm.adapters, key=lambda n: lm._last_use[lm.adapters[n]])
+    pinned = [n for n in lm.adapters if n != lru_name]
+    slots = [lm.acquire(n) for n in pinned]
+    # next load evicts exactly the unpinned LRU adapter
+    lm.load("fresh", dirs[-1])
+    assert "fresh" in lm.adapters
+    assert lru_name not in lm.adapters
+    for n in pinned:
+        assert n in lm.adapters
+    # all remaining slots pinned -> a further load must refuse
+    lm.acquire("fresh")
+    with pytest.raises(RuntimeError):
+        lm.load("overflow", dirs[0])
+    for s in slots:
+        lm.release(s)
+    lm.release(lm.adapters["fresh"])
+    # unpinned again: load succeeds
+    lm.load("overflow", dirs[0])
+    assert "overflow" in lm.adapters
