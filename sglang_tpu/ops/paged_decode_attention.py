@@ -358,9 +358,11 @@ def paged_decode_attention(
     num_pages, two_kvh, ps, _ = pages.shape
     kvh = two_kvh // 2
     g = qh // kvh
-    R = 8
+    import os as _os
+
+    R = int(_os.environ.get("SGLANG_TPU_PDA_R", "8"))
     assert bb % R == 0, bb
-    pblk = max(1, 256 // ps)
+    pblk = max(1, int(_os.environ.get("SGLANG_TPU_PDA_KVBLK", "256")) // ps)
     assert page_table.shape[1] % pblk == 0
     # ring depth: each chunk's DMAs are latency- (not bandwidth-) bound,
     # so keep several chunks in flight — but cap the KV + scale scratch at
@@ -370,7 +372,8 @@ def paged_decode_attention(
     chunk_bytes = two_kvh * 256 * d * pages.dtype.itemsize
     if isinstance(scales, jax.Array):
         chunk_bytes += pblk * int(np.prod(scales.shape[1:])) * 4
-    nbuf = max(2, min(8, (vmem_limit // 2) // max(1, chunk_bytes)))
+    nbuf_cap = int(_os.environ.get("SGLANG_TPU_PDA_NBUF", "8"))
+    nbuf = max(2, min(nbuf_cap, (vmem_limit // 2) // max(1, chunk_bytes)))
 
     has_sinks = sinks is not None
     has_scales = scales is not None
