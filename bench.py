@@ -169,8 +169,17 @@ def main():
         # more page-granularity waste (measured e2e 1434 vs 1591 tok/s at
         # ps=64 on this workload's short sequences) — ps=64 stays default
         page_size=64 if not tiny else 16,
-        max_prefill_tokens=int(os.environ.get("BENCH_PREFILL_TOKENS", "4096")),
-        chunked_prefill_size=int(os.environ.get("BENCH_PREFILL_TOKENS", "4096")),
+        # 8192-token prefill rounds (round 5): halves the round count (and
+        # its ~26 ms/round dispatch+readback tax) and doubles the ramp
+        # rate at the start of a burst — measured 2396 -> 2575 tok/s warm
+        max_prefill_tokens=int(os.environ.get("BENCH_PREFILL_TOKENS", "8192")),
+        chunked_prefill_size=int(os.environ.get("BENCH_PREFILL_TOKENS", "8192")),
+        # offline throughput: longest-output-first admission (reference
+        # `lof` policy) compresses the end-of-pass drain tail — the last
+        # admitted requests have the shortest outputs, so the batch never
+        # idles at low occupancy finishing a few long stragglers
+        # (measured 2220 -> 2396 tok/s warm; kept tokens/step 77 -> 91)
+        schedule_policy=os.environ.get("BENCH_POLICY", "lof"),
         # few buckets: each (bucket, variant) pair is one XLA compile, and
         # decode is weight-read-bound so padded rows are nearly free
         # KV pool (~46k tokens) caps concurrency near 70 at this workload's
@@ -179,9 +188,9 @@ def main():
         # lengths — the 192 bucket is reachable and decode is weight-bound,
         # so bigger batches amortize the same weight reads
         decode_bs_buckets=(
-            [32, 64, 128, 192]
-            if kv_dtype == "int8"
-            else [32, 64, 96, 128]
+            [int(x) for x in os.environ["BENCH_BS_BUCKETS"].split(",")]
+            if os.environ.get("BENCH_BS_BUCKETS")
+            else ([32, 64, 128, 192] if kv_dtype == "int8" else [32, 64, 96, 128])
         )
         if not tiny
         else [8, 16, 32],
@@ -189,7 +198,13 @@ def main():
         # tokens (admission is pool-limited, not budget-limited), and with
         # only {2048, 4096} most rounds padded to 4096 — measured ~2x token
         # cost (42.5s prefill_run for 325k tokens vs 131us/tok honest rate)
-        prefill_token_buckets=[1024, 2048, 3072, 4096] if not tiny else [512],
+        prefill_token_buckets=(
+            [int(x) for x in os.environ["BENCH_PREFILL_BUCKETS"].split(",")]
+            if os.environ.get("BENCH_PREFILL_BUCKETS")
+            else [2048, 4096, 6144, 8192]
+        )
+        if not tiny
+        else [512],
         max_running_requests=256,
         device="cpu" if tiny else "auto",
         decode_multi_step=int(os.environ.get("BENCH_MULTI_STEP", "16")),
@@ -315,6 +330,24 @@ def main():
         f"retractions {sched.stats.num_retractions}",
         file=sys.stderr,
     )
+    st = sched.stats
+    if st.decode_bucket_row_steps:
+        print(
+            "# decode rows/step: "
+            f"bucket {st.decode_bucket_row_steps / st.num_decode_steps:.1f}, "
+            f"chain {st.decode_chain_row_steps / st.num_decode_steps:.1f}, "
+            f"live {st.decode_live_row_steps / st.num_decode_steps:.1f}, "
+            f"kept {st.num_decode_tokens / st.num_decode_steps:.1f} "
+            f"(eff {st.num_decode_tokens / st.decode_bucket_row_steps:.2f})",
+            file=sys.stderr,
+        )
+    if st.prefill_padded_tokens:
+        print(
+            f"# prefill padding: real {st.num_prefill_tokens} / padded "
+            f"{st.prefill_padded_tokens} "
+            f"({st.num_prefill_tokens / st.prefill_padded_tokens:.2f} fill)",
+            file=sys.stderr,
+        )
 
     kv_tag = "" if kv_dtype == "auto" else f"_kv{kv_dtype}"
     result = {

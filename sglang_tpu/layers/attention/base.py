@@ -172,8 +172,75 @@ class AttentionBackend:
     ) -> jax.Array:  # [B, q_heads, head_dim]
         raise NotImplementedError
 
+    def forward_decode_state(
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
+        logit_cap=0.0,
+    ):
+        """Decode attention over the pool WITHOUT sinks, also returning
+        the softmax state: (out [B,qh,d], m [B,qh] f32, l [B,qh] f32) for
+        partial-attention merging (chain-tail decode)."""
+        raise NotImplementedError
+
+    def _forward_chain_tail(self, q, k_new, v_new, kv, fb, sm_scale, **kw):
+        """Chain-tail decode step (ops/chain_tail.py): append the new KV
+        row to the chain's tail buffer instead of page-RMW'ing the pool,
+        attend = pool partial (fixed pre-chain context) merged with a
+        dense partial over the tail rows written so far."""
+        import dataclasses
+
+        from sglang_tpu.ops.chain_tail import (
+            ChainTailKV,
+            merge_states,
+            quantize_rows,
+            tail_attention_state,
+        )
+
+        import os as _os
+
+        ablate = _os.environ.get("SGLANG_TAIL_ABLATE", "")
+        pool = kv.pool
+        vals = pool[0] if isinstance(pool, tuple) else pool
+        step = kv.step
+        rows, srow = quantize_rows(k_new, v_new, vals.dtype)
+        # pool part: context BEFORE the chain (fixed across all K steps)
+        pool_lens = jnp.maximum(fb.seq_lens - (step + 1), 0)
+        fb_pool = dataclasses.replace(fb, seq_lens=pool_lens)
+        sinks = kw.pop("sinks", None)
+        kw.pop("sliding_window", None)  # tail path requires full attention
+        if "poolstate" in ablate:  # timing only: plain kernel, no state
+            out = self.forward_decode(q, pool, fb_pool, sm_scale, **kw)
+            return out, ChainTailKV(
+                pool=pool, vals=rows, scales=srow, step=step
+            )
+        out_p, m_p, l_p = self.forward_decode_state(
+            q, pool, fb_pool, sm_scale, **kw
+        )
+        ctx = fb.page_table.shape[1] * vals.shape[2]
+        if "tailattn" in ablate:  # timing only: skip tail + merge
+            return out_p, ChainTailKV(
+                pool=pool, vals=rows, scales=srow, step=step
+            )
+        acc_t, m_t, l_t = tail_attention_state(
+            q, kv.vals, kv.scales, rows, srow, step, fb.seq_lens, ctx,
+            sm_scale, logit_cap=kw.get("logit_cap", 0.0),
+        )
+        out = merge_states(
+            out_p, m_p, l_p, acc_t, m_t, l_t,
+            sinks=None if sinks is None else sinks.astype(jnp.float32),
+            out_dtype=q.dtype,
+        )
+        # output carries just the NEW row; the layer scan stacks them and
+        # the chain scan appends to the tail once per step
+        return out, ChainTailKV(pool=pool, vals=rows, scales=srow, step=step)
+
     def __call__(self, q, k_new, v_new, pages, fb, sm_scale, **kw):
         """Write new KV then attend. Returns (out, updated_pages)."""
+        from sglang_tpu.ops.chain_tail import ChainTailKV
+
+        if isinstance(pages, ChainTailKV):
+            return self._forward_chain_tail(
+                q, k_new, v_new, pages, fb, sm_scale, **kw
+            )
         pages = write_kv_pages(
             pages, k_new, v_new, fb.out_cache_loc,
             one_per_page=fb.mode.is_decode(),

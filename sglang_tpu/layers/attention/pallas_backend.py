@@ -103,6 +103,33 @@ class PallasAttentionBackend(AttentionBackend):
         )
         return out[:b]
 
+    def forward_decode_state(
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
+        logit_cap=0.0,
+    ):
+        if not self._tileable(q):
+            return self._ref().forward_decode_state(
+                q, pages, fb, sm_scale, sliding_window=sliding_window,
+                logit_cap=logit_cap,
+            )
+        b = q.shape[0]
+        pad = (-b) % 8
+        q_pad = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        sl = jnp.pad(fb.seq_lens, (0, pad))
+        pt = jnp.pad(fb.page_table, ((0, pad), (0, 0)))
+        out, st = paged_decode_attention(
+            q_pad,
+            pages,
+            sl,
+            pt,
+            sm_scale=float(sm_scale),
+            logit_cap=float(logit_cap),
+            window=int(sliding_window),
+            interpret=self.interpret,
+            return_state=True,
+        )
+        return out[:b], st[:b, :, 0], st[:b, :, 1]
+
     def forward_extend(
         self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
         logit_cap=0.0, sinks=None,

@@ -89,6 +89,48 @@ class ReferenceAttentionBackend(AttentionBackend):
         )
         return out.reshape(b, qh, d).astype(q.dtype)
 
+    def forward_decode_state(
+        self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
+        logit_cap=0.0,
+    ):
+        """Decode partial with softmax state (out, m, l) — the oracle side
+        of the chain-tail merge (`ops/chain_tail.py merge_states`)."""
+        b, qh, d = q.shape
+        vals = pages[0] if isinstance(pages, tuple) else pages
+        kvh = vals.shape[1] // 2
+        qpk = qh // kvh
+        k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
+        kmax = k.shape[1]
+        kv_idx = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+        mask = kv_idx < fb.seq_lens[:, None]  # [B, K]
+        if sliding_window > 0:
+            mask &= kv_idx >= (fb.seq_lens[:, None] - sliding_window)
+        qg = q.reshape(b, kvh, qpk, d)
+        logits = (
+            jnp.einsum(
+                "bhgd,bkhd->bhgk",
+                qg.astype(jnp.float32),
+                k.astype(jnp.float32),
+            )
+            * sm_scale
+        )
+        if logit_cap > 0:
+            logits = logit_cap * jnp.tanh(logits / logit_cap)
+        logits = jnp.where(mask[:, None, None, :], logits, _NEG)
+        m = jnp.max(logits, axis=-1)  # [B, kvh, qpk]
+        p = jnp.exp(logits - m[..., None])
+        # masked lanes contribute exp(_NEG - m); zero them exactly so empty
+        # rows report l == 0 (the merge treats that as an absent partial)
+        p = jnp.where(mask[:, None, None, :], p, 0.0)
+        l = jnp.sum(p, axis=-1)
+        acc = jnp.einsum("bhgk,bkhd->bhgd", p, v.astype(jnp.float32))
+        out = acc / jnp.maximum(l, 1e-10)[..., None]
+        return (
+            out.reshape(b, qh, d).astype(q.dtype),
+            m.reshape(b, qh),
+            l.reshape(b, qh),
+        )
+
     def forward_extend(
         self, q, pages, fb: ForwardBatch, sm_scale, sliding_window=-1,
         logit_cap=0.0, sinks=None,

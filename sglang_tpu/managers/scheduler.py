@@ -64,6 +64,17 @@ class SchedulerStats:
         # length/rate, `observability/metrics_collector.py:186`)
         self.num_spec_steps = 0  # verify rounds
         self.num_spec_accepted = 0  # tokens committed by verify rounds
+        # decode row-efficiency decomposition (bench diagnostics):
+        # bucket rows = compute cost proxy (the chip pads to the bucket);
+        # chain rows = live + zombie rows at dispatch; live rows = batch
+        # members (unfinished) at dispatch. kept tokens are exact
+        # (num_decode_tokens). useful/bucket = end-to-end decode efficiency.
+        self.decode_bucket_row_steps = 0
+        self.decode_chain_row_steps = 0
+        self.decode_live_row_steps = 0
+        # prefill padding: real tokens are num_prefill_tokens; padded is
+        # the compile-bucket token count actually dispatched
+        self.prefill_padded_tokens = 0
         # per-stage wall time (reference per-stage time stats,
         # `observability/req_time_stats.py`): where the scheduler thread
         # spends its time, exported at /metrics and printed by bench traces
@@ -252,6 +263,7 @@ class Scheduler:
         # `event_loop_overlap` analogue: never stall the device on
         # per-request bookkeeping).
         self._chain_rows: Optional[List[Req]] = None
+        self._chain_bb = 0  # compile bucket of the active chain (stats)
         self._deferred: List[Req] = []
 
         # penalty-state slots: stable device-side row per live request
@@ -783,6 +795,11 @@ class Scheduler:
             arrays["extend_lens"][: len(batch.reqs)].sum()
         )
         self.stats.num_prefill_steps += 1
+        from sglang_tpu.utils import pad_to_bucket as _ptb2
+
+        self.stats.prefill_padded_tokens += _ptb2(
+            int(arrays["extend_lens"].sum()), self.runner.prefill_token_buckets
+        )
 
         outputs: List[ReqStrOutput] = []
         to_run: List[Req] = []
@@ -1178,6 +1195,9 @@ class Scheduler:
             )
             batch.commit_decode_multi(k)
             self.stats.num_decode_steps += k
+            self.stats.decode_bucket_row_steps += k * self._chain_bb
+            self.stats.decode_chain_row_steps += k * len(rows)
+            self.stats.decode_live_row_steps += k * len(batch.reqs)
             self.stats.add_stage(
                 "decode_dispatch", time.perf_counter() - _t_disp0
             )
@@ -1246,6 +1266,10 @@ class Scheduler:
                 len(batch.reqs), self.runner.decode_bs_buckets
             ),
         )
+        self._chain_bb = meta.padded_bs
+        self.stats.decode_bucket_row_steps += k * meta.padded_bs
+        self.stats.decode_chain_row_steps += k * len(batch.reqs)
+        self.stats.decode_live_row_steps += k * len(batch.reqs)
         first_ids = self._inflight[3] if chained_ids else arrays["input_ids"]
         _t_disp0 = time.perf_counter()
         self.stats.add_stage("decode_prep", _t_disp0 - _t_prep0)

@@ -99,6 +99,10 @@ class ForwardBatch:
     # Setting every block row's mask position to block_end-1 makes the
     # block bidirectional while the prefix stays causal.
     mask_positions: jax.Array = None  # [T] i32
+    # chain-tail decode (ops/chain_tail.py): 0-based step index within the
+    # fused K-step chain; non-None switches the attention backend to the
+    # tail-buffered KV write + state-merge path.
+    tail_step: jax.Array = None  # [] i32
 
     # Static (hashable) metadata
     mode: ForwardMode = field(metadata=dict(static=True), default=ForwardMode.DECODE)

@@ -272,6 +272,28 @@ class ModelRunner:
         self._step_counter = 0
         self._jit_cache = {}
         self._chain = None  # device-resident decode-chunk chain state
+        # chain-tail KV batching (ops/chain_tail.py): replace the per-step
+        # page RMW inside fused decode chains with a contiguous tail buffer
+        # + one flush per chunk (~K-fold less page-RMW traffic). Needs the
+        # layer-scanned forward (the tail carries per layer), a standard
+        # [P, 2kvh, ps, d] pool (no MLA/hybrid state), full attention, and
+        # a single DP region.
+        # DEFAULT OFF — honest negative result (docs/PERFORMANCE.md r5):
+        # the page-RMW it removes is worth 1.7 ms/step at bs=128, but the
+        # batched tail attention + merge costs 3.2 ms/step in XLA (small-op
+        # launch/relayout tax across 32 scanned layers) and the flush 0.7,
+        # a net LOSS of ~2.3 ms/step on v5e. Kept env-gated for future
+        # generations / an eventual in-kernel tail chunk.
+        import os as _os
+
+        self._chain_tail = (
+            self._use_scan
+            and getattr(self.model, "supports_chain_tail", False)
+            and getattr(self.model, "sliding_window", -1) <= 0
+            and not self._needs_state_slots
+            and self.dp_size == 1
+            and _os.environ.get("SGLANG_TPU_CHAIN_TAIL", "0") == "1"
+        )
 
 
     def slots_budget(self) -> int:
@@ -1020,12 +1042,14 @@ class ModelRunner:
         ZERO host->device uploads."""
         from sglang_tpu.sampling.sampling_batch_info import unpack_sinfo
 
-        key = ("multi", k_steps, flags, bb, pmax)
+        tail_mode = self._chain_tail
+        key = ("multi", k_steps, flags, bb, pmax, tail_mode)
         if key not in self._jit_cache:
             ps = self.page_size
             ctx = self.model_config.context_length
             model, backend = self.model, self.attn_backend
             fwd = self._model_forward
+            num_pages = self.num_pages
 
             def _multi(params, kv_layers, counts, i32, f32, ids0, base, rng):
                 nbb = bb
@@ -1036,9 +1060,32 @@ class ModelRunner:
                 sinfo = unpack_sinfo(i32, f32, nbb * pmax, nbb, flags)
                 rows = jnp.arange(nbb, dtype=jnp.int32)
                 valid = base > 0
+                if tail_mode:
+                    # chain-tail KV batching (ops/chain_tail.py): the K new
+                    # rows accumulate in a step-major tail buffer (ONE
+                    # leading-axis append per step); one page RMW per
+                    # touched page flushes them after the scan
+                    pool0 = (
+                        kv_layers[0]
+                        if isinstance(kv_layers, tuple)
+                        else kv_layers
+                    )
+                    L = model.num_layers
+                    kvh2, _, d_ = pool0.shape[1:]
+                    tv0 = jnp.zeros(
+                        (L, nbb, kvh2, k_steps, d_), pool0.dtype
+                    )
+                    ts0 = (
+                        jnp.zeros((L, nbb, kvh2, k_steps), jnp.float32)
+                        if isinstance(kv_layers, tuple)
+                        else None
+                    )
 
                 def body(carry, k):
-                    kv, cnts, ids, key = carry
+                    if tail_mode:
+                        kv, tv, ts, cnts, ids, key = carry
+                    else:
+                        kv, cnts, ids, key = carry
                     pos = jnp.where(valid, base - 1 + k, 0)  # token position
                     in_ctx = pos < ctx
                     loc = jnp.where(
@@ -1064,8 +1111,21 @@ class ModelRunner:
                         if self._needs_state_slots
                         else None,
                         mode=ForwardMode.DECODE,
+                        tail_step=k if tail_mode else None,
                     )
-                    hidden, kv = fwd(params, kv, fb, backend)
+                    if tail_mode:
+                        hidden, kv, new_rows, new_scales = fwd.forward_tail(
+                            params, kv, (tv, ts), fb, backend
+                        )
+                        tv = jax.lax.dynamic_update_slice_in_dim(
+                            tv, new_rows[:, :, :, None, :], k, axis=3
+                        )
+                        if ts is not None:
+                            ts = jax.lax.dynamic_update_slice_in_dim(
+                                ts, new_scales[..., None], k, axis=3
+                            )
+                    else:
+                        hidden, kv = fwd(params, kv, fb, backend)
                     logits = model.compute_logits(params, hidden)
                     step_key = jax.random.fold_in(key, k)
                     next_ids, tok_lp = sample(
@@ -1074,13 +1134,40 @@ class ModelRunner:
                     )
                     if sinfo.need_penalties:
                         cnts = update_counts_sampled(cnts, next_ids, sinfo)
-                    return (kv, cnts, next_ids, key), (next_ids, tok_lp)
+                    out_carry = (
+                        (kv, tv, ts, cnts, next_ids, key)
+                        if tail_mode
+                        else (kv, cnts, next_ids, key)
+                    )
+                    return out_carry, (next_ids, tok_lp)
 
-                (kv_layers, counts, last_ids, _), (all_ids, all_lp) = jax.lax.scan(
-                    body,
-                    (kv_layers, counts, ids0, rng),
-                    jnp.arange(k_steps, dtype=jnp.int32),
+                if tail_mode:
+                    carry0 = (kv_layers, tv0, ts0, counts, ids0, rng)
+                else:
+                    carry0 = (kv_layers, counts, ids0, rng)
+                final, (all_ids, all_lp) = jax.lax.scan(
+                    body, carry0, jnp.arange(k_steps, dtype=jnp.int32)
                 )
+                if tail_mode:
+                    kv_layers, tvf, tsf, counts, last_ids, _ = final
+                    from sglang_tpu.ops.chain_tail import (
+                        build_tail_flush_jobs,
+                        flush_tail,
+                    )
+
+                    import os as _os
+
+                    if "flush" not in _os.environ.get(
+                        "SGLANG_TAIL_ABLATE", ""
+                    ):
+                        wrp, wrs = build_tail_flush_jobs(
+                            base, pt, k_steps, ps, ctx
+                        )
+                        kv_layers = flush_tail(
+                            kv_layers, tvf, tsf, wrp, wrs, num_pages
+                        )
+                else:
+                    kv_layers, counts, last_ids, _ = final
                 # device-side carry for the next chained chunk
                 new_base = jnp.where(valid, base + k_steps, base)
                 rng_next = jax.random.fold_in(rng, k_steps)

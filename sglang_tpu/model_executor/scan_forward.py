@@ -178,6 +178,50 @@ class ScanForward:
         h, kv, _ = self._scan(params, kv, fb, attn_backend, capture=False)
         return h, kv
 
+    def forward_tail(
+        self, params, kv, tail, fb: ForwardBatch, attn_backend
+    ):
+        """One chain-tail decode step (ops/chain_tail.py): the pool and
+        the tail `(vals [L, bs, 2kvh, K, d], scales|None)` are READ-ONLY;
+        each layer's new KV row comes back as a scan output. The caller
+        appends the stacked rows to the tail at `fb.tail_step` (one
+        dynamic update per step — a per-layer tail carry measured
+        +2.7 ms/step of XLA copies). Returns
+        (hidden, kv, new_rows [L, bs, 2kvh, d], new_scales [L, bs, 2kvh])."""
+        from sglang_tpu.layers.norms import rms_norm
+        from sglang_tpu.ops.chain_tail import ChainTailKV
+
+        model = self.model
+        L = model.num_layers
+        h = model.embed_tokens(params, fb)
+        tv_full, ts_full = tail
+        idx = jnp.arange(L, dtype=jnp.int32)
+
+        def body(carry, xs):
+            a, kv_c = carry
+            lp, i = xs
+            tv_i = jax.lax.dynamic_index_in_dim(
+                tv_full, i, 0, keepdims=False
+            )  # [bs, 2kvh, K, d]
+            ts_i = (
+                jax.lax.dynamic_index_in_dim(ts_full, i, 0, keepdims=False)
+                if ts_full is not None
+                else None
+            )
+            wrapped = ChainTailKV(
+                pool=kv_c, vals=tv_i, scales=ts_i, step=fb.tail_step
+            )
+            a, out_kv = model.decoder_layer(
+                lp, a, wrapped, self._layer_fb(fb, i), attn_backend, None
+            )
+            return (a, kv_c), (out_kv.vals, out_kv.scales)
+
+        (h, kv), (rows, scales) = jax.lax.scan(
+            body, (h, kv), (params["layers"], idx)
+        )
+        h = rms_norm(h, params["final_norm"], model.config.rms_norm_eps)
+        return h, kv, rows, scales
+
     def capture_aux(self, params, kv, fb: ForwardBatch, attn_backend):
         """Scan twin of `model.forward_capture_aux` (EAGLE3 multi-layer
         feature capture): returns (hidden, aux [T, C*H], new_kv)."""

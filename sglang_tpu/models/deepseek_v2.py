@@ -36,6 +36,8 @@ from sglang_tpu.models.llama import LlamaForCausalLM
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    # MLA latent pool layout differs from [P, 2kvh, ps, d] - no chain tail
+    supports_chain_tail = False
     architectures = [
         "DeepseekV2ForCausalLM",
         "DeepseekV3ForCausalLM",

@@ -73,6 +73,10 @@ class LlamaForCausalLM:
     qkv_bias = False
     o_bias = False
     qk_norm = False
+    # standard [P, 2kvh, ps, d] KV + full attention: eligible for
+    # chain-tail decode KV batching (ops/chain_tail.py); the runner
+    # additionally gates on sliding_window/scan/dp at init
+    supports_chain_tail = True
 
     def __init__(self, config: ModelConfig):
         self.config = config

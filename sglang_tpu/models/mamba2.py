@@ -32,6 +32,7 @@ from sglang_tpu.models.llama import LlamaForCausalLM, _linear_sharding
 
 
 class Mamba2ForCausalLM(LlamaForCausalLM):
+    supports_chain_tail = False  # recurrent state, not a paged KV pool
     architectures = ["Mamba2ForCausalLM"]
     hf_prefix = "backbone"
 

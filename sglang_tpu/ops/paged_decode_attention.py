@@ -99,15 +99,18 @@ def _pda_kernel(
     sinks_vmem,  # [1, qh] f32, or None
     # output (HBM)
     out_hbm,  # [bb, qh, d]
+    st_hbm,  # [bb, qh, 128] f32 (m lane 0, l lane 1), or None
     # scratch
     q_v,  # [R, qh, d]
     kv_v,  # [NBUF, 2*kvh, kvblk, d] (head-major)
     sc_v,  # [NBUF, pblk, S, 128] f32, or None
     o_v,  # [R, qh, d]
+    st_v,  # [R, qh, 128] f32, or None
     q_sem,
     kv_sems,  # [NBUF, pblk]
     sc_sems,  # [NBUF, pblk], or None
     o_sem,
+    st_sem,
     *,
     R: int,
     ps: int,
@@ -216,6 +219,11 @@ def _pda_kernel(
 
     q_dma.wait()
     o_v[...] = jnp.zeros_like(o_v)
+    if st_v is not None:
+        # rows the walk never reaches (pool_len 0) must merge as "empty":
+        # m = -inf (lane 0), l = 0 (lane 1)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, st_v.shape, 2) == 0
+        st_v[...] = jnp.where(lane0, NEG_INF, 0.0)
 
     # static block-diagonal head mask: q row i belongs to kv head i//g,
     # lane j of the stacked [kvh*kvblk] axis belongs to kv head j//kvblk.
@@ -313,6 +321,18 @@ def _pda_kernel(
         return m_new, l_new, acc_new, r
 
     def _flush(r, m, l, acc):
+        if st_v is not None:
+            # state output mode: emit (m, l) and the sink-free normalized
+            # partial — the caller merges with the chain-tail attention
+            # (and applies sinks once, at the merge)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (qh, 128), 1)
+            st_v[r] = jnp.where(
+                lane == 0,
+                jnp.broadcast_to(m, (qh, 128)),
+                jnp.where(lane == 1, jnp.broadcast_to(l, (qh, 128)), 0.0),
+            )
+            o_v[r] = (acc / jnp.maximum(l, 1e-10)).astype(o_v.dtype)
+            return
         if sinks_vmem is not None:
             sink = sinks_vmem[:, :].reshape(qh, 1)
             l = l + jnp.exp(sink - m)
@@ -332,12 +352,20 @@ def _pda_kernel(
 
     o_dma = pltpu.make_async_copy(o_v, out_hbm.at[pl.ds(row0, R)], o_sem)
     o_dma.start()
+    if st_v is not None:
+        st_dma = pltpu.make_async_copy(
+            st_v, st_hbm.at[pl.ds(row0, R)], st_sem
+        )
+        st_dma.start()
+        st_dma.wait()
     o_dma.wait()
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "logit_cap", "window", "interpret"),
+    static_argnames=(
+        "sm_scale", "logit_cap", "window", "interpret", "return_state"
+    ),
 )
 def paged_decode_attention(
     q: jax.Array,  # [bb, qh, d]; bb must be a multiple of 8
@@ -350,7 +378,12 @@ def paged_decode_attention(
     window: int = -1,
     interpret: bool = False,
     sinks: jax.Array = None,
+    return_state: bool = False,
 ) -> jax.Array:
+    """With `return_state=True` also returns [bb, qh, 128] f32 softmax
+    state (running max on lane 0, denominator on lane 1) and does NOT
+    apply sinks — the caller merges partial attentions (chain-tail decode,
+    reference `sgl-kernel merge_attn_states` role)."""
     scales = None
     if isinstance(pages, tuple):
         pages, scales = pages
@@ -396,23 +429,31 @@ def paged_decode_attention(
         )
     scratch_shapes += [
         pltpu.VMEM((R, qh, d), q.dtype),  # o_v
+    ]
+    if return_state:
+        scratch_shapes.append(pltpu.VMEM((R, qh, 128), jnp.float32))  # st_v
+    scratch_shapes += [
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA((nbuf, pblk)),
     ]
     if has_scales:
         scratch_shapes.append(pltpu.SemaphoreType.DMA((nbuf, pblk)))
     scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
+    if return_state:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bb // R,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 if return_state else 1)
+        if return_state
+        else pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch_shapes,
     )
 
     def _kernel(*refs, **kw):
-        # splice optional refs (scales input/scratch/sem, sinks) into the
-        # full positional signature
+        # splice optional refs (scales input/scratch/sem, sinks, state
+        # output/scratch/sem) into the full positional signature
         i = 2
         q_ref, pages_ref = refs[i], refs[i + 1]
         i += 2
@@ -426,22 +467,37 @@ def paged_decode_attention(
             i += 1
         out_ref = refs[i]
         i += 1
+        st_ref = None
+        if return_state:
+            st_ref = refs[i]
+            i += 1
         q_v, kv_v = refs[i], refs[i + 1]
         i += 2
         sc_v = None
         if has_scales:
             sc_v = refs[i]
             i += 1
-        o_v, q_sem, kv_sems = refs[i], refs[i + 1], refs[i + 2]
-        i += 3
+        o_v = refs[i]
+        i += 1
+        st_v = None
+        if return_state:
+            st_v = refs[i]
+            i += 1
+        q_sem, kv_sems = refs[i], refs[i + 1]
+        i += 2
         sc_sems = None
         if has_scales:
             sc_sems = refs[i]
             i += 1
         o_sem = refs[i]
+        i += 1
+        st_sem = None
+        if return_state:
+            st_sem = refs[i]
         return _pda_kernel(
             refs[0], refs[1], q_ref, pages_ref, scales_ref, sinks_ref,
-            out_ref, q_v, kv_v, sc_v, o_v, q_sem, kv_sems, sc_sems, o_sem,
+            out_ref, st_ref, q_v, kv_v, sc_v, o_v, st_v, q_sem, kv_sems,
+            sc_sems, o_sem, st_sem,
             **kw,
         )
 
@@ -458,10 +514,16 @@ def paged_decode_attention(
         logit_cap=logit_cap,
         window=window,
     )
+    out_shape = jax.ShapeDtypeStruct((bb, qh, d), q.dtype)
+    if return_state:
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((bb, qh, 128), jnp.float32),
+        ]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bb, qh, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
