@@ -130,9 +130,14 @@ def main():
     # bf16 compute wall (bs=192 matmul body: 15.1 -> ~11 ms/step).
     # Accuracy-gated: tests/test_accuracy_eval.py::test_w8a8_int8_accuracy.
     quant = os.environ.get("BENCH_QUANT", None if tiny else "w8a8_int8")
-    # 300 prompts approaches the reference 500-prompt methodology while
-    # keeping three measured passes inside the round budget
-    num_prompts = int(os.environ.get("BENCH_NUM_PROMPTS", "16" if tiny else "300"))
+    # 500 prompts = the reference CI methodology
+    # (test_bench_serving_1gpu_part1.py:43); the longer steady phase also
+    # amortizes burst ramp/drain (measured 2600 -> 2809 tok/s vs 300)
+    num_prompts = int(os.environ.get("BENCH_NUM_PROMPTS", "16" if tiny else "500"))
+    # workload shape: "random" = blog_v0_2 random-dataset bounds;
+    # "sharegpt" = sharegpt-like length distribution (lognormal body +
+    # long tail, like the reference CI's 500-prompt sharegpt run)
+    dataset = os.environ.get("BENCH_DATASET", "random")
 
     if tiny:
         import jax
@@ -230,11 +235,23 @@ def main():
         file=sys.stderr,
     )
 
-    # random-dataset workload (reference blog_v0_2 methodology, scaled to
-    # one round): input 128..512, output 64..256, infinite request rate
     rng = np.random.default_rng(0)
-    in_lens = rng.integers(128, 512, size=num_prompts)
-    out_lens = rng.integers(64, 256, size=num_prompts)
+    if dataset == "sharegpt":
+        # sharegpt-shaped lengths: lognormal body with a long tail
+        # (median input ~190, median output ~160), clipped to the bench
+        # context budget — the reference CI's sharegpt workload shape
+        in_lens = np.clip(
+            rng.lognormal(5.25, 0.9, size=num_prompts), 16, 1280
+        ).astype(np.int64)
+        out_lens = np.clip(
+            rng.lognormal(5.1, 0.8, size=num_prompts), 8, 640
+        ).astype(np.int64)
+        out_lens = np.minimum(out_lens, 2000 - in_lens)
+    else:
+        # random-dataset workload (reference blog_v0_2 methodology, scaled
+        # to one round): input 128..512, output 64..256, infinite rate
+        in_lens = rng.integers(128, 512, size=num_prompts)
+        out_lens = rng.integers(64, 256, size=num_prompts)
     if tiny:
         in_lens, out_lens = in_lens // 8, out_lens // 8
 
@@ -350,8 +367,9 @@ def main():
         )
 
     kv_tag = "" if kv_dtype == "auto" else f"_kv{kv_dtype}"
+    ds_tag = "" if dataset == "random" else f"_{dataset}"
     result = {
-        "metric": f"offline_output_throughput_llama8b_{quant or 'bf16'}{kv_tag}"
+        "metric": f"offline_output_throughput_llama8b_{quant or 'bf16'}{kv_tag}{ds_tag}"
         if not tiny
         else "offline_output_throughput_tiny_cpu",
         "value": round(toks_per_s, 1),

@@ -257,59 +257,19 @@ class Engine:
         mm_embeds = mm_positions = None
         mrope_positions = mrope_delta = None
         if g.image_data is not None:
-            import numpy as _np
+            # per-model-family multimodal processors (reference
+            # `srt/multimodal/processors/`): payload normalization, tower
+            # dispatch, feature reassembly, placeholder/M-RoPE positions
+            from sglang_tpu.multimodal import get_mm_processor
 
-            img_tok = getattr(self.runner.model, "image_token_id", None)
-            if img_tok is None:
-                raise ValueError("image_data given but model is text-only")
-            if (
-                isinstance(g.image_data, dict)
-                and "image_sizes" in g.image_data
-            ):
-                # anyres models (LLaVA-NeXT): [N, tiles, 3, S, S] tiles +
-                # per-image original sizes; the jitted tower encodes the
-                # flat tile batch, reassembly happens host-side
-                pix = _np.asarray(
-                    g.image_data["pixel_values"], dtype=_np.float32
-                )
-                n_img, n_tiles = pix.shape[:2]
-                flat = pix.reshape((-1,) + pix.shape[2:])
-                feats = _np.asarray(self._encode_images(flat))
-                mm_embeds = self.runner.model.pack_anyres_features(
-                    feats,
-                    n_img,
-                    n_tiles,
-                    g.image_data["image_sizes"],
-                    _np.asarray(self.runner.params["image_newline"]),
-                )
-            elif isinstance(g.image_data, dict):
-                # grid-native models (Qwen2-VL): patchified pixel rows +
-                # grid_thw; mrope positions derive from the grid
-                pix = _np.asarray(
-                    g.image_data["pixel_values"], dtype=_np.float32
-                )
-                grid = tuple(int(x) for x in g.image_data["grid_thw"])
-                mm_embeds = self._encode_images(pix, grid_thw=grid)
-                mrope_positions, mrope_delta = self.runner.model.get_rope_index(
-                    ids, [grid]
-                )
-            else:
-                pix = _np.asarray(g.image_data, dtype=_np.float32)
-                if pix.ndim in (2, 3):
-                    # [3,S,S] image or [n_mels,T] audio features -> batch
-                    pix = pix[None]
-                mm_embeds = self._encode_images(pix)
-            vid_tok = getattr(self.runner.model, "video_token_id", None)
-            ids_arr = _np.asarray(ids)
-            is_mm = ids_arr == img_tok
-            if vid_tok is not None:
-                is_mm |= ids_arr == vid_tok
-            mm_positions = _np.where(is_mm)[0]
-            if len(mm_positions) != mm_embeds.shape[0]:
-                raise ValueError(
-                    f"prompt has {len(mm_positions)} image-placeholder "
-                    f"tokens but images produce {mm_embeds.shape[0]} embeddings"
-                )
+            proc = get_mm_processor(
+                self.runner.model, self._encode_images, self.runner.params
+            )
+            res = proc.process(ids, g.image_data)
+            mm_embeds = res.mm_embeds
+            mm_positions = res.mm_positions
+            mrope_positions = res.mrope_positions
+            mrope_delta = res.mrope_delta
         return TokenizedGenerateReqInput(
             rid=g.rid or uuid.uuid4().hex,
             input_ids=ids,

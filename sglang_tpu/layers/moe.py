@@ -109,7 +109,12 @@ def fused_moe(
     routed_scaling_factor: float = 1.0,
     n_group: int = 1,
     topk_group: int = 1,
+    scale_input: bool = False,
 ) -> jax.Array:
+    """`scale_input=True` multiplies each routed token by its routing
+    weight BEFORE the expert (Llama-4's `routed_in = h * score` — the
+    scale passes through the nonlinearity) instead of scaling the expert
+    output."""
     t, h = x.shape
     e = router.shape[1]
     logits = jnp.dot(x.astype(jnp.float32), router, preferred_element_type=jnp.float32)
@@ -130,6 +135,9 @@ def fused_moe(
     token_of_slot = (order // top_k).astype(jnp.int32)
     xs = x[token_of_slot]  # [T*k, H] gathered (duplicated per expert pick)
     group_sizes = jnp.bincount(flat_expert, length=e)
+    w_sorted = weights.reshape(-1)[order]  # [T*k]
+    if scale_input:
+        xs = (xs.astype(jnp.float32) * w_sorted[:, None]).astype(x.dtype)
 
     h1 = jax.lax.ragged_dot(
         xs, w1, group_sizes, preferred_element_type=jnp.float32
@@ -139,9 +147,10 @@ def fused_moe(
         a, w2, group_sizes, preferred_element_type=jnp.float32
     )  # [T*k, H] f32
 
-    w_sorted = weights.reshape(-1)[order]  # [T*k]
     out = jnp.zeros((t, h), dtype=jnp.float32)
-    out = out.at[token_of_slot].add(h2 * w_sorted[:, None])
+    if not scale_input:
+        h2 = h2 * w_sorted[:, None]
+    out = out.at[token_of_slot].add(h2)
     return out.astype(x.dtype)
 
 
