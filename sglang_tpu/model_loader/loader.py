@@ -74,6 +74,50 @@ class SafetensorsIndex:
         self._open_files.clear()
 
 
+class AliasIndex:
+    """Resolve VLM serialization-layout drift: transformers moved
+    multimodal checkpoints from `language_model.model.*` /
+    `vision_tower.*` to `model.language_model.*` / `model.vision_tower.*`
+    (4.52 VLM refactor); hub checkpoints exist in BOTH layouts. Model
+    weight rules declare one layout; this shim tries the declared name
+    first, then its counterpart in the other layout."""
+
+    _PAIRS = [
+        ("model.language_model.", "language_model.model."),
+        ("model.vision_tower.", "vision_tower."),
+        ("model.multi_modal_projector.", "multi_modal_projector."),
+        ("model.audio_tower.", "audio_tower."),
+        ("model.multi_modal_projector.", "multi_modal_projector."),
+        ("model.visual.", "visual."),
+        ("language_model.lm_head.", "lm_head."),
+    ]
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def _resolve(self, name: str) -> str:
+        if self.inner.has(name):
+            return name
+        for a, b in self._PAIRS:
+            if name.startswith(a) and self.inner.has(b + name[len(a):]):
+                return b + name[len(a):]
+            if name.startswith(b) and self.inner.has(a + name[len(b):]):
+                return a + name[len(b):]
+        return name
+
+    def has(self, name: str) -> bool:
+        return self.inner.has(self._resolve(name))
+
+    def get(self, name: str):
+        return self.inner.get(self._resolve(name))
+
+    def close(self):
+        self.inner.close()
+
+    def __getattr__(self, item):  # keys(), name_to_file, ...
+        return getattr(self.inner, item)
+
+
 def _raw_read_safetensor(fname: str, name: str) -> np.ndarray:
     """Minimal safetensors reader for dtypes the installed backends choke
     on (fp8): 8-byte LE header length | JSON header | raw data."""
@@ -187,6 +231,7 @@ def load_safetensors_weights(
             from sglang_tpu.quantization.fp4 import Fp4Index
 
             index = Fp4Index(index)
+    index = AliasIndex(index)
     specs = model.param_specs()
     shardings = model.param_shardings()
     params: dict = {"layers": [dict() for _ in range(model.num_layers)]}
@@ -230,7 +275,10 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
     if kind == "embed" or kind == "norm" or kind == "raw":
         if not index.has(rule.sources[0]):
             return None
-        return index.get(rule.sources[0])
+        v = index.get(rule.sources[0])
+        if rule.transform is not None:
+            v = rule.transform(np.asarray(v))
+        return v
     if kind == "lm_head":
         if not index.has(rule.sources[0]):
             return None

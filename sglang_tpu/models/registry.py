@@ -124,6 +124,23 @@ def _populate():
     ):
         register_model(cls)
 
+    # breadth batch 4 (reference srt/models/{llama4,internvl,idefics3}.py
+    # lineage)
+    from sglang_tpu.models.idefics3 import (
+        Idefics3ForConditionalGeneration,
+        SmolVLMForConditionalGeneration,
+    )
+    from sglang_tpu.models.internvl import InternVLForConditionalGeneration
+    from sglang_tpu.models.llama4 import Llama4ForCausalLM
+
+    from sglang_tpu.models.aya_vision import AyaVisionForConditionalGeneration
+
+    register_model(Llama4ForCausalLM)
+    register_model(InternVLForConditionalGeneration)
+    register_model(Idefics3ForConditionalGeneration)
+    register_model(SmolVLMForConditionalGeneration)
+    register_model(AyaVisionForConditionalGeneration)
+
     from sglang_tpu.models.bert import BertModel, XLMRobertaModel
     from sglang_tpu.models.classification import (
         LlamaForSequenceClassification,

@@ -204,6 +204,15 @@ class DefaultMMProcessor(BaseMMProcessor):
 register_mm_processor("LlavaForConditionalGeneration", "LlavaLlamaForCausalLM")(
     SimpleImageProcessor
 )
+# InternVL: pre-tiled [N, 3, S, S] pixel batches; tiling/thumbnail policy
+# is client-side (reference `processors/internvl.py` dynamic_preprocess)
+register_mm_processor("InternVLForConditionalGeneration")(SimpleImageProcessor)
+# Idefics3/SmolVLM: pre-tiled sub-image batches (the 364-px grid split is
+# processor-side; reference `processors/`... idefics lineage)
+register_mm_processor(
+    "Idefics3ForConditionalGeneration", "SmolVLMForConditionalGeneration"
+)(SimpleImageProcessor)
+register_mm_processor("AyaVisionForConditionalGeneration")(SimpleImageProcessor)
 register_mm_processor("LlavaNextForConditionalGeneration")(AnyResProcessor)
 register_mm_processor("Qwen2VLForConditionalGeneration")(GridVLProcessor)
 
