@@ -12,6 +12,9 @@ from __future__ import annotations
 
 from typing import List
 
+import jax.numpy as jnp
+
+from sglang_tpu.layers.rotary import compute_inv_freq
 from sglang_tpu.model_loader.weight_mapping import WeightRule
 from sglang_tpu.models.llama import LlamaForCausalLM
 
@@ -42,3 +45,24 @@ class Phi3ForCausalLM(LlamaForCausalLM):
                 WeightRule(L + ("down",), [f"{lp}.mlp.down_proj.weight"], kind="linear", method_key="down"),
             ]
         return rules
+
+
+class Phi4MultimodalForCausalLM(Phi3ForCausalLM):
+    """Phi-4-multimodal TEXT path (reference `srt/models/phi4mm.py`): the
+    base decoder is a Phi-3 layout with partial rotary; the vision/audio
+    towers attach through LoRA adapters that only activate on mm tokens,
+    so text-only serving of a phi-4-multimodal checkpoint equals the base
+    decoder with the adapters unloaded (HF does the same when no
+    image/audio inputs are given)."""
+
+    architectures = ["Phi4MMForCausalLM", "Phi4MultimodalForCausalLM"]
+
+    def __init__(self, config):
+        super().__init__(config)
+        c = config
+        f = float(c.hf_config.get("partial_rotary_factor") or 1.0)
+        if f < 1.0:
+            rot = int(self.head_dim * f)
+            self.inv_freq = jnp.asarray(
+                compute_inv_freq(rot, c.rope_theta, c.rope_scaling)
+            )

@@ -134,7 +134,13 @@ def _populate():
     from sglang_tpu.models.llama4 import Llama4ForCausalLM
 
     from sglang_tpu.models.aya_vision import AyaVisionForConditionalGeneration
+    from sglang_tpu.models.minicpmv import MiniCPMVForConditionalGeneration
+    from sglang_tpu.models.phi3 import Phi4MultimodalForCausalLM
+    from sglang_tpu.models.qwen2_5_vl import Qwen2_5_VLForConditionalGeneration
 
+    register_model(Qwen2_5_VLForConditionalGeneration)
+    register_model(MiniCPMVForConditionalGeneration)
+    register_model(Phi4MultimodalForCausalLM)
     register_model(Llama4ForCausalLM)
     register_model(InternVLForConditionalGeneration)
     register_model(Idefics3ForConditionalGeneration)

@@ -213,8 +213,12 @@ register_mm_processor(
     "Idefics3ForConditionalGeneration", "SmolVLMForConditionalGeneration"
 )(SimpleImageProcessor)
 register_mm_processor("AyaVisionForConditionalGeneration")(SimpleImageProcessor)
+# MiniCPM-V: pre-sliced square tiles; each contributes query_num tokens
+register_mm_processor("MiniCPMVForConditionalGeneration")(SimpleImageProcessor)
 register_mm_processor("LlavaNextForConditionalGeneration")(AnyResProcessor)
-register_mm_processor("Qwen2VLForConditionalGeneration")(GridVLProcessor)
+register_mm_processor(
+    "Qwen2VLForConditionalGeneration", "Qwen2_5_VLForConditionalGeneration"
+)(GridVLProcessor)
 
 
 @register_mm_processor("Qwen2AudioForConditionalGeneration")

@@ -295,6 +295,116 @@ def test_aya_generate_with_image_matches_hf(aya_setup):
     assert out["output_ids"] == ref
 
 
+Q25_IMG, Q25_VID, Q25_VS = 250, 251, 249
+Q25_GRID = (1, 8, 8)  # 64 patches, window 2x2 merge groups -> 16 tokens
+
+
+@pytest.fixture(scope="module")
+def q25vl_setup(tmp_path_factory):
+    from transformers import (
+        Qwen2_5_VLConfig,
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    cfg = Qwen2_5_VLConfig(
+        vision_config=dict(
+            depth=3, hidden_size=32, intermediate_size=64, num_heads=2,
+            in_channels=3, patch_size=14, spatial_merge_size=2,
+            temporal_patch_size=2, out_hidden_size=64,
+            # window = 2 merge groups per side: 2 * 2 * 14 = 56 px
+            window_size=56, fullatt_block_indexes=[1],
+        ),
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=True,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        image_token_id=Q25_IMG, video_token_id=Q25_VID,
+        vision_start_token_id=Q25_VS,
+    )
+    torch.manual_seed(46)
+    hf = Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    path = tmp_path_factory.mktemp("tiny_qwen25vl")
+    hf.save_pretrained(path)
+    from sglang_tpu import Engine
+
+    eng = Engine(
+        model_path=str(path), dtype="float32", device="cpu", page_size=16,
+        context_length=256, max_total_tokens=2048,
+        prefill_token_buckets=[64, 128], decode_bs_buckets=[4, 8],
+        max_running_requests=8, skip_tokenizer_init=True, random_seed=0,
+        log_level="warning",
+    )
+    yield hf, eng
+    eng.shutdown()
+
+
+def test_qwen25vl_vision_matches_hf(q25vl_setup):
+    hf, eng = q25vl_setup
+    rng = np.random.default_rng(11)
+    npatch = Q25_GRID[0] * Q25_GRID[1] * Q25_GRID[2]
+    pix = rng.standard_normal((npatch, 3 * 2 * 14 * 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.model.visual(
+            torch.tensor(pix), grid_thw=torch.tensor([list(Q25_GRID)])
+        ).numpy()
+    got = np.asarray(eng.runner.encode_images(pix, grid_thw=Q25_GRID))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_qwen25vl_generate_with_image_matches_hf(q25vl_setup):
+    hf, eng = q25vl_setup
+    rng = np.random.default_rng(12)
+    n_img = 16
+    ids = (
+        rng.integers(3, 240, size=3).tolist()
+        + [Q25_VS]
+        + [Q25_IMG] * n_img
+        + rng.integers(3, 240, size=4).tolist()
+    )
+    npatch = Q25_GRID[0] * Q25_GRID[1] * Q25_GRID[2]
+    pix = rng.standard_normal((npatch, 3 * 2 * 14 * 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values=torch.tensor(pix),
+            image_grid_thw=torch.tensor([list(Q25_GRID)]),
+            max_new_tokens=10, do_sample=False, pad_token_id=0,
+        )[0, len(ids):].tolist()
+    out = eng.generate(
+        input_ids=ids,
+        image_data={"pixel_values": pix, "grid_thw": Q25_GRID},
+        sampling_params={
+            "max_new_tokens": 10, "temperature": 0.0, "ignore_eos": True
+        },
+    )
+    assert out["output_ids"] == ref
+
+
+def test_phi4_multimodal_text_parity(tmp_path_factory):
+    """Phi-4-multimodal TEXT path: the base decoder with adapters
+    unloaded must match HF's text-only forward (partial rotary)."""
+    from transformers import Phi4MultimodalConfig, Phi4MultimodalForCausalLM
+
+    vc = dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=32, patch_size=8, crop_size=32,
+    )
+    ac = dict(
+        hidden_size=32, num_blocks=2, num_attention_heads=2,
+        intermediate_size=64,
+    )
+    cfg = Phi4MultimodalConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=260,
+        max_position_embeddings=256, pad_token_id=0, rope_theta=10000.0,
+        partial_rotary_factor=0.75, tie_word_embeddings=False,
+        vision_config=vc, audio_config=ac,
+    )
+    torch.manual_seed(47)
+    hf = Phi4MultimodalForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_phi4mm"), seed=47)
+
+
 def test_llama4_long_position_temperature(tmp_path_factory):
     """NoPE temperature tuning only bites past floor_scale positions —
     use a tiny floor_scale so the parity run crosses it."""
