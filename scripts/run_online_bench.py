@@ -99,10 +99,10 @@ def main():
         )
         result["warmup_s"] = round(time.time() - t0, 1)
         runs = []
-        for rate in ("4", "8", "inf"):
+        for rate, n_prompts in (("1", 48), ("4", 120), ("8", 120), ("inf", 120)):
             p = subprocess.run(
                 [sys.executable, "-m", "sglang_tpu.bench_serving",
-                 "--base-url", base, "--num-prompts", "120",
+                 "--base-url", base, "--num-prompts", str(n_prompts),
                  "--request-rate", rate, "--random-input", "512",
                  "--random-output", "128", "--seed", "0"],
                 capture_output=True, text=True, timeout=1800,
@@ -115,7 +115,43 @@ def main():
             metrics["request_rate"] = rate
             runs.append(metrics)
         result["runs"] = runs
-        result["ok"] = all("error" not in r for r in runs)
+        # GATES (reference pins median TTFT < 86 ms and ITL < 10 ms at
+        # 1 req/s on its CUDA CI GPU —
+        # test_bench_serving_1gpu_part1.py:137-142). This chip sits behind
+        # a ~26 ms-per-readback tunnel and serves 4-step fused chains, so
+        # the pinned floors are this engine's own measured band +
+        # headroom, asserted the same way: the run FAILS (rc!=0) past
+        # them.
+        gates = {
+            "rate1_median_ttft_ms": 150.0,
+            "rate1_median_e2e_ms": 11000.0,
+            "rate1_mean_tpot_ms": 30.0,
+        }
+        result["gates"] = gates
+        failures = []
+        r1 = runs[0]
+        if "error" in r1:
+            failures.append(f"rate-1 run failed: {r1['error'][:200]}")
+        else:
+            if r1.get("median_ttft_ms", 1e9) > gates["rate1_median_ttft_ms"]:
+                failures.append(
+                    f"median TTFT {r1.get('median_ttft_ms')} ms > "
+                    f"{gates['rate1_median_ttft_ms']} @ 1 req/s"
+                )
+            if r1.get("median_e2e_ms", 1e9) > gates["rate1_median_e2e_ms"]:
+                failures.append(
+                    f"median e2e {r1.get('median_e2e_ms')} ms > "
+                    f"{gates['rate1_median_e2e_ms']} @ 1 req/s"
+                )
+            if r1.get("mean_tpot_ms", 1e9) > gates["rate1_mean_tpot_ms"]:
+                failures.append(
+                    f"mean TPOT {r1.get('mean_tpot_ms')} ms > "
+                    f"{gates['rate1_mean_tpot_ms']} @ 1 req/s"
+                )
+        result["gate_failures"] = failures
+        result["ok"] = (
+            all("error" not in r for r in runs) and not failures
+        )
         return finish(result, tag, 0 if result["ok"] else 1)
     finally:
         try:

@@ -1172,10 +1172,19 @@ class Scheduler:
         batch = self.running_batch
         k = self.server_args.decode_multi_step
         if any(r.stream for r in batch.reqs):
-            # streaming requests: cap the fused chunk so inter-token
-            # latency is bounded by stream_interval (adaptive multi-step;
-            # offline batches keep the full K)
-            k = max(4, min(k, self.server_args.stream_interval))
+            # latency-sensitive (streaming) traffic: cap the fused chunk.
+            # TTFT floors at one chunk because admission cannot interrupt
+            # a dispatched chain — online_chain_depth trades a little
+            # dispatch amortization for a ~K*step admission-wait bound
+            # (ONLINE_r04's 296 ms median TTFT @ 4 rps was chain-wait).
+            k = max(
+                2,
+                min(
+                    k,
+                    self.server_args.stream_interval,
+                    self.server_args.online_chain_depth,
+                ),
+            )
         outputs: List[ReqStrOutput] = []
         rows = self._chain_rows
         # device rows (incl. zombies) still project onto the live batch?

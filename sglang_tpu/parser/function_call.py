@@ -384,6 +384,268 @@ class GptOssDetector(BaseDetector):
         return ParseResult(normal.strip(), calls)
 
 
+class Step3Detector(BaseDetector):
+    """Step-3 (reference `step3_detector.py`): unicode-fenced blocks with
+    steptml XML invocations:
+    <｜tool_calls_begin｜><｜tool_call_begin｜>function<｜tool_sep｜>
+    <steptml:invoke name="NAME"><steptml:parameter name="K">V
+    </steptml:parameter></steptml:invoke><｜tool_call_end｜>..."""
+
+    BOT = "<｜tool_calls_begin｜>"
+    EOT = "<｜tool_calls_end｜>"
+    INVOKE = re.compile(
+        r'<steptml:invoke name="([^"]+)">(.+?)</steptml:invoke>', re.DOTALL
+    )
+    PARAM = re.compile(
+        r'<steptml:parameter name="([^"]+)">([^<]*)</steptml:parameter>',
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        if self.BOT not in text:
+            return ParseResult(text, [])
+        normal, rest = text.split(self.BOT, 1)
+        body = rest.split(self.EOT, 1)[0]
+        calls = []
+        for name, inner in self.INVOKE.findall(body):
+            args = {}
+            for k, v in self.PARAM.findall(inner):
+                parsed = _try_json(v.strip())
+                args[k] = parsed if parsed is not None else v.strip()
+            calls.append(ToolCall(name=name, arguments=json.dumps(args)))
+        return ParseResult(normal.strip(), calls)
+
+
+class InternLMDetector(BaseDetector):
+    """InternLM2/Interns1 (reference `internlm_detector.py`):
+    <|action_start|> <|plugin|>{json}<|action_end|>"""
+
+    BOT = "<|action_start|>"
+    PAT = re.compile(
+        r"<\|action_start\|>\s*<\|plugin\|>\s*(.*?)\s*<\|action_end\|>",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for blob in self.PAT.findall(text):
+            obj = _try_json(blob)
+            if isinstance(obj, dict):
+                call = _mk_call(obj)
+                if call:
+                    calls.append(call)
+        normal = self.PAT.sub("", text)
+        normal = normal.split(self.BOT, 1)[0]
+        return ParseResult(normal.strip(), calls)
+
+
+class HunyuanDetector(BaseDetector):
+    """Hunyuan (reference `hunyuan_detector.py`):
+    <tool_calls><tool_call>NAME<tool_sep><arg_key>K</arg_key>
+    <arg_value>V</arg_value></tool_call></tool_calls>"""
+
+    BOT = "<tool_calls>"
+    CALL = re.compile(r"<tool_call>(.*?)</tool_call>", re.DOTALL)
+    ARG = re.compile(
+        r"<arg_key>(.*?)</arg_key>\s*<arg_value>(.*?)</arg_value>",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        if self.BOT not in text:
+            return ParseResult(text, [])
+        normal, rest = text.split(self.BOT, 1)
+        body = rest.split("</tool_calls>", 1)[0]
+        calls = []
+        for blk in self.CALL.findall(body):
+            name = blk.split("<tool_sep>", 1)[0].strip()
+            args = {}
+            for k, v in self.ARG.findall(blk):
+                parsed = _try_json(v.strip())
+                args[k.strip()] = parsed if parsed is not None else v.strip()
+            if name:
+                calls.append(ToolCall(name=name, arguments=json.dumps(args)))
+        return ParseResult(normal.strip(), calls)
+
+
+class MinimaxM2Detector(BaseDetector):
+    """MiniMax-M2 (reference `minimax_m2.py`):
+    <minimax:tool_call><invoke name="NAME"><parameter name="K">V
+    </parameter></invoke></minimax:tool_call>"""
+
+    BOT = "<minimax:tool_call>"
+    BLOCK = re.compile(
+        r"<minimax:tool_call>(.*?)(?:</minimax:tool_call>|$)", re.DOTALL
+    )
+    INVOKE = re.compile(
+        r'<invoke name="([^"]+)"\s*>(.*?)</invoke>', re.DOTALL
+    )
+    PARAM = re.compile(
+        r'<parameter name="([^"]+)"\s*>(.*?)</parameter>', re.DOTALL
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for body in self.BLOCK.findall(text):
+            for name, inner in self.INVOKE.findall(body):
+                args = {}
+                for k, v in self.PARAM.findall(inner):
+                    parsed = _try_json(v.strip())
+                    args[k] = parsed if parsed is not None else v.strip()
+                calls.append(ToolCall(name=name, arguments=json.dumps(args)))
+        normal = self.BLOCK.sub("", text)
+        return ParseResult(normal.replace(self.BOT, "").strip(), calls)
+
+
+class Lfm2Detector(BaseDetector):
+    """LFM2 (reference `lfm2_detector.py`): pythonic calls inside
+    <|tool_call_start|>[f(a=1)]<|tool_call_end|> fences."""
+
+    BOT = "<|tool_call_start|>"
+    EOT = "<|tool_call_end|>"
+    PAT = re.compile(
+        r"<\|tool_call_start\|>(.*?)<\|tool_call_end\|>", re.DOTALL
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for body in self.PAT.findall(text):
+            inner = PythonicDetector().parse(body.strip())
+            calls.extend(inner.calls)
+            if not inner.calls:
+                obj = _try_json(body.strip())
+                if isinstance(obj, dict):
+                    call = _mk_call(obj)
+                    if call:
+                        calls.append(call)
+        normal = self.PAT.sub("", text).replace(self.BOT, "")
+        return ParseResult(normal.strip(), calls)
+
+
+class MimoDetector(BaseDetector):
+    """MiMo (reference `mimo_detector.py`):
+    <tool_call><function=NAME><parameter=K>V</parameter></function>
+    </tool_call> — Qwen3-Coder XML inside hermes-style fences, but ALSO
+    accepts plain JSON bodies."""
+
+    CALL = re.compile(r"<tool_call>(.*?)</tool_call>", re.DOTALL)
+    FUNC = re.compile(r"<function=([^>]+)>(.*?)</function>", re.DOTALL)
+    PARAM = re.compile(r"<parameter=([^>]+)>(.*?)</parameter>", re.DOTALL)
+
+    def has_tool_call(self, text: str) -> bool:
+        return "<tool_call>" in text
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for blk in self.CALL.findall(text):
+            matched = False
+            for name, inner in self.FUNC.findall(blk):
+                args = {}
+                for k, v in self.PARAM.findall(inner):
+                    parsed = _try_json(v.strip())
+                    args[k.strip()] = (
+                        parsed if parsed is not None else v.strip()
+                    )
+                calls.append(
+                    ToolCall(name=name.strip(), arguments=json.dumps(args))
+                )
+                matched = True
+            if not matched:
+                obj = _try_json(blk.strip())
+                if isinstance(obj, dict):
+                    call = _mk_call(obj)
+                    if call:
+                        calls.append(call)
+        normal = self.CALL.sub("", text).strip()
+        return ParseResult(normal, calls)
+
+
+class GemmaDetector(BaseDetector):
+    """Gemma-3/4 tool format (reference `gemma4_detector.py`):
+    <|tool_call>{json}<tool_call|> (asymmetric fence tokens)."""
+
+    BOT = "<|tool_call>"
+    EOT = "<tool_call|>"
+    PAT = re.compile(
+        r"<\|tool_call>\s*(.*?)\s*(?:<tool_call\|>|$)", re.DOTALL
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.BOT in text
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for blob in self.PAT.findall(text):
+            obj = _try_json(blob)
+            if obj is None:
+                inner = PythonicDetector().parse(f"[{blob}]")
+                calls.extend(inner.calls)
+                continue
+            if isinstance(obj, dict):
+                obj = [obj]
+            if isinstance(obj, list):
+                for o in obj:
+                    if isinstance(o, dict):
+                        call = _mk_call(o)
+                        if call:
+                            calls.append(call)
+        normal = self.PAT.sub("", text).strip()
+        return ParseResult(normal, calls)
+
+
+class JsonArrayDetector(BaseDetector):
+    """Bare JSON-array tool calls (reference `json_array_parser.py`):
+    [{"name": ..., "arguments"|"parameters": ...}, ...] — used by
+    constrained-decoding tool choice."""
+
+    def has_tool_call(self, text: str) -> bool:
+        t = text.strip()
+        return t.startswith("[") and '"name"' in t
+
+    def parse(self, text: str) -> ParseResult:
+        t = text.strip()
+        start = t.find("[")
+        if start < 0:
+            return ParseResult(text, [])
+        arr = _try_json(t[start:])
+        if arr is None:
+            # trailing text after the array: find balanced bounds
+            depth = 0
+            for i, ch in enumerate(t[start:], start):
+                if ch == "[":
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        arr = _try_json(t[start : i + 1])
+                        break
+        calls = []
+        if isinstance(arr, list):
+            for obj in arr:
+                if isinstance(obj, dict):
+                    call = _mk_call(obj)
+                    if call:
+                        calls.append(call)
+        if not calls:
+            return ParseResult(text, [])
+        return ParseResult(t[:start].strip(), calls)
+
+
 DETECTORS = {
     "hermes": HermesDetector,
     "qwen25": HermesDetector,
@@ -401,6 +663,18 @@ DETECTORS = {
     "qwen3_coder": Qwen3CoderDetector,
     "gpt-oss": GptOssDetector,
     "gpt_oss": GptOssDetector,
+    "step3": Step3Detector,
+    "internlm": InternLMDetector,
+    "interns1": InternLMDetector,
+    "hunyuan": HunyuanDetector,
+    "minimax-m2": MinimaxM2Detector,
+    "minimax_m2": MinimaxM2Detector,
+    "lfm2": Lfm2Detector,
+    "mimo": MimoDetector,
+    "gemma": GemmaDetector,
+    "gemma4": GemmaDetector,
+    "json_array": JsonArrayDetector,
+    "llama32": Llama3Detector,
 }
 
 

@@ -91,6 +91,12 @@ class ServerArgs:
     prefill_accumulate_tokens: int = 0
     max_running_requests: Optional[int] = None
     stream_interval: int = 8
+    # fused-chain depth while latency-sensitive (streaming) requests run:
+    # a new arrival cannot be admitted mid-chunk, so TTFT floors at one
+    # chunk (~K * step_time). 4 keeps dispatch amortized while capping
+    # the admission wait at ~80 ms (measured TTFT lever, round 5 — the
+    # 296 ms median @ 4 rps in ONLINE_r04 was chain-wait dominated).
+    online_chain_depth: int = 4
     disable_radix_cache: bool = False
     enable_overlap_schedule: bool = True
     retract_decode_steps: int = 20
