@@ -66,7 +66,9 @@ def main():
         "--page-size", "64",
         "--max-prefill-tokens", "4096",
         "--chunked-prefill-size", "4096",
-        "--prefill-token-buckets", "1024", "2048", "3072", "4096",
+        # finer low-end buckets: a 512-token online prompt pads 2x into a
+        # 1024 bucket otherwise (~30 ms of TTFT)
+        "--prefill-token-buckets", "512", "768", "1024", "2048", "4096",
         "--decode-bs-buckets", "32", "64", "128", "192",
         "--max-running-requests", "256",
         "--decode-multi-step", "16",
@@ -95,6 +97,15 @@ def main():
              "--base-url", base, "--num-prompts", "32",
              "--request-rate", "inf", "--random-input", "256",
              "--random-output", "32"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        # a paced warm pass compiles the online_chain_depth chain variants
+        # at the small decode buckets (the inf burst never uses them)
+        subprocess.run(
+            [sys.executable, "-m", "sglang_tpu.bench_serving",
+             "--base-url", base, "--num-prompts", "24",
+             "--request-rate", "4", "--random-input", "512",
+             "--random-output", "48"],
             capture_output=True, text=True, timeout=1800,
         )
         result["warmup_s"] = round(time.time() - t0, 1)

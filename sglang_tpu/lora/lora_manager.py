@@ -59,14 +59,40 @@ def lora_apply(
     return out.astype(x.dtype)
 
 
+def lora_rows_apply(
+    rows: jax.Array,  # [T, r] per-token A-side rows (already gathered)
+    b: jax.Array,  # [L+1, r, out]
+    lora_ids: jax.Array,  # [T] i32
+) -> jax.Array:
+    """Per-token rows x their slot's B (embedding LoRA: the A gather is
+    just indexing the embedding-side A by token id)."""
+    t = rows.shape[0]
+    nl = b.shape[0]
+    order = jnp.argsort(lora_ids)
+    group_sizes = jnp.bincount(lora_ids, length=nl)
+    y = jax.lax.ragged_dot(
+        rows[order], b, group_sizes, preferred_element_type=jnp.float32
+    )
+    out = jnp.zeros((t, b.shape[2]), dtype=jnp.float32)
+    out = out.at[order].set(y)
+    return out.astype(rows.dtype)
+
+
 class LoRAAdapter:
-    def __init__(self, name: str, path: str, rank: int, scaling: float, weights):
+    def __init__(
+        self, name: str, path: str, rank: int, scaling: float, weights,
+        extras: Optional[dict] = None,
+    ):
         self.name = name
         self.path = path
         self.rank = rank
         self.scaling = scaling
         # weights[layer][target] = (A [in, r], B [r, out]) numpy, scaling folded
         self.weights = weights
+        # model-level targets (reference `srt/lora/` vocab-parallel
+        # embedding + lm_head adapters): {"embed": (A [vocab, r],
+        # B [r, hidden]), "lm_head": (A [hidden, r], B [r, vocab])}
+        self.extras = extras or {}
 
 
 def load_adapter(name: str, path: str) -> LoRAAdapter:
@@ -116,7 +142,29 @@ def load_adapter(name: str, path: str) -> LoRAAdapter:
                     np.asarray(bmat, np.float32).T,  # [r, out]
                 )
         weights.append(per_layer)
-    return LoRAAdapter(name, path, rank, scaling, weights)
+    # model-level targets (PEFT embed/lm_head adapters)
+    extras = {}
+    for pre in ("base_model.model.model", "model", "base_model.model"):
+        ea = tensors.get(f"{pre}.embed_tokens.lora_embedding_A")
+        eb = tensors.get(f"{pre}.embed_tokens.lora_embedding_B")
+        if ea is not None and eb is not None:
+            # PEFT embedding layout: A [r, vocab], B [hidden, r];
+            # delta_embed = (B @ A).T -> A.T [vocab, r] @ B.T [r, hidden]
+            extras["embed"] = (
+                np.asarray(ea, np.float32).T,
+                np.asarray(eb, np.float32).T * scaling,
+            )
+            break
+    for pre in ("base_model.model", "base_model.model.model", ""):
+        la = tensors.get(f"{pre}.lm_head.lora_A.weight".lstrip("."))
+        lb = tensors.get(f"{pre}.lm_head.lora_B.weight".lstrip("."))
+        if la is not None and lb is not None:
+            extras["lm_head"] = (
+                np.asarray(la, np.float32).T,  # [hidden, r]
+                np.asarray(lb, np.float32).T * scaling,  # [r, vocab]
+            )
+            break
+    return LoRAAdapter(name, path, rank, scaling, weights, extras)
 
 
 def fuse_target(adapter: LoRAAdapter, layer: int, target: str, part_dims):
@@ -177,6 +225,7 @@ class LoRAManager:
         # arrays and rides the scan's xs
         self.uniform_layout = uniform_layout
         self.pool = None  # params["lora"]: [layer][target] = {"a": .., "b": ..}
+        self.pool_extras = None  # params["lora_extra"]: embed/lm_head stacks
 
     @property
     def zero_slot(self) -> int:
@@ -263,6 +312,7 @@ class LoRAManager:
         live = [a for a in self._loaded if a is not None]
         if not live:
             self.pool = None
+            self.pool_extras = None
             return
         n_layers = max(len(a.weights) for a in live)
         uniform = self.uniform_layout
@@ -316,3 +366,29 @@ class LoRAManager:
             # stacked [L, ...] pool for the scanned forward
             pool = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *pool)
         self.pool = pool
+        # model-level targets: stacked [L+1, ...] like the layer targets
+        extras = {}
+        dt = self.model.config.dtype
+        for kind, (in_dim, out_dim) in (
+            ("embed", (self.model.config.vocab_size, self.model.hidden_size)),
+            ("lm_head", (self.model.hidden_size, self.model.config.vocab_size)),
+        ):
+            have = {
+                slot: a.extras[kind]
+                for slot, a in enumerate(self._loaded)
+                if a is not None and kind in a.extras
+            }
+            if not have:
+                continue
+            max_r = max(ab[0].shape[1] for ab in have.values())
+            a_stack = np.zeros((self.max_loras + 1, in_dim, max_r), np.float32)
+            b_stack = np.zeros((self.max_loras + 1, max_r, out_dim), np.float32)
+            for slot, (a_w, b_w) in have.items():
+                r = a_w.shape[1]
+                a_stack[slot, :, :r] = a_w
+                b_stack[slot, :r, :] = b_w
+            extras[kind] = {
+                "a": jnp.asarray(a_stack, dt),
+                "b": jnp.asarray(b_stack, dt),
+            }
+        self.pool_extras = extras or None

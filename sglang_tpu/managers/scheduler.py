@@ -247,7 +247,10 @@ class Scheduler:
         from sglang_tpu.observability.metrics import RequestMetrics, SpanLog
 
         self.metrics = RequestMetrics()
-        self.span_log = SpanLog(server_args.request_span_log)
+        self.span_log = SpanLog(
+            server_args.request_span_log,
+            otlp_endpoint=server_args.otlp_traces_endpoint,
+        )
         self._step_i = 0
 
         # overlap schedule state (reference `event_loop_overlap` +
@@ -1171,7 +1174,8 @@ class Scheduler:
         fresh dispatch costs several RTTs; a chained one costs ~1 ms)."""
         batch = self.running_batch
         k = self.server_args.decode_multi_step
-        if any(r.stream for r in batch.reqs):
+        latency_mode = any(r.stream for r in batch.reqs)
+        if latency_mode:
             # latency-sensitive (streaming) traffic: cap the fused chunk.
             # TTFT floors at one chunk because admission cannot interrupt
             # a dispatched chain — online_chain_depth trades a little
@@ -1185,6 +1189,13 @@ class Scheduler:
                     self.server_args.online_chain_depth,
                 ),
             )
+        # overlap pre-dispatches chunk N+1 before resolving N, which is
+        # the throughput mode — but an arrival during the resolve then
+        # waits through ALL of N+1 (~1.5 chunks measured: 168 ms median
+        # arrival->prefill vs an 83 ms no-wait floor). Latency mode
+        # resolves synchronously so the pump admits new requests after
+        # every chunk.
+        overlap_ok = self.enable_overlap and not latency_mode
         outputs: List[ReqStrOutput] = []
         rows = self._chain_rows
         # device rows (incl. zombies) still project onto the live batch?
@@ -1213,7 +1224,7 @@ class Scheduler:
             prev = self._inflight
             inflight = (rows, all_ids, all_lp, last_ids)
             with self.stats.timed("decode_resolve"):
-                if self.enable_overlap:
+                if overlap_ok:
                     self._inflight = inflight
                     if prev is not None:
                         outputs += self._process_decode_result(prev)
@@ -1299,7 +1310,7 @@ class Scheduler:
         self._chain_rows = list(batch.reqs)
         inflight = (self._chain_rows, all_ids, all_lp, last_ids)
         with self.stats.timed("decode_resolve"):
-            if self.enable_overlap:
+            if overlap_ok:
                 self._inflight = inflight
                 if prev is not None:
                     outputs += self._process_decode_result(prev)
@@ -1702,12 +1713,16 @@ class Scheduler:
         self.metrics.e2e.observe(ts - r.arrival_time)
         if r.queue_time is not None:
             self.metrics.queue.observe(max(0.0, r.queue_time - r.arrival_time))
-        if self.span_log.path is not None:
-            events = {"arrival": r.arrival_time, "finish": ts}
+        if self.span_log.path is not None or self.span_log.otlp is not None:
+            # arrival/scheduled/prefill_done are monotonic-clock stamps
+            # (scheduling math needs monotonicity); shift them onto the
+            # wall clock so every span event shares one time base
+            off = ts - time.monotonic()
+            events = {"arrival": r.arrival_time + off, "finish": ts}
             if r.queue_time is not None:
-                events["scheduled"] = r.queue_time
+                events["scheduled"] = r.queue_time + off
             if r.prefill_finished_time is not None:
-                events["prefill_done"] = r.prefill_finished_time
+                events["prefill_done"] = r.prefill_finished_time + off
             if r.first_token_time is not None:
                 events["first_token"] = r.first_token_time
             self.span_log.emit(

@@ -664,7 +664,10 @@ class ModelRunner:
         """Params pytree, with the live LoRA pool attached when adapters
         are loaded (a different treedef -> its own jit variant)."""
         if self.lora_manager is not None and self.lora_manager.pool is not None:
-            return {**self.params, "lora": self.lora_manager.pool}
+            p = {**self.params, "lora": self.lora_manager.pool}
+            if self.lora_manager.pool_extras is not None:
+                p["lora_extra"] = self.lora_manager.pool_extras
+            return p
         return self.params
 
     def _get_step_fn(self):
@@ -696,7 +699,12 @@ class ModelRunner:
                         sinfo.fresh_mask,
                     )
                 sel = hidden[logits_indices]
-                logits = self.model.compute_logits(params, sel)
+                if fb.lora_ids is not None and "lora_extra" in params:
+                    logits = self.model.compute_logits(
+                        params, sel, lora_ids=fb.lora_ids[logits_indices]
+                    )
+                else:
+                    logits = self.model.compute_logits(params, sel)
                 next_ids, tok_lp = sample(
                     logits, sinfo, rng, counts,
                     custom_procs=self._custom_procs_t,

@@ -339,6 +339,19 @@ class LlamaForCausalLM:
         by fb.mm_rows take the precomputed image embeddings (reference
         `general_mm_embed_routine` embedding merge)."""
         h = params["embed"][fb.input_ids]  # [T, H]
+        extra = params.get("lora_extra")
+        if (
+            fb.lora_ids is not None
+            and extra is not None
+            and "embed" in extra
+        ):
+            # embedding LoRA (reference vocab-parallel embedding adapter):
+            # delta[t] = A[token_t] @ B, per-request adapter slot
+            from sglang_tpu.lora.lora_manager import lora_rows_apply
+
+            ee = extra["embed"]
+            rows = ee["a"][fb.lora_ids, fb.input_ids]  # [T, r]
+            h = h + lora_rows_apply(rows, ee["b"], fb.lora_ids)
         if fb.mm_embeds is not None:
             valid = fb.mm_rows >= 0
             rows = jnp.clip(fb.mm_rows, 0, h.shape[0] - 1)
@@ -395,10 +408,14 @@ class LlamaForCausalLM:
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
         return h, jnp.concatenate(aux, axis=-1), new_kv
 
-    def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
+    def compute_logits(
+        self, params: dict, hidden: jax.Array, lora_ids=None
+    ) -> jax.Array:
         """hidden [N, H] -> logits [N, vocab] in fp32 (reference
         `layers/logits_processor.py:241` — last-token pruning happens in the
-        runner by selecting `hidden` rows before calling this)."""
+        runner by selecting `hidden` rows before calling this). `lora_ids`
+        [N] applies per-row lm_head LoRA deltas (reference lm_head
+        adapter target)."""
         if self.config.tie_word_embeddings or "lm_head" not in params:
             # second clause: wrapper configs (LLaVA-NeXT) sometimes say
             # untied while the checkpoint ships no lm_head tensor — tied
@@ -406,7 +423,16 @@ class LlamaForCausalLM:
             w = params["embed"].T
         else:
             w = params["lm_head"]
-        return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        extra = params.get("lora_extra")
+        if lora_ids is not None and extra is not None and "lm_head" in extra:
+            from sglang_tpu.lora.lora_manager import lora_apply
+
+            le = extra["lm_head"]
+            logits = logits + lora_apply(
+                hidden, le["a"], le["b"], lora_ids
+            ).astype(jnp.float32)
+        return logits
 
 
 class Qwen2ForCausalLM(LlamaForCausalLM):

@@ -103,13 +103,20 @@ class SpanLog:
     """Per-request span records appended as JSONL (OTLP-shaped: a root
     span with timed events; file-backed so no collector is required)."""
 
-    def __init__(self, path: Optional[str]):
+    def __init__(
+        self, path: Optional[str], otlp_endpoint: Optional[str] = None
+    ):
         self.path = path
         self._lock = threading.Lock()
         self._fh = open(path, "a") if path else None
+        self.otlp = None
+        if otlp_endpoint:
+            from sglang_tpu.observability.otlp import OTLPSpanExporter
+
+            self.otlp = OTLPSpanExporter(otlp_endpoint)
 
     def emit(self, rid: str, events: dict, attrs: dict) -> None:
-        if self._fh is None:
+        if self._fh is None and self.otlp is None:
             return
         rec = {
             "name": "generate",
@@ -122,14 +129,20 @@ class SpanLog:
             ],
             "attributes": attrs,
         }
-        with self._lock:
-            self._fh.write(json.dumps(rec) + "\n")
-            self._fh.flush()
+        if self._fh is not None:
+            with self._lock:
+                self._fh.write(json.dumps(rec) + "\n")
+                self._fh.flush()
+        if self.otlp is not None:
+            self.otlp.export(rec)
 
     def close(self):
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+        if self.otlp is not None:
+            self.otlp.close()
+            self.otlp = None
 
 
 def now() -> float:

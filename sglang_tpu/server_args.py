@@ -161,6 +161,10 @@ class ServerArgs:
     # JSONL file receiving one OTLP-shaped span record per finished request
     # (reference observability/trace.py OTLP export; file-backed here)
     request_span_log: Optional[str] = None
+    # real OTLP/HTTP export of the same spans (reference
+    # `process_tracing_init`): POST {endpoint}/v1/traces from a batching
+    # background thread; off by default, no external deps
+    otlp_traces_endpoint: Optional[str] = None
     # directory receiving crash-state JSON dumps on engine-fatal errors
     # (reference srt/state_capturer/)
     crash_dump_dir: Optional[str] = None

@@ -185,3 +185,130 @@ def test_lru_eviction_and_pinning(lora_setup, tmp_path_factory):
     # unpinned again: load succeeds
     lm.load("overflow", dirs[0])
     assert "overflow" in lm.adapters
+
+
+def _make_extras_adapter_dir(tmp_path, hf_model, seed=7):
+    """PEFT adapter targeting embed_tokens + lm_head (+ q_proj), returns
+    (dir, merged clone). Reference `srt/lora/` vocab-parallel embedding
+    and lm_head adapter targets."""
+    from safetensors.numpy import save_file
+    import copy
+
+    rng = np.random.default_rng(seed)
+    merged = copy.deepcopy(hf_model)
+    scaling = ALPHA / RANK
+    tensors = {}
+    with torch.no_grad():
+        emb = merged.model.embed_tokens.weight  # [vocab, H]
+        vocab, hidden = emb.shape
+        ea = (rng.standard_normal((RANK, vocab)) * 0.05).astype(np.float32)
+        eb = (rng.standard_normal((hidden, RANK)) * 0.05).astype(np.float32)
+        tensors["base_model.model.model.embed_tokens.lora_embedding_A"] = ea
+        tensors["base_model.model.model.embed_tokens.lora_embedding_B"] = eb
+        emb += torch.tensor(scaling * (eb @ ea).T)
+        lm = merged.lm_head.weight  # [vocab, H]
+        la = (rng.standard_normal((RANK, hidden)) * 0.05).astype(np.float32)
+        lb = (rng.standard_normal((vocab, RANK)) * 0.05).astype(np.float32)
+        tensors["base_model.model.lm_head.lora_A.weight"] = la
+        tensors["base_model.model.lm_head.lora_B.weight"] = lb
+        lm += torch.tensor(scaling * (lb @ la))
+        # one layer target too, so fused + extra targets compose
+        q = merged.model.layers[0].self_attn.q_proj
+        out_f, in_f = q.weight.shape
+        qa = (rng.standard_normal((RANK, in_f)) * 0.05).astype(np.float32)
+        qb = (rng.standard_normal((out_f, RANK)) * 0.05).astype(np.float32)
+        tensors["base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"] = qa
+        tensors["base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight"] = qb
+        q.weight += torch.tensor(scaling * (qb @ qa))
+    adir = tmp_path / "adapter_extras"
+    os.makedirs(adir, exist_ok=True)
+    save_file(tensors, str(adir / "adapter_model.safetensors"))
+    with open(adir / "adapter_config.json", "w") as f:
+        json.dump({"r": RANK, "lora_alpha": ALPHA, "peft_type": "LORA"}, f)
+    return str(adir), merged
+
+
+@pytest.fixture(scope="module")
+def lora_extras_setup(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    base = tmp_path_factory.mktemp("lora_base_untied")
+    cfg = LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(9)
+    hf = LlamaForCausalLM(cfg).eval()
+    hf.save_pretrained(base)
+    adir, merged = _make_extras_adapter_dir(
+        tmp_path_factory.mktemp("adx"), hf
+    )
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.server_args import ServerArgs
+
+    eng = Engine(
+        ServerArgs(
+            model_path=str(base), dtype="float32", device="cpu", page_size=16,
+            context_length=256, max_total_tokens=2048,
+            prefill_token_buckets=[64, 128], decode_bs_buckets=[4, 8],
+            max_running_requests=8, skip_tokenizer_init=True, random_seed=0,
+            log_level="warning", lora_paths=[f"adx={adir}"],
+        )
+    )
+    return eng, hf, merged, str(base), adir
+
+
+def test_lora_embed_lm_head_matches_merged_hf(lora_extras_setup):
+    eng, hf, merged, _, _ = lora_extras_setup
+    prompt = [int(x) for x in np.random.default_rng(8).integers(3, 250, size=9)]
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True},
+        lora_path="adx",
+    )
+    with torch.no_grad():
+        ref = merged.generate(
+            torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+        )[0].tolist()
+    assert out["output_ids"] == ref[len(prompt):]
+
+
+def test_lora_embed_lm_head_base_unchanged(lora_extras_setup):
+    eng, hf, _, _, _ = lora_extras_setup
+    prompt = [int(x) for x in np.random.default_rng(9).integers(3, 250, size=9)]
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True},
+    )
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=8, do_sample=False
+        )[0].tolist()
+    assert out["output_ids"] == ref[len(prompt):]
+
+
+def test_lora_composes_with_int8_base(lora_extras_setup):
+    """Quantized-base compose (VERDICT r4 item 9): the adapter applies on
+    an int8 weight-only base — mechanically composes (no dtype/shape
+    breakage) and actually changes the greedy output."""
+    _, _, _, base, adir = lora_extras_setup
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.server_args import ServerArgs
+
+    eng = Engine(
+        ServerArgs(
+            model_path=base, dtype="float32", device="cpu", page_size=16,
+            context_length=256, max_total_tokens=2048,
+            prefill_token_buckets=[64, 128], decode_bs_buckets=[4, 8],
+            max_running_requests=8, skip_tokenizer_init=True, random_seed=0,
+            log_level="warning", quantization="int8",
+            lora_paths=[f"adx={adir}"],
+        )
+    )
+    prompt = [int(x) for x in np.random.default_rng(10).integers(3, 250, size=9)]
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+    with_lora = eng.generate(input_ids=prompt, sampling_params=sp, lora_path="adx")
+    base_out = eng.generate(input_ids=prompt, sampling_params=sp)
+    assert len(with_lora["output_ids"]) == 8
+    assert with_lora["output_ids"] != base_out["output_ids"]

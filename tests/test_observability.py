@@ -116,3 +116,63 @@ def test_crash_dump_captures_state(tmp_path):
     assert any("traceback" in k or k == "traceback" for k in dump["exception"])
     # disabled dir -> no dump, no masking
     assert write_crash_dump(sched, RuntimeError("x"), None) is None
+
+
+def test_otlp_exporter_ships_spans(tmp_path):
+    """Real OTLP/HTTP export: spans arrive at a local collector as an
+    ExportTraceServiceRequest JSON payload (reference
+    `observability/trace.py process_tracing_init` role)."""
+    import http.server
+    import threading
+
+    received = []
+
+    class Collector(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            received.append((self.path, json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), Collector)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        from sglang_tpu.managers.io_struct import TokenizedGenerateReqInput
+        from sglang_tpu.managers.scheduler import Scheduler
+        from sglang_tpu.sampling.sampling_params import SamplingParams
+        from tests.test_utils import tiny_runner, tiny_server_args
+
+        sa = tiny_server_args(
+            otlp_traces_endpoint=f"http://127.0.0.1:{port}"
+        )
+        sched = Scheduler(sa, tiny_runner(sa))
+        sched.add_request(
+            TokenizedGenerateReqInput(
+                rid="otlp0", input_ids=[3, 4, 5, 6],
+                sampling_params=SamplingParams(
+                    max_new_tokens=4, ignore_eos=True
+                ),
+            )
+        )
+        while sched.has_work():
+            sched.step()
+        sched.span_log.close()  # flush + join the exporter thread
+        assert received, "collector never received an OTLP export"
+        path, payload = received[0]
+        assert path == "/v1/traces"
+        spans = payload["resourceSpans"][0]["scopeSpans"][0]["spans"]
+        assert spans and spans[0]["name"] == "generate"
+        assert len(spans[0]["traceId"]) == 32
+        names = {e["name"] for e in spans[0]["events"]}
+        assert "arrival" in names and "finish" in names
+        res_attrs = payload["resourceSpans"][0]["resource"]["attributes"]
+        assert any(a["key"] == "service.name" for a in res_attrs)
+    finally:
+        httpd.shutdown()
