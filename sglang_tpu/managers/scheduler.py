@@ -175,6 +175,7 @@ class Scheduler:
                 disk_capacity_bytes=int(
                     server_args.hicache_storage_size * (1 << 30)
                 ),
+                async_io=server_args.hicache_async,
             )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix_cache)
         # Adaptive decode-headroom (reference scheduler new_token_ratio):
@@ -386,6 +387,11 @@ class Scheduler:
     def step(self) -> List[ReqStrOutput]:
         """Run one scheduling iteration. Returns incremental outputs."""
         self._step_i += 1
+        if self.hicache is not None:
+            # drain async tier-IO completions: finished spills commit to
+            # the host store, finished loads publish to the device tree
+            # (visible to this step's admission)
+            self.stats.num_hicache_tokens += self.hicache.poll()
         pre_outputs: List[ReqStrOutput] = []
         if self.server_args.waiting_queue_timeout > 0 and self.waiting_queue:
             pre_outputs += self._abort_stale_waiting()
@@ -525,8 +531,9 @@ class Scheduler:
             return None
 
         if self.hicache is not None:
-            # pull host-tier prefix hits into the device tree first so the
-            # adder sees them as ordinary radix hits
+            # pull host-tier prefix hits into the device tree (sync mode)
+            # or submit worker loads (async mode; completions drain at the
+            # top of step())
             headroom = self.page_size * (running + 1)
             for r in self.waiting_queue[:8]:
                 loaded = self.hicache.prefetch(r.cache_ids, headroom)
@@ -590,6 +597,15 @@ class Scheduler:
             for req in list(self.waiting_queue):
                 if n_new >= headroom or len(adder.can_run_list) >= self.max_extend_reqs:
                     break
+                if (
+                    self.hicache is not None
+                    and self.hicache.pending_load_for(req.cache_ids)
+                ):
+                    # a host-tier load for this prefix is in flight: hold
+                    # the request one round so admission realizes the hit
+                    # instead of recomputing it (the worker always posts a
+                    # completion, so the hold is bounded)
+                    continue
                 res = adder.add_one_req(req)
                 if res == AddReqResult.NO_TOKEN:
                     break

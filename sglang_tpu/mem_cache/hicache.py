@@ -32,6 +32,8 @@ was evicted becomes unreachable and ages out the same way.
 
 from __future__ import annotations
 
+import queue
+import threading
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
@@ -78,6 +80,10 @@ class HostKVCache:
             if storage is not None and disk_capacity_bytes
             else (1 << 30 if storage is not None else 0)
         )
+        # coarse guard: the async controller's worker thread calls
+        # load() (incl. disk promotes) while the scheduler thread calls
+        # match()/insert()
+        self.lock = threading.RLock()
         self.pages_written = 0
         self.pages_loaded = 0
         self.pages_evicted = 0
@@ -106,7 +112,7 @@ class HostKVCache:
 
     # -------------------------------------------------------------- reads
 
-    def match(self, ids: List[int]) -> int:
+    def _match_impl(self, ids: List[int]) -> int:
         """Number of contiguous leading pages of `ids` present in the host
         store or its disk tier (page-aligned; partial trailing page
         ignored)."""
@@ -119,7 +125,7 @@ class HostKVCache:
             hit += 1
         return hit
 
-    def load(self, ids: List[int], start_page: int, n: int) -> Optional[np.ndarray]:
+    def _load_impl(self, ids: List[int], start_page: int, n: int) -> Optional[np.ndarray]:
         """Stacked [n, ...page] host data for pages [start_page,
         start_page+n) of `ids`, or None if any is missing."""
         chain = self._chain_ids(ids, start_page + n, create=False)
@@ -140,7 +146,7 @@ class HostKVCache:
 
     # ------------------------------------------------------------- writes
 
-    def insert(self, ids: List[int], start_page: int, data: np.ndarray) -> int:
+    def _insert_impl(self, ids: List[int], start_page: int, data: np.ndarray) -> int:
         """Store pages [start_page, start_page + len(data)) of `ids`.
         Returns the number of pages newly stored."""
         n = len(data)
@@ -192,6 +198,18 @@ class HostKVCache:
             self._spill(cid_e, page_e)
         return page
 
+    def match(self, ids: List[int]) -> int:
+        with self.lock:
+            return self._match_impl(ids)
+
+    def load(self, ids: List[int], start_page: int, n: int) -> Optional[np.ndarray]:
+        with self.lock:
+            return self._load_impl(ids, start_page, n)
+
+    def insert(self, ids: List[int], start_page: int, data: np.ndarray) -> int:
+        with self.lock:
+            return self._insert_impl(ids, start_page, data)
+
     @property
     def num_pages(self) -> int:
         return len(self._store)
@@ -210,6 +228,7 @@ class HiCacheController:
         capacity_bytes: int,
         disk_dir: str = None,
         disk_capacity_bytes: int = 0,
+        async_io: bool = True,
     ):
         self.runner = runner
         self.radix_cache = radix_cache
@@ -223,20 +242,166 @@ class HiCacheController:
             disk_dir=disk_dir,
             disk_capacity_bytes=disk_capacity_bytes,
         )
+        # async IO (reference `cache_controller.py` worker threads +
+        # LayerDoneCounter role): spill readbacks and host/disk loads run
+        # on a worker thread; the scheduler only dispatches device ops and
+        # drains a completion queue at step boundaries, so decode keeps
+        # stepping while transfers are in flight.
+        self.async_io = async_io
+        self.inflight_spills = 0
+        self._pending_loads: Dict[tuple, float] = {}
+        if async_io:
+            self._jobs: "queue.Queue" = queue.Queue()
+            self._done: "queue.Queue" = queue.Queue()
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="hicache-io", daemon=True
+            )
+            self._worker.start()
         logger.info(
-            "hicache: host tier %.2f GiB = %d pages",
+            "hicache: host tier %.2f GiB = %d pages (async_io=%s)",
             capacity_bytes / (1 << 30),
             self.host.capacity_pages,
+            async_io,
         )
+
+    # ------------------------------------------------------------- worker
+
+    def _worker_loop(self):
+        while True:
+            job = self._jobs.get()
+            if job is None:
+                return
+            try:
+                if job[0] == "spill":
+                    _, ids, hit, handle = job
+                    data = self.runner.fetch_gathered_kv(handle)
+                    self._done.put(("spill", ids, hit, data))
+                else:
+                    _, key, ids, dev_pages, host_pages = job
+                    data = self.host.load(ids, dev_pages, host_pages)
+                    self._done.put(
+                        ("load", key, ids, dev_pages, host_pages, data)
+                    )
+            except Exception:
+                logger.exception("hicache worker job failed")
+                if job[0] == "load":
+                    self._done.put(("load", job[1], job[2], 0, 0, None))
+                else:
+                    self._done.put(("spill", None, 0, None))
+
+    def close(self):
+        if self.async_io:
+            self._jobs.put(None)
+            self._worker.join(timeout=5)
+
+    def poll(self) -> int:
+        """Drain worker completions on the scheduler thread (called at
+        step boundaries). Returns tokens newly published to the device
+        tree by finished loads."""
+        if not self.async_io:
+            return 0
+        tokens = 0
+        while True:
+            try:
+                item = self._done.get_nowait()
+            except queue.Empty:
+                return tokens
+            tokens += self._process_done(item)
+
+    def _process_done(self, item) -> int:
+        if item[0] == "spill":
+            _, ids, hit, data = item
+            self.inflight_spills -= 1
+            if ids is not None and data is not None:
+                self.host.insert(ids, hit, data)
+            return 0
+        _, key, ids, dev_pages, host_pages, data = item
+        self._pending_loads.pop(key, None)
+        if data is None:
+            return 0
+        return self._publish_load(ids, dev_pages, host_pages, data)
+
+    def wait_idle(self, timeout: float = 10.0) -> int:
+        """Block until every in-flight spill/load has been processed
+        (tests + graceful shutdown). Returns tokens published."""
+        if not self.async_io:
+            return 0
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        tokens = self.poll()
+        while (
+            (self.inflight_spills > 0 or self._pending_loads)
+            and _time.monotonic() < deadline
+        ):
+            try:
+                item = self._done.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            tokens += self._process_done(item)
+        return tokens
+
+    def _publish_load(self, ids, dev_pages, host_pages, data) -> int:
+        """Scatter loaded host pages into fresh device pages and insert
+        them into the device tree (scheduler thread: owns the allocator
+        and all jax dispatch). The tree may have changed since the load
+        was submitted — re-match and keep only the contiguous extension."""
+        ps = self.page_size
+        m = self.radix_cache.match_prefix(ids[: (dev_pages + host_pages) * ps])
+        dev_now = m.length // ps
+        if dev_now < dev_pages or dev_now >= dev_pages + host_pages:
+            return 0  # tree shrank below the load base, or grew past it
+        off = dev_now - dev_pages
+        use = data[off:]
+        n = len(use)
+        if self.allocator.available_tokens() < n * ps:
+            return 0
+        new_pages = self.allocator.alloc(
+            n,
+            rank=(
+                self.allocator.page_rank(m.pages[0])
+                if dev_now
+                else self.allocator.least_loaded_rank()
+            ),
+        )
+        if new_pages is None:
+            return 0
+        self.runner.scatter_kv_pages(new_pages, use)
+        total = (dev_now + n) * ps
+        self.radix_cache.insert(
+            ids[:total], list(m.pages[:dev_now]) + new_pages
+        )
+        self.allocator.free(new_pages)
+        return n * ps
+
+    def pending_load_for(self, ids: List[int]) -> bool:
+        """True while a host->device load for this prefix is in flight
+        (admission can briefly hold the request to realize the hit)."""
+        if not self._pending_loads:
+            return False
+        ps = self.page_size
+        aligned = ((len(ids) - 1) // ps) * ps
+        return self._load_key(ids, aligned) in self._pending_loads
+
+    @staticmethod
+    def _load_key(ids: List[int], aligned: int) -> tuple:
+        return (aligned, hash(tuple(ids[:aligned])))
 
     def write_through(self, ids: List[int], pages: List[int]) -> None:
         """Copy the device pages backing the aligned prefix `ids` down to
-        the host tier (pages the host already has are skipped)."""
+        the host tier (pages the host already has are skipped). Async
+        mode dispatches the gather and hands the blocking readback to the
+        worker — the scheduler thread never waits on the transfer."""
         n_pages = len(ids) // self.page_size
         if n_pages == 0:
             return
         hit = self.host.match(ids)
         if hit >= n_pages:
+            return
+        if self.async_io:
+            handle = self.runner.gather_kv_pages_async(pages[hit:n_pages])
+            self.inflight_spills += 1
+            self._jobs.put(("spill", list(ids), hit, handle))
             return
         data = self.runner.gather_kv_pages(pages[hit:n_pages])
         self.host.insert(ids, hit, data)
@@ -244,8 +409,11 @@ class HiCacheController:
     def prefetch(self, ids: List[int], decode_headroom_tokens: int) -> int:
         """Load host-tier pages beyond the device-tree match into fresh
         device pages and publish them to the device radix tree. Returns
-        tokens loaded. Never evicts device cache to make room (host reload
-        must not thrash the hotter device tier)."""
+        tokens loaded (sync mode) — async mode submits the host/disk read
+        to the worker and returns 0; the pages publish via `poll()` and
+        admission can hold the request briefly (`pending_load_for`).
+        Never evicts device cache to make room (host reload must not
+        thrash the hotter device tier)."""
         ps = self.page_size
         # the last token must stay uncached so prefill produces logits
         aligned = ((len(ids) - 1) // ps) * ps
@@ -258,6 +426,14 @@ class HiCacheController:
             return 0
         need_tokens = host_pages * ps
         if self.allocator.available_tokens() < need_tokens + decode_headroom_tokens:
+            return 0
+        if self.async_io:
+            key = self._load_key(ids, aligned)
+            if key not in self._pending_loads:
+                self._pending_loads[key] = True
+                self._jobs.put(
+                    ("load", key, list(ids), dev_pages, host_pages)
+                )
             return 0
         data = self.host.load(ids, dev_pages, host_pages)
         if data is None:

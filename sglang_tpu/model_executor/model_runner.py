@@ -1679,6 +1679,39 @@ class ModelRunner:
         idx = np.zeros(nb, dtype=np.int32)
         idx[:n] = pages
         out = self._jit_cache[key](self.kv_layers, jnp.asarray(idx))
+        return self.fetch_gathered_kv((out, n))
+
+    def _dispatch_kv_gather(self, pages):
+        # identical dispatch path to gather_kv_pages, minus the readback
+        n = len(pages)
+        nb = max(1, next_power_of_2(n))
+        key = ("kv_gather", nb)
+        if key not in self._jit_cache:
+            # build the jit through the sync path at this exact bucket
+            # (compile only; the tiny readback is a one-time cost)
+            pad = list(pages) + [0] * (nb - n)
+            return (None, self.gather_kv_pages(pad), n)
+        idx = np.zeros(nb, dtype=np.int32)
+        idx[:n] = pages
+        out = self._jit_cache[key](self.kv_layers, jnp.asarray(idx))
+        return (out, n)
+
+    def gather_kv_pages_async(self, pages):
+        """Dispatch the page gather WITHOUT blocking on the readback:
+        returns an opaque handle for `fetch_gathered_kv` (called from the
+        HiCache worker thread — async spill, reference
+        `cache_controller.py` write-through workers). Device execution
+        order guarantees the gather reads the pages' current contents
+        even if they are freed/rewritten by later dispatches."""
+        return self._dispatch_kv_gather(pages)
+
+    def fetch_gathered_kv(self, handle) -> np.ndarray:
+        """Blocking half of the page gather (thread-safe: pure readback +
+        numpy packing, no jax dispatch)."""
+        if len(handle) == 3:  # cold-compile dispatch already fetched
+            _, data, n = handle
+            return data[:n]
+        out, n = handle
         if not self.kv_pool.has_scales:
             return np.asarray(jax.device_get(out))[:n]
         vals, sc = jax.device_get(out)

@@ -65,6 +65,10 @@ class ServerArgs:
     # encode server (disaggregation/encode.py)
     encode_server_url: Optional[str] = None
     hicache_size: float = 0.0  # GiB; 0 = 2x the device KV pool
+    # async tier IO (reference cache_controller worker threads): spill
+    # readbacks + host/disk loads run off the scheduler thread; decode
+    # keeps stepping while transfers are in flight
+    hicache_async: bool = True
     hicache_write_policy: str = "write_through"
     # L3 tier behind the host-RAM cache: a local directory (file store)
     # or a redis://host[:port]/prefix URL (remote shared store)
