@@ -248,7 +248,10 @@ class PrefillAdder:
         # never cross regions), else least-loaded region, else keep the
         # rank of pages the request already holds (chunked re-admission).
         alloc = self.radix_cache.allocator
-        if getattr(alloc, "dp_size", 1) > 1:
+        if getattr(alloc, "striped_default", False):
+            # pool-sharded CP: every request stripes across all regions
+            req.dp_rank = alloc.STRIPED
+        elif getattr(alloc, "dp_size", 1) > 1:
             if prefix_len > 0:
                 req.dp_rank = alloc.page_rank(match.pages[0])
             elif req.pages:

@@ -146,6 +146,14 @@ class Scheduler:
             disable=server_args.disable_radix_cache or self.is_hybrid,
         )
         self.allocator.evict_callback = self.radix_cache.evict
+        if (
+            getattr(server_args, "attn_cp_size", 1) > 1
+            and getattr(server_args, "attn_cp_mode", "") == "pool-sharded"
+        ):
+            # pool-sharded CP: every request's pages stripe across all
+            # regions (admission sets dp_rank = STRIPED; the pool itself
+            # is range-partitioned over the "data" mesh axis)
+            self.allocator.striped_default = True
         self.kv_events = None
         if server_args.enable_kv_cache_events:
             from sglang_tpu.mem_cache.kv_events import KVEventPublisher

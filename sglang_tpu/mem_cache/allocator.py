@@ -74,7 +74,11 @@ class PageAllocator:
 
     # ------------------------------------------------------------ alloc/free
 
+    STRIPED = -2  # rank sentinel: spread the allocation across regions
+
     def alloc(self, n_pages: int, rank: int = 0) -> Optional[List[int]]:
+        if rank == self.STRIPED:
+            return self.alloc_striped(n_pages)
         free = self._free[rank]
         if n_pages > len(free) and self.evict_callback is not None:
             self.evict_callback(n_pages - len(free), rank)
@@ -86,6 +90,30 @@ class PageAllocator:
         del free[-n_pages:]
         for p in pages:
             self._ref[p] = 1
+        return pages
+
+    def alloc_striped(self, n_pages: int) -> Optional[List[int]]:
+        """Round-robin pages across ALL regions (pool-sharded CP: one
+        sequence's KV spans every rank's pool shard, so a context larger
+        than one chip's pool still fits the mesh). Page i of the run
+        comes from region i % dp_size."""
+        if n_pages == 0:
+            return []
+        need = [0] * self.dp_size
+        for i in range(n_pages):
+            need[i % self.dp_size] += 1
+        for r in range(self.dp_size):
+            short = need[r] - len(self._free[r])
+            if short > 0 and self.evict_callback is not None:
+                self.evict_callback(short, r)
+            if need[r] > len(self._free[r]):
+                return None
+        pages: List[int] = []
+        for i in range(n_pages):
+            r = i % self.dp_size
+            p = self._free[r].pop()
+            self._ref[p] = 1
+            pages.append(p)
         return pages
 
     def inc_ref(self, pages: Sequence[int]) -> None:

@@ -493,12 +493,23 @@ class ModelRunner:
                 else self.kv_pool.layers
             )
         if self.cp_size > 1:
-            from sglang_tpu.parallel.cp_attention import CPAttentionBackend
+            cp_mode = getattr(self.server_args, "attn_cp_mode", "round-robin")
+            if cp_mode == "pool-sharded":
+                from sglang_tpu.parallel.cp_attention import (
+                    PoolShardedCPBackend,
+                )
 
-            self.attn_backend = CPAttentionBackend(
-                self.attn_backend, self.mesh, self.cp_size,
-                mode=getattr(self.server_args, "attn_cp_mode", "round-robin"),
-            )
+                self.attn_backend = PoolShardedCPBackend(
+                    self.mesh, self.cp_size, num_pages, sa.page_size
+                )
+            else:
+                from sglang_tpu.parallel.cp_attention import (
+                    CPAttentionBackend,
+                )
+
+                self.attn_backend = CPAttentionBackend(
+                    self.attn_backend, self.mesh, self.cp_size, mode=cp_mode
+                )
         elif self.dp_size > 1:
             from sglang_tpu.parallel.dp_attention import DPAttentionBackend
 

@@ -110,3 +110,130 @@ class CPAttentionBackend:
             axis_names={"data"},
             check_vma=False,
         )(q, k_new, v_new, pages, fb)
+
+
+NEG = -1e30
+
+
+class PoolShardedCPBackend:
+    """POOL-SHARDED context parallelism (reference gather-CP cannot give
+    this: `ring_attention.py`'s capability in the serving path): the
+    paged KV pool is range-partitioned over the "data" axis — each rank
+    physically holds 1/cp of the pages — and one sequence's pages STRIPE
+    across every region (`PageAllocator.alloc_striped`), so a context
+    larger than one chip's pool still fits the mesh.
+
+    Per call (extend AND decode), inside one `shard_map`:
+    - each rank writes only the new-token rows whose page lands in its
+      region (others park on the region's local garbage page),
+    - each rank computes partial attention over its LOCAL pages only
+      (unowned page-table entries mask out), carrying the online-softmax
+      state (m, l, acc),
+    - partials merge exactly across the axis: M = pmax(m),
+      out = psum(e^{m-M} acc) / psum(e^{m-M} l) — the same algebra the
+      ring schedule uses, with XLA collectives instead of ppermute hops.
+
+    Memory per rank is bounded by its pool shard; the cost is one psum
+    per attention call (decode pays it per step — the price of exceeding
+    single-chip KV capacity)."""
+
+    def __init__(self, mesh: Mesh, cp_size: int, num_pages: int, page_size: int):
+        self.mesh = mesh
+        self.cp = cp_size
+        self.pages_per_rank = num_pages // cp_size
+        self.page_size = page_size
+
+    def __call__(self, q, k_new, v_new, pages, fb: ForwardBatch, sm_scale,
+                 sliding_window=-1, logit_cap=0.0, sinks=None, **kw):
+        ppr = self.pages_per_rank
+        ps = self.page_size
+        cp = self.cp
+
+        def body(q, k_new, v_new, pages_local, fb):
+            rank = jax.lax.axis_index("data")
+            base = rank * ppr
+            # ---- KV write: own rows only; others -> local garbage page 0
+            pg = fb.out_cache_loc // ps
+            owned_tok = (pg >= base) & (pg < base + ppr)
+            loc_local = jnp.where(
+                owned_tok, fb.out_cache_loc - base * ps, 0
+            )
+            from sglang_tpu.layers.attention.base import write_kv_pages
+
+            pages_local = write_kv_pages(
+                pages_local, k_new, v_new, loc_local
+            )
+            # ---- partial attention over the LOCAL pool shard
+            from sglang_tpu.layers.attention.reference_backend import (
+                _gather_kv,
+            )
+
+            pt = fb.page_table
+            pt_owned = (pt >= base) & (pt < base + ppr)  # [B, pmax]
+            pt_local = jnp.where(pt_owned, pt - base, 0)
+            k, v = _gather_kv(pages_local, pt_local)  # [B, Kmax, kvh, d]
+            t, qh, d = q.shape
+            kvh = k.shape[2]
+            g = qh // kvh
+            seq_of = fb.token_to_seq  # [T]
+            kmax = k.shape[1]
+            kv_idx = jnp.arange(kmax, dtype=jnp.int32)[None, :]
+            kv_owned = jnp.repeat(pt_owned, ps, axis=1)[:, :kmax]
+            pos = (
+                fb.mask_positions
+                if fb.mask_positions is not None
+                else fb.positions
+            )
+            mask = (
+                (kv_idx <= pos[:, None])
+                & (kv_idx < fb.seq_lens[seq_of][:, None])
+                & kv_owned[seq_of]
+            )  # [T, kmax]
+            if sliding_window > 0:
+                mask &= kv_idx > (pos[:, None] - sliding_window)
+            qg = q.reshape(t, kvh, g, d)
+            s = (
+                jnp.einsum(
+                    "thgd,tkhd->thgk",
+                    qg.astype(jnp.float32),
+                    k[seq_of].astype(jnp.float32),
+                )
+                * sm_scale
+            )
+            if logit_cap > 0:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            s = jnp.where(mask[:, None, None, :], s, NEG)
+            m = jnp.max(s, axis=-1)  # [T, kvh, g]
+            p = jnp.exp(s - m[..., None])
+            p = jnp.where(mask[:, None, None, :], p, 0.0)
+            l = jnp.sum(p, axis=-1)
+            acc = jnp.einsum(
+                "thgk,tkhd->thgd", p, v[seq_of].astype(jnp.float32)
+            )
+            # ---- exact cross-rank merge
+            M = jax.lax.pmax(m, "data")
+            w = jnp.exp(m - M)
+            l_g = jax.lax.psum(w * l, "data")
+            acc_g = jax.lax.psum(w[..., None] * acc, "data")
+            if sinks is not None:
+                l_g = l_g + jnp.exp(
+                    sinks.reshape(kvh, g)[None].astype(jnp.float32) - M
+                )
+            out = (acc_g / jnp.maximum(l_g, 1e-10)[..., None]).astype(
+                q.dtype
+            )
+            return out.reshape(t, qh, d), pages_local
+
+        if isinstance(pages, tuple):
+            pages_spec = (P("data"), P("data"))
+        else:
+            pages_spec = P("data")
+        fb_specs = jax.tree.map(lambda _: P(), fb)
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), pages_spec, fb_specs),
+            out_specs=(P(), pages_spec),
+            axis_names={"data"},
+            check_vma=False,
+        )(q, k_new, v_new, pages, fb)

@@ -100,7 +100,7 @@ class ServerArgs:
     # chunk (~K * step_time). 4 keeps dispatch amortized while capping
     # the admission wait at ~80 ms (measured TTFT lever, round 5 — the
     # 296 ms median @ 4 rps in ONLINE_r04 was chain-wait dominated).
-    online_chain_depth: int = 4
+    online_chain_depth: int = 3
     disable_radix_cache: bool = False
     enable_overlap_schedule: bool = True
     retract_decode_steps: int = 20
@@ -133,9 +133,12 @@ class ServerArgs:
     # attention context parallelism (reference --attn-cp-size): prefill
     # rows round-robin across the "data" axis, decode data-local
     attn_cp_size: int = 1
-    # prefill CP work split: "round-robin" (request granularity) or
-    # "in-seq" (attention-block granularity: one long prompt splits
-    # across all cp ranks — reference --nsa-prefill-cp-mode)
+    # CP work split: "round-robin" (request granularity) or "in-seq"
+    # (attention-block granularity: one long prompt splits across all cp
+    # ranks — reference --nsa-prefill-cp-mode); both keep the KV pool
+    # replicated over the axis. "pool-sharded" range-partitions the pool
+    # itself and stripes every sequence's pages across ranks (contexts
+    # beyond one chip's pool; partial-attention psum merge per call)
     attn_cp_mode: str = "round-robin"
     # SP for the dense parts of MoE models (reference --moe-dense-tp-size):
     # 1 = replicate dense-MLP weights, shard the token axis over "model"
