@@ -126,6 +126,14 @@ def main():
                     "accept_length": round(spec["accept_len"], 2),
                     "lossless_mismatches": mismatch,
                     "n_prompts": len(prompts),
+                    # the non-spec baseline's fused chain depth: 4 is the
+                    # engine's own latency-mode serving configuration
+                    # (online_chain_depth — what the server runs under
+                    # streaming traffic), 8/16 are offline-throughput
+                    # chains
+                    "baseline_chain_k": int(
+                        os.environ.get("SGLANG_TPU_SPEC_BASE_K", "8")
+                    ),
                 },
                 f,
                 indent=1,

@@ -99,15 +99,17 @@ def main():
              "--random-output", "32"],
             capture_output=True, text=True, timeout=1800,
         )
-        # a paced warm pass compiles the online_chain_depth chain variants
-        # at the small decode buckets (the inf burst never uses them)
-        subprocess.run(
-            [sys.executable, "-m", "sglang_tpu.bench_serving",
-             "--base-url", base, "--num-prompts", "24",
-             "--request-rate", "4", "--random-input", "512",
-             "--random-output", "48"],
-            capture_output=True, text=True, timeout=1800,
-        )
+        # paced warm passes compile the online_chain_depth chain variants
+        # at the small decode buckets AND the small prefill buckets (the
+        # inf burst packs prompts into large rounds and never uses them)
+        for inp in ("384", "700", "512"):
+            subprocess.run(
+                [sys.executable, "-m", "sglang_tpu.bench_serving",
+                 "--base-url", base, "--num-prompts", "16",
+                 "--request-rate", "4", "--random-input", inp,
+                 "--random-output", "48"],
+                capture_output=True, text=True, timeout=1800,
+            )
         result["warmup_s"] = round(time.time() - t0, 1)
         runs = []
         for rate, n_prompts in (("1", 48), ("4", 120), ("8", 120), ("inf", 120)):

@@ -1479,8 +1479,14 @@ class Scheduler:
 
     def _process_decode_result(self, inflight) -> List[ReqStrOutput]:
         reqs, ids_dev, lp_dev, _ = inflight
-        ids = np.asarray(ids_dev)
-        lp = np.asarray(lp_dev)
+        # ONE batched device_get: fetching the two arrays separately costs
+        # two serial ~26 ms tunnel round trips (measured via online TPOT:
+        # 33.8 ms/token at chain depth 4 vs ~21 expected)
+        import jax as _jax
+
+        ids, lp = _jax.device_get((ids_dev, lp_dev))
+        ids = np.asarray(ids)
+        lp = np.asarray(lp)
         if ids.ndim == 1:  # single-step chunk
             ids = ids[None]
             lp = lp[None]
