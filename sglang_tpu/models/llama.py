@@ -73,6 +73,7 @@ class LlamaForCausalLM:
     qkv_bias = False
     o_bias = False
     qk_norm = False
+    rope_style = "half"  # "half" (rotate-half) | "interleaved" (pairs)
     # standard [P, 2kvh, ps, d] KV + full attention: eligible for
     # chain-tail decode KV batching (ops/chain_tail.py); the runner
     # additionally gates on sliding_window/scan/dp at init
@@ -312,6 +313,12 @@ class LlamaForCausalLM:
             cos, sin = rope_override
             q = apply_mrope(q, cos, sin)
             k = apply_mrope(k, cos, sin)
+        elif self.rope_style == "interleaved":
+            # complex-pair rotation (Ernie 4.5 / DeepSeek convention)
+            from sglang_tpu.layers.rotary import apply_rope_interleaved
+
+            q = apply_rope_interleaved(q, fb.positions, self.inv_freq)
+            k = apply_rope_interleaved(k, fb.positions, self.inv_freq)
         else:
             q = apply_rope(q, fb.positions, self.inv_freq, mscale=self.rope_mscale)
             k = apply_rope(k, fb.positions, self.inv_freq, mscale=self.rope_mscale)
@@ -444,3 +451,28 @@ class Qwen3ForCausalLM(LlamaForCausalLM):
     architectures = ["Qwen3ForCausalLM"]
     qkv_bias = False
     qk_norm = True
+
+
+class Ernie45ForCausalLM(LlamaForCausalLM):
+    """ERNIE 4.5 dense (reference `srt/models/ernie4.py` dense path):
+    llama layout with INTERLEAVED (complex-pair) rotary."""
+
+    architectures = ["Ernie4_5ForCausalLM", "Ernie4_5_ForCausalLM"]
+    model_types = ["ernie4_5"]
+    rope_style = "interleaved"
+
+
+class SeedOssForCausalLM(LlamaForCausalLM):
+    """ByteDance Seed-OSS (HF `modeling_seed_oss`): llama layout with
+    q/k/v projection biases."""
+
+    architectures = ["SeedOssForCausalLM"]
+    qkv_bias = True
+
+
+class MinistralForCausalLM(LlamaForCausalLM):
+    """Ministral (reference `srt/models/ministral3.py` text lineage):
+    mistral layout with a uniform sliding window (handled natively by
+    the attention kernels via `config.sliding_window`)."""
+
+    architectures = ["MinistralForCausalLM"]

@@ -124,6 +124,27 @@ def _populate():
     ):
         register_model(cls)
 
+    # breadth batch 5 (reference srt/models/{ernie4,exaone4,glm4_moe,
+    # ministral3,olmo2}.py lineage + seed-oss)
+    from sglang_tpu.models.exaone4 import Exaone4ForCausalLM
+    from sglang_tpu.models.glm4_moe import Glm4MoeForCausalLM
+    from sglang_tpu.models.llama import (
+        Ernie45ForCausalLM,
+        MinistralForCausalLM,
+        SeedOssForCausalLM,
+    )
+    from sglang_tpu.models.olmo3 import Olmo3ForCausalLM
+
+    for cls in (
+        Exaone4ForCausalLM,
+        Glm4MoeForCausalLM,
+        Ernie45ForCausalLM,
+        MinistralForCausalLM,
+        SeedOssForCausalLM,
+        Olmo3ForCausalLM,
+    ):
+        register_model(cls)
+
     # breadth batch 4 (reference srt/models/{llama4,internvl,idefics3}.py
     # lineage)
     from sglang_tpu.models.idefics3 import (
@@ -134,6 +155,7 @@ def _populate():
     from sglang_tpu.models.llama4 import Llama4ForCausalLM
 
     from sglang_tpu.models.aya_vision import AyaVisionForConditionalGeneration
+    from sglang_tpu.models.glm4v import Glm4vForConditionalGeneration
     from sglang_tpu.models.minicpmv import MiniCPMVForConditionalGeneration
     from sglang_tpu.models.phi3 import Phi4MultimodalForCausalLM
     from sglang_tpu.models.qwen2_5_vl import Qwen2_5_VLForConditionalGeneration
@@ -146,6 +168,7 @@ def _populate():
     register_model(Idefics3ForConditionalGeneration)
     register_model(SmolVLMForConditionalGeneration)
     register_model(AyaVisionForConditionalGeneration)
+    register_model(Glm4vForConditionalGeneration)
 
     from sglang_tpu.models.bert import BertModel, XLMRobertaModel
     from sglang_tpu.models.classification import (

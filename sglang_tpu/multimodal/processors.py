@@ -217,7 +217,10 @@ register_mm_processor("AyaVisionForConditionalGeneration")(SimpleImageProcessor)
 register_mm_processor("MiniCPMVForConditionalGeneration")(SimpleImageProcessor)
 register_mm_processor("LlavaNextForConditionalGeneration")(AnyResProcessor)
 register_mm_processor(
-    "Qwen2VLForConditionalGeneration", "Qwen2_5_VLForConditionalGeneration"
+    "Qwen2VLForConditionalGeneration",
+    "Qwen2_5_VLForConditionalGeneration",
+    # GLM-4V is grid-native too (patch rows + grid_thw + mrope)
+    "Glm4vForConditionalGeneration",
 )(GridVLProcessor)
 
 
