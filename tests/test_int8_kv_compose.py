@@ -82,6 +82,7 @@ def test_int8_kv_hicache_spill_reload():
 
     rid = _submit(sched, prompt)
     first = _drain(sched)[rid]
+    sched.hicache.wait_idle()  # async spill commits off-thread
     assert sched.hicache.host.num_pages >= 2
 
     assert sched.flush_cache()

@@ -252,3 +252,35 @@ def test_extend_int8_kv_matches_reference():
     pq = _quantize_pages_int8(pages)
     o_ref, o_pal = _run_both(q, pq, meta, "extend")
     np.testing.assert_allclose(o_pal, o_ref, **TOL8)
+
+
+def test_decode_return_state_matches_reference():
+    """`return_state=True` (chain-tail / partial-attention merging): the
+    sink-free normalized partial must equal the plain kernel output, and
+    the (m, l) state must reconstruct the reference softmax exactly (the
+    reference backend's own state variant is the oracle)."""
+    q, pages, meta = _setup([40, 64, 17, 128], [1, 1, 1, 1], seed=13)
+    ref = ReferenceAttentionBackend()
+    pal = PallasAttentionBackend(interpret=INTERPRET)
+    fb = make_decode_batch(
+        np.zeros(4, np.int32),
+        meta["positions"],
+        np.zeros(4, np.int32),
+        meta["page_table"],
+        meta["seq_lens"],
+    )
+    o_pal, m_pal, l_pal = pal.forward_decode_state(q, pages, fb, 0.25)
+    o_ref, m_ref, l_ref = ref.forward_decode_state(q, pages, fb, 0.25)
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref), **TOL)
+    np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_ref), **TOL)
+    # l is a sum of exp() terms; compare in ratio
+    np.testing.assert_allclose(
+        np.asarray(l_pal) / np.asarray(l_ref),
+        np.ones_like(np.asarray(l_ref)),
+        **TOL,
+    )
+    # the plain kernel and the state-mode partial agree (no sinks here)
+    o_plain = pal.forward_decode(q, pages, fb, 0.25)
+    np.testing.assert_allclose(
+        np.asarray(o_plain), np.asarray(o_pal), **TOL
+    )
