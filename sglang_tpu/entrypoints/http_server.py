@@ -79,6 +79,17 @@ class ServerState:
         self.scheduler = self.engine.scheduler
         self.tm = TokenizerManager(server_args, self.scheduler, self.tokenizer)
         self.start_time = time.time()
+        # conversation + response persistence for /v1/conversations and
+        # /v1/responses chaining (reference gateway conversations module)
+        from sglang_tpu.entrypoints.conversations import (
+            ConversationStorage,
+            ResponseStore,
+        )
+
+        self.conversations = ConversationStorage(
+            getattr(server_args, "conversation_journal_path", None)
+        )
+        self.responses = ResponseStore()
 
     def _get_processor(self):
         if not hasattr(self, "_processor"):
@@ -676,16 +687,42 @@ def build_app(state: ServerState) -> web.Application:
         if not _auth_ok(state, request):
             return web.Response(status=401, text="unauthorized")
         body = await request.json()
-        if body.get("previous_response_id"):
+        conv_field = body.get("conversation")
+        conv_id = (
+            conv_field.get("id")
+            if isinstance(conv_field, dict)
+            else conv_field
+        )
+        prev_id = body.get("previous_response_id")
+        if conv_id and prev_id:
             return web.json_response(
-                {"error": "previous_response_id is not supported"}, status=400
+                {
+                    "error": "conversation and previous_response_id are "
+                    "mutually exclusive"
+                },
+                status=400,
             )
         messages = []
         if body.get("instructions"):
             messages.append({"role": "system", "content": body["instructions"]})
+        if conv_id:
+            ctx = state.conversations.messages_for_context(conv_id)
+            if ctx is None:
+                return web.json_response(
+                    {"error": f"conversation {conv_id} not found"}, status=404
+                )
+            messages.extend(ctx)
+        elif prev_id:
+            prior = state.responses.get(prev_id)
+            if prior is None:
+                return web.json_response(
+                    {"error": f"response {prev_id} not found"}, status=404
+                )
+            messages.extend(prior["messages"])
         inp = body.get("input", "")
+        input_messages = []  # the NEW turn (written back to the conversation)
         if isinstance(inp, str):
-            messages.append({"role": "user", "content": inp})
+            input_messages.append({"role": "user", "content": inp})
         else:
             for m in inp:
                 content = m.get("content", "")
@@ -695,13 +732,25 @@ def build_app(state: ServerState) -> web.Application:
                         for p in content
                         if p.get("type") in ("input_text", "output_text", "text")
                     )
-                messages.append({"role": m.get("role", "user"), "content": content})
-        try:
-            prompt = state.tokenizer.apply_chat_template(
-                messages, tokenize=False, add_generation_prompt=True
+                input_messages.append(
+                    {"role": m.get("role", "user"), "content": content}
+                )
+        messages.extend(input_messages)
+        mcp_specs = [
+            t
+            for t in (body.get("tools") or [])
+            if isinstance(t, dict) and t.get("type") == "mcp"
+        ]
+        if mcp_specs and not getattr(
+            state.server_args, "enable_request_mcp", False
+        ):
+            return web.json_response(
+                {
+                    "error": "mcp tools are disabled "
+                    "(start the server with --enable-request-mcp)"
+                },
+                status=400,
             )
-        except Exception as e:
-            return web.json_response({"error": f"chat template: {e}"}, status=400)
         sp = {
             "max_new_tokens": body.get("max_output_tokens")
             or body.get("max_tokens")
@@ -710,21 +759,26 @@ def build_app(state: ServerState) -> web.Application:
             "top_p": body.get("top_p", 1.0),
         }
         stream = bool(body.get("stream"))
-        gri = GenerateReqInput(text=prompt, sampling_params=sp, stream=stream)
-        treq = state.tm.tokenize(gri)
         rid = f"resp_{uuid.uuid4().hex[:24]}"
         mid = f"msg_{uuid.uuid4().hex[:24]}"
         model = body.get("model") or state.server_args.served_model_name
         created = now()
+        usage = {"input_tokens": 0, "output_tokens": 0}
 
-        def _final(text, out):
+        def _template(msgs):
+            return state.tokenizer.apply_chat_template(
+                msgs, tokenize=False, add_generation_prompt=True
+            )
+
+        def _final(text, extra_items=()):
             return {
                 "id": rid,
                 "object": "response",
                 "created_at": created,
                 "model": model,
                 "status": "completed",
-                "output": [
+                "output": list(extra_items)
+                + [
                     {
                         "type": "message",
                         "id": mid,
@@ -736,15 +790,95 @@ def build_app(state: ServerState) -> web.Application:
                     }
                 ],
                 "usage": {
-                    "input_tokens": out.prompt_tokens,
-                    "output_tokens": out.completion_tokens,
-                    "total_tokens": out.prompt_tokens + out.completion_tokens,
+                    "input_tokens": usage["input_tokens"],
+                    "output_tokens": usage["output_tokens"],
+                    "total_tokens": usage["input_tokens"]
+                    + usage["output_tokens"],
                 },
             }
 
+        def _persist(text, response):
+            """Response-store + conversation write-back (reference gateway
+            persists the turn after completion)."""
+            if body.get("store", True):
+                state.responses.put(
+                    rid,
+                    response,
+                    messages + [{"role": "assistant", "content": text}],
+                )
+            if conv_id:
+                from sglang_tpu.entrypoints.conversations import (
+                    normalize_item,
+                )
+
+                items = []
+                for m in input_messages:
+                    it, _ = normalize_item(m)
+                    if it:
+                        items.append(it)
+                it, _ = normalize_item(
+                    {"role": "assistant", "content": text, "id": mid}
+                )
+                if it:
+                    items.append(it)
+                state.conversations.add_items(conv_id, items)
+
+        async def _gen(msgs):
+            try:
+                prompt = _template(msgs)
+            except Exception as e:
+                raise ValueError(f"chat template: {e}")
+            treq = state.tm.tokenize(
+                GenerateReqInput(text=prompt, sampling_params=sp)
+            )
+            out = await _collect_raw(state, treq)
+            usage["input_tokens"] += out.prompt_tokens
+            usage["output_tokens"] += out.completion_tokens
+            return out
+
+        if mcp_specs:
+            if stream:
+                return web.json_response(
+                    {"error": "stream with mcp tools is not supported"},
+                    status=400,
+                )
+            from sglang_tpu.mcp.loop import run_mcp_loop
+
+            async def _gen_text(msgs):
+                return (await _gen(msgs)).output_str
+
+            try:
+                text, items, _ = await run_mcp_loop(
+                    _gen_text,
+                    messages,
+                    mcp_specs,
+                    tool_format=state.server_args.tool_call_parser or "hermes",
+                    max_tool_calls=int(body.get("max_tool_calls", 10)),
+                )
+            except ValueError as e:
+                return web.json_response({"error": str(e)}, status=400)
+            except Exception as e:
+                return web.json_response(
+                    {"error": f"mcp: {e}"}, status=502
+                )
+            response = _final(text, extra_items=items)
+            _persist(text, response)
+            return web.json_response(response)
+
+        try:
+            prompt = _template(messages)
+        except Exception as e:
+            return web.json_response({"error": f"chat template: {e}"}, status=400)
+        gri = GenerateReqInput(text=prompt, sampling_params=sp, stream=stream)
+        treq = state.tm.tokenize(gri)
+
         if not stream:
             out = await _collect_raw(state, treq)
-            return web.json_response(_final(out.output_str, out))
+            usage["input_tokens"] += out.prompt_tokens
+            usage["output_tokens"] += out.completion_tokens
+            response = _final(out.output_str)
+            _persist(out.output_str, response)
+            return web.json_response(response)
         resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
         await resp.prepare(request)
 
@@ -783,12 +917,154 @@ def build_app(state: ServerState) -> web.Application:
                 "text": text,
             },
         )
+        if last is not None:
+            usage["input_tokens"] += last.prompt_tokens
+            usage["output_tokens"] += last.completion_tokens
+        final = _final(text)
+        _persist(text, final)
         await ev(
             "response.completed",
-            {"type": "response.completed", "response": _final(text, last)},
+            {"type": "response.completed", "response": final},
         )
         await resp.write_eof()
         return resp
+
+    # ------------------------------------------------ /v1/conversations
+    # Reference `sgl-model-gateway/src/routers/conversations/handlers.rs`
+
+    async def conv_create(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        from sglang_tpu.entrypoints.conversations import (
+            normalize_item,
+            validate_metadata,
+        )
+
+        body = await request.json() if request.can_read_body else {}
+        md, err = validate_metadata(body.get("metadata"))
+        if err:
+            return web.json_response({"error": err}, status=400)
+        conv = state.conversations.create(md)
+        items = []
+        for raw in body.get("items") or []:
+            it, err = normalize_item(raw)
+            if err:
+                return web.json_response({"error": err}, status=400)
+            items.append(it)
+        if items:
+            state.conversations.add_items(conv["id"], items)
+        return web.json_response(conv)
+
+    async def conv_get(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        conv = state.conversations.get(request.match_info["conv_id"])
+        if conv is None:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(conv)
+
+    async def conv_update(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        from sglang_tpu.entrypoints.conversations import validate_metadata
+
+        body = await request.json()
+        patch = body.get("metadata")
+        if patch is None or not isinstance(patch, dict):
+            return web.json_response(
+                {"error": "metadata object required"}, status=400
+            )
+        # values must be strings (None deletes the key)
+        checkable = {k: v for k, v in patch.items() if v is not None}
+        _, err = validate_metadata(checkable)
+        if err:
+            return web.json_response({"error": err}, status=400)
+        conv = state.conversations.update_metadata(
+            request.match_info["conv_id"], patch
+        )
+        if conv is None:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(conv)
+
+    async def conv_delete(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        cid = request.match_info["conv_id"]
+        if not state.conversations.delete(cid):
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(
+            {"id": cid, "object": "conversation.deleted", "deleted": True}
+        )
+
+    async def conv_items_list(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        q = request.rel_url.query
+        out = state.conversations.list_items(
+            request.match_info["conv_id"],
+            limit=int(q.get("limit", 100)),
+            order=q.get("order", "asc"),
+            after=q.get("after"),
+        )
+        if out is None:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(out)
+
+    async def conv_items_create(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        from sglang_tpu.entrypoints.conversations import normalize_item
+
+        body = await request.json()
+        items = []
+        for raw in body.get("items") or []:
+            it, err = normalize_item(raw)
+            if err:
+                return web.json_response({"error": err}, status=400)
+            items.append(it)
+        created = state.conversations.add_items(
+            request.match_info["conv_id"], items
+        )
+        if created is None:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(
+            {
+                "object": "list",
+                "data": created,
+                "first_id": created[0]["id"] if created else None,
+                "last_id": created[-1]["id"] if created else None,
+                "has_more": False,
+            }
+        )
+
+    async def conv_item_get(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        it = state.conversations.get_item(
+            request.match_info["conv_id"], request.match_info["item_id"]
+        )
+        if it is None:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(it)
+
+    async def conv_item_delete(request):
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        conv = state.conversations.delete_item(
+            request.match_info["conv_id"], request.match_info["item_id"]
+        )
+        if conv is None:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(conv)
+
+    async def get_response(request):
+        """GET /v1/responses/{id} from the response store."""
+        if not _auth_ok(state, request):
+            return web.Response(status=401, text="unauthorized")
+        e = state.responses.get(request.match_info["resp_id"])
+        if e is None:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(e["response"])
 
     async def diffusion_generate(request):
         """dLLM block-diffusion decode (reference srt/dllm/): POST
@@ -1225,6 +1501,19 @@ def build_app(state: ServerState) -> web.Application:
     r.add_post("/v1/completions", v1_completions)
     r.add_post("/v1/chat/completions", v1_chat_completions)
     r.add_post("/v1/responses", v1_responses)
+    r.add_get("/v1/responses/{resp_id}", get_response)
+    r.add_post("/v1/conversations", conv_create)
+    r.add_get("/v1/conversations/{conv_id}", conv_get)
+    r.add_post("/v1/conversations/{conv_id}", conv_update)
+    r.add_delete("/v1/conversations/{conv_id}", conv_delete)
+    r.add_get("/v1/conversations/{conv_id}/items", conv_items_list)
+    r.add_post("/v1/conversations/{conv_id}/items", conv_items_create)
+    r.add_get(
+        "/v1/conversations/{conv_id}/items/{item_id}", conv_item_get
+    )
+    r.add_delete(
+        "/v1/conversations/{conv_id}/items/{item_id}", conv_item_delete
+    )
     r.add_post("/diffusion_generate", diffusion_generate)
     r.add_post("/v1/audio/transcriptions", v1_audio_transcriptions)
     return app

@@ -465,7 +465,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="sglang_tpu DP router")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=30080)
-    parser.add_argument("--worker-urls", nargs="+", required=True)
+    parser.add_argument(
+        "--worker-urls",
+        nargs="+",
+        default=[],
+        help="static worker URLs (may be empty with --service-discovery)",
+    )
     parser.add_argument(
         "--policy",
         default="cache_aware",
@@ -481,7 +486,29 @@ def main(argv=None):
     parser.add_argument("--max-rps", type=float, default=0.0)
     parser.add_argument("--burst", type=int, default=0)
     parser.add_argument("--max-retries", type=int, default=0)
+    # --- kubernetes service discovery (reference sgl-model-gateway
+    # service_discovery.rs; see entrypoints/service_discovery.py) ---
+    parser.add_argument(
+        "--service-discovery",
+        action="store_true",
+        help="discover workers from k8s pods instead of static URLs",
+    )
+    parser.add_argument(
+        "--selector", default="", help="pod label selector, e.g. app=sglang"
+    )
+    parser.add_argument("--prefill-selector", default="")
+    parser.add_argument("--decode-selector", default="")
+    parser.add_argument("--namespace", default=None)
+    parser.add_argument("--worker-port", type=int, default=8000)
+    parser.add_argument("--discovery-interval", type=float, default=10.0)
+    parser.add_argument(
+        "--k8s-api-base",
+        default=None,
+        help="override the in-cluster API endpoint (tests/off-cluster)",
+    )
     args = parser.parse_args(argv)
+    if not args.worker_urls and not args.service_discovery:
+        parser.error("--worker-urls or --service-discovery required")
     from aiohttp import web
 
     kv_addrs = None
@@ -497,6 +524,33 @@ def main(argv=None):
         max_retries=args.max_retries,
     )
     app = build_router_app(router)
+    if args.service_discovery:
+        from sglang_tpu.entrypoints.service_discovery import (
+            ServiceDiscovery,
+            ServiceDiscoveryConfig,
+        )
+
+        sd = ServiceDiscovery(
+            router,
+            ServiceDiscoveryConfig(
+                selector=args.selector,
+                prefill_selector=args.prefill_selector,
+                decode_selector=args.decode_selector,
+                namespace=args.namespace,
+                port=args.worker_port,
+                interval=args.discovery_interval,
+                api_base=args.k8s_api_base,
+            ),
+        )
+
+        async def _start_sd(app):
+            sd.start()
+
+        async def _stop_sd(app):
+            await sd.stop()
+
+        app.on_startup.append(_start_sd)
+        app.on_cleanup.append(_stop_sd)
     logger.info(
         "router on %s:%d over %d workers (%s)",
         args.host,

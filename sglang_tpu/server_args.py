@@ -180,6 +180,15 @@ class ServerArgs:
     tool_call_parser: Optional[str] = None  # hermes | llama3 | mistral
     reasoning_parser: Optional[str] = None  # deepseek-r1 | qwen3
 
+    # --- Responses API / gateway features ---
+    # append-only JSONL journal making /v1/conversations survive restarts
+    conversation_journal_path: Optional[str] = None
+    # honor request-level {"type": "mcp", ...} tools in /v1/responses
+    # (runs MCP servers named by the REQUEST — connecting to arbitrary
+    # URLs / spawning commands — so it is opt-in; reference gateway's
+    # per-request MCP client, sgl-model-gateway mcp_utils.rs)
+    enable_request_mcp: bool = False
+
     # --- Speculative decoding ---
     speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4

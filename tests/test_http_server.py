@@ -77,6 +77,7 @@ def server(tmp_path_factory):
             "--prefill-token-buckets", "64", "128",
             "--max-running-requests", "8",
             "--random-seed", "0", "--log-level", "warning",
+            "--enable-request-mcp",
         ],
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -661,3 +662,132 @@ def test_diffusion_generate_route(server):
     assert out["meta_info"]["completion_tokens"] == len(out["output_ids"])
     assert out["meta_info"]["block_size"] == 4
     assert "text" in out
+
+
+# ------------------------------------------------- gateway: conversations
+
+
+def _get(base, route):
+    import urllib.request
+
+    with urllib.request.urlopen(base + route, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _delete(base, route):
+    import urllib.request
+
+    req = urllib.request.Request(base + route, method="DELETE")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_conversations_crud(server):
+    conv = _post(server, "/v1/conversations", {"metadata": {"topic": "t"}})
+    assert conv["object"] == "conversation"
+    cid = conv["id"]
+    created = _post(
+        server,
+        f"/v1/conversations/{cid}/items",
+        {"items": [{"role": "user", "content": "w1 w2"}]},
+    )
+    assert created["data"][0]["role"] == "user"
+    item_id = created["data"][0]["id"]
+    lst = _get(server, f"/v1/conversations/{cid}/items")
+    assert [i["id"] for i in lst["data"]] == [item_id]
+    got = _get(server, f"/v1/conversations/{cid}/items/{item_id}")
+    assert got["content"][0]["text"] == "w1 w2"
+    upd = _post(server, f"/v1/conversations/{cid}", {"metadata": {"lang": "en"}})
+    assert upd["metadata"] == {"topic": "t", "lang": "en"}
+    back = _delete(server, f"/v1/conversations/{cid}/items/{item_id}")
+    assert back["id"] == cid
+    gone = _delete(server, f"/v1/conversations/{cid}")
+    assert gone["deleted"] is True
+    import urllib.error, urllib.request
+
+    try:
+        _get(server, f"/v1/conversations/{cid}")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_responses_with_conversation_writeback(server):
+    cid = _post(server, "/v1/conversations", {})["id"]
+    out = _post(
+        server,
+        "/v1/responses",
+        {"conversation": cid, "input": "w1 w2 w3", "max_output_tokens": 6,
+         "temperature": 0.0},
+    )
+    assert out["status"] == "completed"
+    items = _get(server, f"/v1/conversations/{cid}/items")["data"]
+    assert [i["role"] for i in items] == ["user", "assistant"]
+    assert items[1]["content"][0]["text"] == out["output"][-1]["content"][0]["text"]
+    # second turn sees the stored context and appends
+    out2 = _post(
+        server,
+        "/v1/responses",
+        {"conversation": {"id": cid}, "input": "w4", "max_output_tokens": 4,
+         "temperature": 0.0},
+    )
+    assert out2["status"] == "completed"
+    items = _get(server, f"/v1/conversations/{cid}/items")["data"]
+    assert [i["role"] for i in items] == ["user", "assistant", "user", "assistant"]
+
+
+def test_responses_previous_response_id(server):
+    out1 = _post(
+        server,
+        "/v1/responses",
+        {"input": "w5 w6", "max_output_tokens": 4, "temperature": 0.0},
+    )
+    rid = out1["id"]
+    # stored and retrievable
+    assert _get(server, f"/v1/responses/{rid}")["id"] == rid
+    out2 = _post(
+        server,
+        "/v1/responses",
+        {"previous_response_id": rid, "input": "w7", "max_output_tokens": 4,
+         "temperature": 0.0},
+    )
+    assert out2["status"] == "completed"
+    import urllib.error
+
+    try:
+        _post(
+            server,
+            "/v1/responses",
+            {"previous_response_id": "resp_nope", "input": "w"},
+        )
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_responses_mcp_lists_tools(server):
+    """The tiny model never emits a tool call, but the loop must connect
+    to the stdio MCP server, advertise its tools, and surface the
+    mcp_list_tools output item."""
+    import sys as _sys
+
+    cmd = (
+        f"{_sys.executable} "
+        f"{os.path.join(os.path.dirname(__file__), 'mcp_echo_server.py')}"
+    )
+    out = _post(
+        server,
+        "/v1/responses",
+        {
+            "input": "w1 w2",
+            "max_output_tokens": 4,
+            "temperature": 0.0,
+            "tools": [
+                {"type": "mcp", "server_label": "calc", "command": cmd}
+            ],
+        },
+    )
+    assert out["status"] == "completed"
+    kinds = [o["type"] for o in out["output"]]
+    assert kinds[0] == "mcp_list_tools" and kinds[-1] == "message"
+    assert out["output"][0]["tools"][0]["name"] == "add"
