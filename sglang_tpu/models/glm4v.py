@@ -49,34 +49,39 @@ def _cubic_kernel(x, a=-0.75):
     return w
 
 
-def bicubic_resample_plan(S: int, grid_h: int, grid_w: int):
-    """Static gather plan reproducing torch `F.grid_sample(mode="bicubic",
-    align_corners=False, padding_mode="border")` of an [S, S, C] table at
-    the (grid_h, grid_w) half-pixel patch centers (HF
-    Glm4vVisionEmbeddings). Returns (idx [N, 16] into the flat [S*S]
-    table, wts [N, 16] f32); the resample itself is then a traceable
-    weighted gather. Identity when the grid equals the table's grid."""
-    hh, ww = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
-    norm_w = ((ww.reshape(-1) + 0.5) / grid_w) * 2 - 1
-    norm_h = ((hh.reshape(-1) + 0.5) / grid_h) * 2 - 1
-    xs = ((norm_w + 1) * S - 1) / 2
-    ys = ((norm_h + 1) * S - 1) / 2
+def bicubic_resize_plan(src_h: int, src_w: int, dst_h: int, dst_w: int):
+    """Static gather plan reproducing torch bicubic resampling at
+    half-pixel centers with border clamping — both `F.grid_sample(
+    mode="bicubic", align_corners=False, padding_mode="border")` on a
+    half-pixel grid (GLM-4V) and `F.interpolate(mode="bicubic")` with
+    align_corners=False (Kimi-VL MoonViT) reduce to the same source
+    coordinates x_src = (x_dst + 0.5) * src/dst - 0.5. Returns (idx
+    [N, 16] into the flat [src_h*src_w] table, wts [N, 16] f32) so the
+    resample is a traceable weighted gather; identity when sizes match."""
+    hh, ww = np.meshgrid(np.arange(dst_h), np.arange(dst_w), indexing="ij")
+    xs = (ww.reshape(-1) + 0.5) * src_w / dst_w - 0.5
+    ys = (hh.reshape(-1) + 0.5) * src_h / dst_h - 0.5
     x0 = np.floor(xs).astype(np.int64)
     y0 = np.floor(ys).astype(np.int64)
     idx_parts, wt_parts = [], []
     for dy in range(-1, 3):
         wy = _cubic_kernel(ys - (y0 + dy))
-        yy = np.clip(y0 + dy, 0, S - 1)
+        yy = np.clip(y0 + dy, 0, src_h - 1)
         for dx in range(-1, 3):
             wx = _cubic_kernel(xs - (x0 + dx))
-            xx = np.clip(x0 + dx, 0, S - 1)
-            idx_parts.append(yy * S + xx)
+            xx = np.clip(x0 + dx, 0, src_w - 1)
+            idx_parts.append(yy * src_w + xx)
             wt_parts.append(wx * wy)
     idx = np.stack(idx_parts, -1)
     wts = np.stack(wt_parts, -1)
     # torch's bicubic weights sum to 1 exactly; normalize as a guard
     wts = wts / np.maximum(wts.sum(-1, keepdims=True), 1e-12)
     return idx, wts.astype(np.float32)
+
+
+def bicubic_resample_plan(S: int, grid_h: int, grid_w: int):
+    """GLM-4V form: square [S, S, C] table -> (grid_h, grid_w)."""
+    return bicubic_resize_plan(S, S, grid_h, grid_w)
 
 
 def adapt_pos_embed(table: np.ndarray, grid_h: int, grid_w: int):

@@ -180,6 +180,28 @@ class GridVLProcessor(BaseMMProcessor):
         )
 
 
+class GridImageProcessor(BaseMMProcessor):
+    """Grid-native tower WITHOUT multimodal rope (Kimi-VL: MoonViT takes
+    raster patch tiles + a grid, the DeepSeek language stack keeps 1-D
+    rope). Reference: `processors/kimi_vl.py`."""
+
+    def process(self, ids, image_data) -> MMResult:
+        if not (
+            isinstance(image_data, dict)
+            and ("grid_thw" in image_data or "grid_hw" in image_data)
+        ):
+            return self._shape_dispatch(ids, image_data)
+        pix = np.asarray(image_data["pixel_values"], dtype=np.float32)
+        grid = tuple(
+            int(x)
+            for x in (image_data.get("grid_thw") or image_data["grid_hw"])
+        )
+        embeds = np.asarray(self.encode(pix, grid_thw=grid))
+        pos = self.placeholder_positions(ids)
+        self.check_counts(pos, embeds)
+        return MMResult(mm_embeds=embeds, mm_positions=pos)
+
+
 class DefaultMMProcessor(BaseMMProcessor):
     """Payload-shape dispatch (the engine's historical behavior): anyres
     dict -> AnyResProcessor, grid dict -> GridVLProcessor, plain array ->
@@ -222,6 +244,7 @@ register_mm_processor(
     # GLM-4V is grid-native too (patch rows + grid_thw + mrope)
     "Glm4vForConditionalGeneration",
 )(GridVLProcessor)
+register_mm_processor("KimiVLForConditionalGeneration")(GridImageProcessor)
 
 
 @register_mm_processor("Qwen2AudioForConditionalGeneration")
