@@ -210,11 +210,31 @@ class Mamba2ForCausalLM(LlamaForCausalLM):
                 sentinel,
             )
             tok_slots = jnp.where(fb.token_kind > 0, tok_slots, sentinel)
-            y, conv, ssm = mamba2_extend(
-                state["conv"], state["ssm"], xbc, dt, tok_slots,
-                fb.positions, self.mamba_geom, conv_w, conv_b,
-                lp["a_log"], lp["dt_bias"], lp["d_skip"], self.time_limit,
-            )
+            import os
+
+            if os.environ.get("SGLANG_TPU_MAMBA_CHUNKED", "1") == "1":
+                # chunked-parallel SSD: T/L-deep scan + MXU matmuls
+                # instead of a T-deep token scan (exact; see
+                # layers/mamba2_chunked.py)
+                from sglang_tpu.layers.mamba2_chunked import (
+                    mamba2_extend_chunked,
+                )
+
+                y, conv, ssm = mamba2_extend_chunked(
+                    state["conv"], state["ssm"], xbc, dt, tok_slots,
+                    fb.positions, self.mamba_geom, conv_w, conv_b,
+                    lp["a_log"], lp["dt_bias"], lp["d_skip"],
+                    self.time_limit,
+                    chunk=int(os.environ.get("SGLANG_TPU_MAMBA_CHUNK", "64")),
+                    max_seqs=int(fb.state_slots.shape[0]),
+                )
+            else:
+                y, conv, ssm = mamba2_extend(
+                    state["conv"], state["ssm"], xbc, dt, tok_slots,
+                    fb.positions, self.mamba_geom, conv_w, conv_b,
+                    lp["a_log"], lp["dt_bias"], lp["d_skip"],
+                    self.time_limit,
+                )
         y = mamba_gated_rms_norm(
             y.reshape(t, self.d_inner).astype(gate.dtype), gate,
             lp["mixer_norm"], self.mixer_eps,
