@@ -41,6 +41,14 @@ def run(bs, seq):
     sb[:, : 2 * KVH, :PS] = s
     pages8 = (jnp.asarray(q8), jnp.asarray(sb))
 
+    # int4: same scales with +-7 range, K/V nibble-paired per head row
+    s4 = np.maximum(np.abs(pf).max(axis=-1), 1e-8) / 7.0
+    q4 = np.clip(np.round(pf / s4[..., None]), -7, 7).astype(np.int32)
+    packed = ((q4[:, :KVH] & 15) | ((q4[:, KVH:] & 15) << 4)).astype(np.uint8)
+    sb4 = np.zeros((total_pages, rows, 128), np.float32)
+    sb4[:, : 2 * KVH, :PS] = s4
+    pages4 = (jnp.asarray(packed), jnp.asarray(sb4))
+
     page_table = np.zeros((bs, pmax), np.int32)
     nx = 1
     seq_lens = np.full(bs, seq, np.int32)
@@ -53,37 +61,49 @@ def run(bs, seq):
     sl_dev = jnp.asarray(seq_lens)
 
     @functools.partial(jax.jit, static_argnames=("which",))
-    def many(q, p16, p8v, p8s, which):
+    def many(q, p16, p8v, p8s, p4v, p4s, which):
         def body(i, q):
-            pages = p16 if which == "bf16" else (p8v, p8s)
+            pages = {
+                "bf16": p16, "int8": (p8v, p8s), "int4": (p4v, p4s)
+            }[which]
             o = paged_decode_attention(q, pages, sl_dev, pt_dev, sm_scale=sm)
             return o.astype(q.dtype)
 
         return jax.lax.fori_loop(0, LAYERS, body, q)
 
-    o16 = many(q, pages16, *pages8, which="bf16")
-    o8 = many(q, pages16, *pages8, which="int8")
+    allp = (pages16, *pages8, *pages4)
+    o16 = many(q, *allp, which="bf16")
+    o8 = many(q, *allp, which="int8")
+    o4 = many(q, *allp, which="int4")
     err = jnp.abs(o16.astype(jnp.float32) - o8.astype(jnp.float32)).max()
-    print(f"bs={bs} seq={seq}  max|bf16-int8|={float(err):.5f}")
+    err4 = jnp.abs(o16.astype(jnp.float32) - o4.astype(jnp.float32)).max()
+    print(f"bs={bs} seq={seq}  max|bf16-int8|={float(err):.5f}  "
+          f"max|bf16-int4|={float(err4):.5f}")
 
     def timeit(which, n=20):
-        many(q, pages16, *pages8, which=which).block_until_ready()
+        np.asarray(many(q, *allp, which=which))
         t0 = time.perf_counter()
         for _ in range(n):
-            r = many(q, pages16, *pages8, which=which)
-        r.block_until_ready()
+            r = many(q, *allp, which=which)
+        np.asarray(r)
         return (time.perf_counter() - t0) / n / LAYERS * 1e6  # us/layer
 
     t16 = timeit("bf16")
     t8 = timeit("int8")
+    t4 = timeit("int4")
     from sglang_tpu.mem_cache.memory_pool import scale_plane_rows
 
     kv16 = bs * npages_per * PS * 2 * KVH * D * 2
     kv8 = bs * npages_per * (PS * 2 * KVH * D + scale_plane_rows(KVH) * 512)
+    kv4 = bs * npages_per * (PS * KVH * D + scale_plane_rows(KVH) * 512)
     print(
         f"  bf16: {t16:8.1f} us/layer ({kv16 / (t16 * 1e-6) / 1e9:6.1f} GB/s)   "
         f"int8: {t8:8.1f} us/layer ({kv8 / (t8 * 1e-6) / 1e9:6.1f} GB/s)   "
-        f"speedup {t16 / t8:.2f}x"
+        f"int4: {t4:8.1f} us/layer ({kv4 / (t4 * 1e-6) / 1e9:6.1f} GB/s)"
+    )
+    print(
+        f"  speedups: int8 {t16 / t8:.2f}x   int4 {t16 / t4:.2f}x "
+        f"(vs int8: {t8 / t4:.2f}x)"
     )
 
 

@@ -311,6 +311,10 @@ class ModelConfig:
             # int8 values + per-(token, head) f32 scale sidecar
             per_head = self.head_dim + 4
             return 2 * self.num_hidden_layers * self.num_key_value_heads * per_head
+        if self.kv_cache_dtype == "int4":
+            # nibble-packed values + per-(token, head) f32 scale sidecar
+            per_head = self.head_dim // 2 + 4
+            return 2 * self.num_hidden_layers * self.num_key_value_heads * per_head
         elem = 1 if self.kv_cache_dtype.startswith("fp8") else 2
         return 2 * self.num_hidden_layers * self.kv_head_dim_total * elem
 

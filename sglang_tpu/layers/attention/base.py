@@ -23,6 +23,46 @@ import jax.numpy as jnp
 from sglang_tpu.model_executor.forward_batch_info import ForwardBatch
 
 
+def pack_int4(qk: jax.Array, qv: jax.Array) -> jax.Array:
+    """Nibble values in [-7, 7] -> packed uint8: the byte at (token,
+    head h, dim j) holds K head h's dim j in the LOW nibble and V head
+    h's dim j in the HIGH nibble. Both planes keep the full 128-lane
+    head_dim (Mosaic rejects 64-lane HBM slices), and the kernels unpack
+    K and V from the SAME bytes with no concat or interleave."""
+    lo = qk.astype(jnp.int32) & 15
+    hi = qv.astype(jnp.int32) & 15
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(b: jax.Array):
+    """Packed uint8 -> (k, v) f32 values, same shape as `b` each
+    (inverse of `pack_int4`; XLA paths — the Pallas kernels carry their
+    own arithmetic unpack)."""
+    bi = b.astype(jnp.int32)
+    lo = bi & 15
+    hi = (bi >> 4) & 15
+
+    def se(n):  # sign-extend 0..15 -> -8..7
+        return (n - 16 * (n >> 3)).astype(jnp.float32)
+
+    return se(lo), se(hi)
+
+
+def quantize_kv_rows(kv: jax.Array, int4: bool):
+    """Symmetric per-(token, head) quantization of [T, 2kvh, d] rows
+    (K heads first). Returns (stored values, scales [T, 2kvh] f32);
+    int4 stores [T, kvh, d] uint8 (K/V nibble-paired), int8 stores
+    [T, 2kvh, d] int8."""
+    kvf = kv.astype(jnp.float32)
+    qmax = 7.0 if int4 else 127.0
+    s = jnp.maximum(jnp.max(jnp.abs(kvf), axis=-1), 1e-8) / qmax
+    q = jnp.clip(jnp.round(kvf / s[..., None]), -qmax, qmax)
+    if int4:
+        kvh = kv.shape[1] // 2
+        return pack_int4(q[:, :kvh], q[:, kvh:]), s
+    return q.astype(jnp.int8), s
+
+
 def write_kv_pages(
     pages: jax.Array,
     k_new: jax.Array,
@@ -58,7 +98,9 @@ def write_kv_pages(
         # geometries (tiny draft/test models) fall back to the XLA scatter
         # (Mosaic: "unsupported shape cast" at d=64 on v5e)
         ps_ok = ps_ok and vals.shape[3] % 128 == 0
-        if ps_ok and vals.dtype in (jnp.int8, jnp.bfloat16, jnp.float32):
+        if ps_ok and vals.dtype in (
+            jnp.uint8, jnp.int8, jnp.bfloat16, jnp.float32
+        ):
             from sglang_tpu.ops.kv_write import paged_kv_write
 
             kv = jnp.concatenate([k_new, v_new], axis=1)
@@ -66,37 +108,37 @@ def write_kv_pages(
     if write_jobs is not None and write_jobs[0] is not None:
         return _write_kv_jobs(pages, k_new, v_new, *write_jobs)
     scales = None
-    if isinstance(pages, tuple):  # int8 KV: (values, per-token-head scales)
+    if isinstance(pages, tuple):  # int8/int4 KV: (values, scales)
         pages, scales = pages
-    num_pages, two_kvh, page_size, d = pages.shape
+    # heads_dim is 2*kvh, except int4 where K/V nibble-pair into kvh rows
+    num_pages, heads_dim, page_size, d = pages.shape
     t, kvh, _ = k_new.shape
     kv = jnp.concatenate([k_new, v_new], axis=1)  # [T, 2kvh, d], K block first
     page = out_cache_loc // page_size
     off = out_cache_loc % page_size
-    # flat-row scatter: row index of (token, head) in the [P*2kvh*ps, d]
+    # flat-row scatter: row index of (token, head) in the [P*H*ps, d]
     # view. The 2D formulation keeps XLA on the default layout — a
     # mixed slice/gather scatter (pages.at[page, :, off]) made XLA pick a
     # {3,1,2,0} layout for the pool, breaking donation aliasing (full KV
     # copy per step -> OOM).
-    h = jnp.arange(two_kvh, dtype=out_cache_loc.dtype)
-    rows = (page[:, None] * two_kvh + h[None, :]) * page_size + off[:, None]
+    h = jnp.arange(heads_dim, dtype=out_cache_loc.dtype)
+    rows = (page[:, None] * heads_dim + h[None, :]) * page_size + off[:, None]
     if scales is not None:
-        # symmetric per-(token, head) int8: scale = max|x| / 127
-        kvf = kv.astype(jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(kvf), axis=-1), 1e-8) / 127.0
-        q = jnp.clip(jnp.round(kvf / s[..., None]), -127, 127).astype(jnp.int8)
-        flat = pages.reshape(num_pages * two_kvh * page_size, d)
-        flat = flat.at[rows.reshape(-1)].set(q.reshape(t * two_kvh, d))
+        # symmetric per-(token, head) int8/int4: scale = max|x| / qmax
+        q, s = quantize_kv_rows(kv, int4=pages.dtype == jnp.uint8)
+        flat = pages.reshape(num_pages * heads_dim * page_size, d)
+        flat = flat.at[rows.reshape(-1)].set(q.reshape(t * heads_dim, d))
         # scales live as a per-page plane [P, rows, 128] f32 — one row per
         # (K then V) head, token offsets on lanes 0..ps-1
+        sh = jnp.arange(s.shape[1], dtype=out_cache_loc.dtype)
         blob = scales.shape[1] * scales.shape[2]
-        srow = page[:, None] * blob + h[None, :] * 128 + off[:, None]
+        srow = page[:, None] * blob + sh[None, :] * 128 + off[:, None]
         sflat = scales.reshape(num_pages * blob)
-        sflat = sflat.at[srow.reshape(-1)].set(s.reshape(t * two_kvh))
+        sflat = sflat.at[srow.reshape(-1)].set(s.reshape(t * s.shape[1]))
         return (flat.reshape(pages.shape), sflat.reshape(scales.shape))
-    flat = pages.reshape(num_pages * two_kvh * page_size, d)
+    flat = pages.reshape(num_pages * heads_dim * page_size, d)
     flat = flat.at[rows.reshape(-1)].set(
-        kv.reshape(t * two_kvh, d).astype(pages.dtype)
+        kv.reshape(t * heads_dim, d).astype(pages.dtype)
     )
     return flat.reshape(pages.shape)
 
@@ -121,11 +163,7 @@ def _write_kv_jobs(pages, k_new, v_new, wr_pages, wr_src):
     sel = wr_src >= 0  # [J, ps]
     src = jnp.maximum(wr_src, 0)
     if scales is not None:
-        kvf = kv.astype(jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(kvf), axis=-1), 1e-8) / 127.0
-        q = jnp.clip(jnp.round(kvf / s[..., None]), -127, 127).astype(
-            pages.dtype
-        )
+        q, s = quantize_kv_rows(kv, int4=pages.dtype == jnp.uint8)
     else:
         s = None
         q = kv.astype(pages.dtype)
@@ -137,10 +175,11 @@ def _write_kv_jobs(pages, k_new, v_new, wr_pages, wr_src):
         return pages
     rows = scales.shape[1]
     s_g = jnp.swapaxes(s[src], 1, 2)  # [J, 2kvh, ps]
-    s_full = jnp.pad(s_g, ((0, 0), (0, rows - kvh2), (0, 128 - ps)))
+    sh = s_g.shape[1]  # scale heads = 2kvh even when values nibble-pair
+    s_full = jnp.pad(s_g, ((0, 0), (0, rows - sh), (0, 128 - ps)))
     sel_full = jnp.pad(
-        jnp.broadcast_to(sel[:, None, :], (sel.shape[0], kvh2, ps)),
-        ((0, 0), (0, rows - kvh2), (0, 128 - ps)),
+        jnp.broadcast_to(sel[:, None, :], (sel.shape[0], sh, ps)),
+        ((0, 0), (0, rows - sh), (0, 128 - ps)),
     )
     old_s = scales[wr_pages]
     merged_s = jnp.where(sel_full, s_full, old_s)

@@ -17,6 +17,15 @@ from sglang_tpu.model_executor.forward_batch_info import ForwardBatch
 _NEG = -1e30
 
 
+def _pool_kvh(pages) -> int:
+    """KV head count from the pool: axis 1 is 2*kvh, except int4 pools
+    where K/V nibble-pair into kvh rows."""
+    vals = pages[0] if isinstance(pages, tuple) else pages
+    if isinstance(pages, tuple) and vals.dtype == jnp.uint8:
+        return vals.shape[1]
+    return vals.shape[1] // 2
+
+
 def _gather_kv(pages, page_table: jax.Array):
     """pages [P, 2kvh, ps, d] (head-major) or (values, scales) int8 tuple,
     page_table [B, Pmax] -> k, v: [B, K, kvh, d]."""
@@ -25,8 +34,16 @@ def _gather_kv(pages, page_table: jax.Array):
         pages, scales = pages
     b, pmax = page_table.shape
     _, two_kvh, ps, d = pages.shape
-    kv = pages[page_table]  # [B, Pmax, 2kvh, ps, d]
+    kv = pages[page_table]  # [B, Pmax, H, ps, d]
     if scales is not None:
+        if pages.dtype == jnp.uint8:
+            # int4: a byte row nibble-pairs head h's K (low) and V
+            # (high); rebuild the [.., 2kvh, ps, d] layout
+            from sglang_tpu.layers.attention.base import unpack_int4
+
+            k4, v4 = unpack_int4(kv)
+            kv = jnp.concatenate([k4, v4], axis=2)
+            two_kvh = kv.shape[2]
         # per-page scale plane [P, rows, 128]: one row per (K then V)
         # head, token offsets on lanes 0..ps-1, rows padded to 8
         sc = scales[page_table][:, :, :two_kvh, :ps]  # [B, Pmax, 2kvh, ps]
@@ -73,8 +90,7 @@ class ReferenceAttentionBackend(AttentionBackend):
         logit_cap=0.0, sinks=None,
     ):
         b, qh, d = q.shape
-        vals = pages[0] if isinstance(pages, tuple) else pages
-        kvh = vals.shape[1] // 2
+        kvh = _pool_kvh(pages)
         qpk = qh // kvh
         k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
         kmax = k.shape[1]
@@ -96,8 +112,7 @@ class ReferenceAttentionBackend(AttentionBackend):
         """Decode partial with softmax state (out, m, l) — the oracle side
         of the chain-tail merge (`ops/chain_tail.py merge_states`)."""
         b, qh, d = q.shape
-        vals = pages[0] if isinstance(pages, tuple) else pages
-        kvh = vals.shape[1] // 2
+        kvh = _pool_kvh(pages)
         qpk = qh // kvh
         k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
         kmax = k.shape[1]
@@ -136,8 +151,7 @@ class ReferenceAttentionBackend(AttentionBackend):
         logit_cap=0.0, sinks=None,
     ):
         t, qh, d = q.shape
-        vals = pages[0] if isinstance(pages, tuple) else pages
-        kvh = vals.shape[1] // 2
+        kvh = _pool_kvh(pages)
         qpk = qh // kvh
         k, v = _gather_kv(pages, fb.page_table)  # [B, K, kvh, d]
         k = k[fb.token_to_seq]  # [T, K, kvh, d]

@@ -33,6 +33,12 @@ KV_DTYPE_MAP = {
     # fast 8-bit upcast (float8 converts measured 4-19x slower in-kernel),
     # and per-token scaling beats e4m3 accuracy (~0.4% vs ~6% rel err).
     "int8": jnp.int8,
+    # int4 KV: two values per byte packed along head_dim (byte j holds
+    # dims (j, j + d/2): low nibble -> j, high nibble -> j + d/2, so the
+    # kernel unpacks with one lane-concat instead of an interleave),
+    # same per-(token, head) f32 scale plane as int8 with range +-7.
+    # Halves decode's KV-bandwidth wall again vs int8.
+    "int4": jnp.uint8,
 }
 
 
@@ -108,11 +114,16 @@ class KVCachePool:
         # head-major VMEM scratch and slice heads on the FREE outer dim
         # (token-major [P, ps, 2*kvh, d] forced a sublane-gather relayout
         # per head per KV chunk — measured 2.3-2.8x slower decode attention)
-        shape = (num_pages, 2 * num_kv_heads, page_size, head_dim)
-        # int8 KV: each layer is a (values, scales) tuple — the kv_layer
-        # travels opaquely through model code, so downstream only the
-        # write path and the attention kernels unpack it
-        self.has_scales = kv_cache_dtype == "int8"
+        # int4 KV nibble-pairs the K and V planes of each head into one
+        # byte row (full 128-lane head_dim; Mosaic rejects 64-lane HBM
+        # slices), so the heads axis is kvh instead of 2*kvh
+        self.packed_int4 = kv_cache_dtype == "int4"
+        heads_axis = num_kv_heads if self.packed_int4 else 2 * num_kv_heads
+        shape = (num_pages, heads_axis, page_size, head_dim)
+        # int8/int4 KV: each layer is a (values, scales) tuple — the
+        # kv_layer travels opaquely through model code, so downstream only
+        # the write path and the attention kernels unpack it
+        self.has_scales = kv_cache_dtype in ("int8", "int4")
         # per-page scale plane [rows, 128] f32, one row per (K or V) head,
         # token offsets on lanes 0..ps-1 (needs ps <= 128; rows padded to a
         # multiple of 8 so a page's plane DMAs as whole (8, 128) tiles — a

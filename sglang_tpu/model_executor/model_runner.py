@@ -292,6 +292,7 @@ class ModelRunner:
             and getattr(self.model, "sliding_window", -1) <= 0
             and not self._needs_state_slots
             and self.dp_size == 1
+            and server_args.kv_cache_dtype != "int4"  # tail is int8-rowed
             and _os.environ.get("SGLANG_TPU_CHAIN_TAIL", "0") == "1"
         )
 
@@ -1749,12 +1750,16 @@ class ModelRunner:
         has_scales = self.kv_pool.has_scales
         if has_scales:
             pool = self.kv_pool
-            vshape = (2 * pool.num_kv_heads, self.page_size, pool.head_dim)
-            vbytes = int(np.prod(vshape))
+            # store geometry from the pool arrays themselves (int4 packs
+            # two values per byte so the stored head dim is halved)
+            ref = pool.fused if pool.fused is not None else pool.layers[0]
+            vshape = tuple(ref[0].shape[1:])
+            vdtype = np.dtype(str(ref[0].dtype))
+            vbytes = int(np.prod(vshape)) * vdtype.itemsize
             L = data.shape[1]
             vals = (
                 np.ascontiguousarray(data[..., :vbytes])
-                .view(np.int8)
+                .view(vdtype)
                 .reshape((n, L) + vshape)
             )
             sc = (

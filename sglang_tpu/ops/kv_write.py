@@ -59,6 +59,7 @@ def _kvw_kernel(
     nbuf: int,
     kvh2: int,
     d: int,
+    int4: bool,
 ):
     has_scales = scales_in is not None
 
@@ -86,7 +87,8 @@ def _kvw_kernel(
 
     kv_dma.wait()
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (kvh2, ps, d), 1)
+    heads_store = kvh2 // 2 if int4 else kvh2
+    sub = jax.lax.broadcasted_iota(jnp.int32, (heads_store, ps, d), 1)
     S = scales_in.shape[1] if has_scales else 0  # rows: 2kvh padded to 8
     lane_i = (
         jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
@@ -114,7 +116,23 @@ def _kvw_kernel(
 
         off = loc_ref[i] % ps
         kvf = kv_v[i].astype(jnp.float32)  # [2kvh, d]
-        if has_scales:
+        if int4:
+            # per-(token, head) int4: quantize, then nibble-pair head h's
+            # K (low nibble) with its V (high nibble) using pure f32
+            # arithmetic (exact for integers < 256) + ONE int8 store cast
+            s = jnp.maximum(
+                jnp.max(jnp.abs(kvf), axis=-1, keepdims=True), 1e-8
+            ) / 7.0
+            qv = jnp.clip(jnp.round(kvf / s), -7, 7)
+            half = kvh2 // 2
+            kq = qv[:half]
+            vq = qv[half:]
+            lo15 = kq + 16.0 * jnp.floor((7.0 - kq) * 0.125)
+            hi15 = vq + 16.0 * jnp.floor((7.0 - vq) * 0.125)
+            byte = lo15 + 16.0 * hi15  # 0..255
+            vb = byte - 256.0 * jnp.floor(hi15 * 0.125)  # signed-bits view
+            q = pltpu.bitcast(vb.astype(jnp.int8), jnp.uint8)
+        elif has_scales:
             s = jnp.maximum(jnp.max(jnp.abs(kvf), axis=-1, keepdims=True), 1e-8) / 127.0
             q = jnp.clip(jnp.round(kvf / s), -127, 127).astype(pages_in.dtype)
         else:
@@ -171,8 +189,11 @@ def paged_kv_write(
     if isinstance(pages, tuple):
         pages, scales = pages
     T, kvh2, d = kv_new.shape
-    num_pages, _, ps, _ = pages.shape
+    num_pages, heads_store, ps, d_store = pages.shape
     has_scales = scales is not None
+    int4 = has_scales and pages.dtype == jnp.uint8
+    assert d_store == d, (d_store, d)
+    assert heads_store == (kvh2 // 2 if int4 else kvh2)
     nbuf = 8 if T >= 8 else max(2, T)
 
     in_specs = [
@@ -190,8 +211,8 @@ def paged_kv_write(
 
     scratch_shapes = [
         pltpu.VMEM((T, kvh2, d), kv_new.dtype),
-        pltpu.VMEM((nbuf, kvh2, ps, d), pages.dtype),
-        pltpu.VMEM((nbuf, kvh2, ps, d), pages.dtype),
+        pltpu.VMEM((nbuf, heads_store, ps, d), pages.dtype),
+        pltpu.VMEM((nbuf, heads_store, ps, d), pages.dtype),
     ]
     if has_scales:
         scratch_shapes += [
@@ -238,7 +259,7 @@ def paged_kv_write(
             refs[0], kv_ref, pages_in, scales_in, pages_out, scales_out,
             kv_v, pg_v, po_v, sc_v, so_v,
             kv_sem, in_sems, out_sems, sin_sems, sout_sems,
-            T=T, ps=ps, nbuf=nbuf, kvh2=kvh2, d=d,
+            T=T, ps=ps, nbuf=nbuf, kvh2=kvh2, d=d, int4=int4,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -88,6 +88,39 @@ def fast_upcast(x, target_dtype):
     return (sign * v).astype(target_dtype)
 
 
+def unpack_int4_kv_kernel(x_u8, target_dtype):
+    """Packed int4 KV bytes -> (k, v) planes, in-kernel. A byte holds
+    the K value in its low nibble and the V value of the SAME (token,
+    head, dim) in its high nibble (`layers/attention/base.py pack_int4`),
+    so both planes keep full 128-lane rows and the unpack needs no
+    concat or interleave. Arithmetic rides the int8->f32 hardware
+    convert plus a handful of exact f32 ops (the fp8 lesson above:
+    per-element bit surgery must stay off the slow paths); every
+    intermediate is an integer < 256, so the pipeline is exact.
+
+    Note the int8 view + 128 equals byte XOR 0x80 (the convert reads the
+    sign bit): that flips the HIGH nibble's top bit, and the flip plus
+    the high nibble's sign-extension cancel into a single -8.
+
+    The widen rides int8->bf16 (the one fast 8->16-bit Mosaic convert;
+    int8->f32 directly is the sublane-unpack relayout that sank the
+    first fp8 path) then the cheap bf16->f32 extension; v5e has no bf16
+    ALU (floor), so the nibble arithmetic itself runs in f32. Every
+    intermediate is an integer <= 255 (exact in both types) and the two
+    divides are powers of two."""
+    m = (
+        pltpu.bitcast(x_u8, jnp.int8)
+        .astype(jnp.bfloat16)
+        .astype(jnp.float32)
+        + 128.0
+    )
+    hi_x = jnp.floor(m * (1.0 / 16.0))  # V nibble ^ 8, 0..15
+    lo = m - hi_x * 16.0  # true K nibble 0..15
+    k = lo - 16.0 * jnp.floor(lo * 0.125)  # sign-extend -> -8..7
+    v = hi_x - 8.0  # (n ^ 8) sign-extended == n - 8
+    return k.astype(target_dtype), v.astype(target_dtype)
+
+
 def _pda_kernel(
     # scalar prefetch
     seq_lens_ref,  # [bb]
@@ -119,6 +152,7 @@ def _pda_kernel(
     kvh: int,
     g: int,
     d: int,
+    int4: bool,
     sm_scale: float,
     logit_cap: float,
     window: int,
@@ -274,8 +308,14 @@ def _pda_kernel(
         if window > 0:
             mask &= kv_ids >= seq - window
 
-        k_all = fast_upcast(kv_v[slot, :kvh].reshape(S, d), q_v.dtype)
-        v_all = fast_upcast(kv_v[slot, kvh:].reshape(S, d), q_v.dtype)
+        if int4:
+            # int4 pages carry kvh nibble-paired head rows
+            k_all, v_all = unpack_int4_kv_kernel(
+                kv_v[slot].reshape(S, d), q_v.dtype
+            )
+        else:
+            k_all = fast_upcast(kv_v[slot, :kvh].reshape(S, d), q_v.dtype)
+            v_all = fast_upcast(kv_v[slot, kvh:].reshape(S, d), q_v.dtype)
         qf = q_v[r]  # [qh, d]
         s = jax.lax.dot_general(
             qf,
@@ -388,8 +428,10 @@ def paged_decode_attention(
     if isinstance(pages, tuple):
         pages, scales = pages
     bb, qh, d = q.shape
-    num_pages, two_kvh, ps, _ = pages.shape
-    kvh = two_kvh // 2
+    num_pages, heads_axis, ps, d_store = pages.shape
+    int4 = scales is not None and pages.dtype == jnp.uint8
+    assert d_store == d, (d_store, d)
+    kvh = heads_axis if int4 else heads_axis // 2
     g = qh // kvh
     import os as _os
 
@@ -402,7 +444,7 @@ def paged_decode_attention(
     # a fixed fraction of the VMEM budget so large kvh/d configs still fit
     # alongside the q/o buffers (ADVICE r2: 8 MiB at kvh=8/d=128 bf16).
     vmem_limit = 100 * 1024 * 1024
-    chunk_bytes = two_kvh * 256 * d * pages.dtype.itemsize
+    chunk_bytes = heads_axis * 256 * d_store * pages.dtype.itemsize
     if isinstance(scales, jax.Array):
         chunk_bytes += pblk * int(np.prod(scales.shape[1:])) * 4
     nbuf_cap = int(_os.environ.get("SGLANG_TPU_PDA_NBUF", "8"))
@@ -420,7 +462,7 @@ def paged_decode_attention(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch_shapes = [
         pltpu.VMEM((R, qh, d), q.dtype),  # q_v
-        pltpu.VMEM((nbuf, two_kvh, pblk * ps, d), pages.dtype),  # kv_v
+        pltpu.VMEM((nbuf, heads_axis, pblk * ps, d), pages.dtype),  # kv_v
     ]
     if has_scales:
         assert ps <= 128 and 128 % ps == 0, "int8 KV needs ps in {8..128}"
@@ -510,6 +552,7 @@ def paged_decode_attention(
         kvh=kvh,
         g=g,
         d=d,
+        int4=int4,
         sm_scale=sm_scale,
         logit_cap=logit_cap,
         window=window,

@@ -42,6 +42,12 @@ def _upcast(x, dtype):
     return fast_upcast(x, dtype)
 
 
+def _unpack4(x, dtype):
+    from sglang_tpu.ops.paged_decode_attention import unpack_int4_kv_kernel
+
+    return unpack_int4_kv_kernel(x, dtype)
+
+
 def _rpa_kernel(
     # scalar prefetch
     blk_seq_ref,
@@ -75,6 +81,7 @@ def _rpa_kernel(
     kvh: int,
     g: int,
     d: int,
+    int4: bool,
     sm_scale: float,
     logit_cap: float,
     window: int,
@@ -186,8 +193,12 @@ def _rpa_kernel(
             for h in range(kvh):
                 # compute dtype follows q (f32 in parity tests, bf16 serving);
                 # fp8-stored KV upcasts here — dequant rides the kernel
-                k_h = _upcast(kv_v[slot, h], q_v.dtype)  # [kvblk, d]
-                v_h = _upcast(kv_v[slot, kvh + h], q_v.dtype)
+                if int4:
+                    # one nibble-paired head row carries K (low) + V (high)
+                    k_h, v_h = _unpack4(kv_v[slot, h], q_v.dtype)
+                else:
+                    k_h = _upcast(kv_v[slot, h], q_v.dtype)  # [kvblk, d]
+                    v_h = _upcast(kv_v[slot, kvh + h], q_v.dtype)
                 qf = q_v[:, h * g : (h + 1) * g, :].reshape(qg, d)
                 s = jax.lax.dot_general(
                     k_h,
@@ -269,8 +280,10 @@ def ragged_paged_attention(
     if isinstance(pages, tuple):
         pages, scales = pages
     tp, qh, d = q.shape
-    num_pages, two_kvh, ps, _ = pages.shape
-    kvh = two_kvh // 2
+    num_pages, heads_axis, ps, d_store = pages.shape
+    int4 = scales is not None and pages.dtype == jnp.uint8
+    assert d_store == d, (d_store, d)
+    kvh = heads_axis if int4 else heads_axis // 2
     g = qh // kvh
     nb = blk_seq.shape[0]
     pblk = max(1, 128 // ps)
@@ -292,7 +305,7 @@ def ragged_paged_attention(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch_shapes = [
         pltpu.VMEM((qblk, qh, d), q.dtype),  # q_v
-        pltpu.VMEM((2, two_kvh, kvblk, d), pages.dtype),  # kv_v
+        pltpu.VMEM((2, heads_axis, kvblk, d), pages.dtype),  # kv_v
     ]
     if has_scales:
         assert ps <= 128 and 128 % ps == 0, "int8 KV needs ps in {8..128}"
@@ -364,6 +377,7 @@ def ragged_paged_attention(
         kvh=kvh,
         g=g,
         d=d,
+        int4=int4,
         sm_scale=sm_scale,
         logit_cap=logit_cap,
         window=window,

@@ -25,7 +25,7 @@ logger = get_logger(__name__)
 SCHEDULE_POLICIES = ["lpm", "fcfs", "lof", "random", "dfs-weight", "priority"]
 LOAD_FORMATS = ["auto", "safetensors", "gguf", "dummy", "zeros"]
 QUANT_METHODS = [None, "int8", "int4", "awq", "gptq", "fp8", "fp8_block", "w8a8_int8", "w8a8_fp8"]
-KV_CACHE_DTYPES = ["auto", "bfloat16", "fp8_e4m3", "fp8_e5m2", "int8"]
+KV_CACHE_DTYPES = ["auto", "bfloat16", "fp8_e4m3", "fp8_e5m2", "int8", "int4"]
 ATTENTION_BACKENDS = ["auto", "pallas", "reference"]
 GRAMMAR_BACKENDS = ["native", "none"]
 SPEC_ALGORITHMS = [None, "NGRAM", "EAGLE", "EAGLE3", "DFLASH", "STANDALONE", "MTP", "NEXTN"]

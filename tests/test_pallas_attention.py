@@ -284,3 +284,76 @@ def test_decode_return_state_matches_reference():
     np.testing.assert_allclose(
         np.asarray(o_plain), np.asarray(o_pal), **TOL
     )
+
+
+def _quantize_pages_int4(pages):
+    """[P, 2kvh, ps, d] f32 -> (packed uint8 values, scale plane)."""
+    from sglang_tpu.layers.attention.base import quantize_kv_rows
+    from sglang_tpu.mem_cache.memory_pool import scale_plane_rows
+
+    p = jnp.asarray(np.asarray(pages, np.float32))
+    np_, two_kvh, ps, d = p.shape
+    q, s = quantize_kv_rows(p, int4=True)
+    rows = scale_plane_rows(two_kvh // 2)
+    sb = np.zeros((np_, rows, 128), np.float32)
+    sb[:, :two_kvh, :ps] = np.asarray(s)
+    return q, jnp.asarray(sb)
+
+
+def test_decode_int4_kv_matches_reference():
+    """int4 KV (nibble-packed, per-(token, head) scales): kernel unpack +
+    scale folds must match the oracle that dequantizes densely."""
+    seq_lens = [1, 17, 33, 48]
+    q, pages, meta = _setup(seq_lens, [1] * 4)
+    pq = _quantize_pages_int4(pages)
+    o_ref, o_pal = _run_both(q, pq, meta, "decode")
+    np.testing.assert_allclose(o_pal, o_ref, **TOL8)
+
+
+def test_decode_int4_kv_window():
+    seq_lens = [40, 64]
+    q, pages, meta = _setup(seq_lens, [1, 1], qh=8, kvh=2)
+    pq = _quantize_pages_int4(pages)
+    o_ref, o_pal = _run_both(q, pq, meta, "decode", window=24)
+    np.testing.assert_allclose(o_pal, o_ref, **TOL8)
+
+
+def test_extend_int4_kv_matches_reference():
+    seq_lens = [48, 40]
+    q_lens = [16, 25]
+    q, pages, meta = _setup(seq_lens, q_lens)
+    pq = _quantize_pages_int4(pages)
+    o_ref, o_pal = _run_both(q, pq, meta, "extend")
+    np.testing.assert_allclose(o_pal, o_ref, **TOL8)
+
+
+def test_kv_write_kernel_int4_matches_scatter():
+    """The Pallas RMW write kernel and the XLA scatter must store
+    identical int4 bytes and scales."""
+    from sglang_tpu.layers.attention.base import write_kv_pages
+    from sglang_tpu.ops.kv_write import paged_kv_write
+
+    rng = np.random.default_rng(9)
+    P, kvh, ps, d = 5, 2, 16, 128
+    from sglang_tpu.mem_cache.memory_pool import scale_plane_rows
+
+    rows = scale_plane_rows(kvh)
+    pool0 = (
+        jnp.asarray(rng.integers(0, 256, (P, kvh, ps, d)), jnp.uint8),
+        jnp.asarray(rng.standard_normal((P, rows, 128)), jnp.float32),
+    )
+    T = 16
+    k = jnp.asarray(rng.standard_normal((T, kvh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, kvh, d)), jnp.float32)
+    # one token per page tail (decode shape), padding on page 0
+    loc = jnp.asarray(
+        [i * ps + int(x) for i, x in enumerate(rng.integers(0, ps, 5))]
+        + [0] * (T - 5),
+        jnp.int32,
+    )
+    va, sa = write_kv_pages(pool0, k, v, loc)
+    vb, sb = paged_kv_write(pool0, jnp.concatenate([k, v], 1), loc,
+                            interpret=INTERPRET)
+    # padding rows all hit page 0 with racing writes: compare pages 1..P
+    np.testing.assert_array_equal(np.asarray(va)[1:], np.asarray(vb)[1:])
+    np.testing.assert_allclose(np.asarray(sa)[1:], np.asarray(sb)[1:])
