@@ -165,6 +165,7 @@ class ModelConfig:
             ("n_positions", "max_position_embeddings"),
             ("n_inner", "intermediate_size"),
             ("ffn_hidden_size", "intermediate_size"),  # falcon
+            ("ffn_dim", "intermediate_size"),  # opt
             ("layer_norm_epsilon", "rms_norm_eps"),
         ):
             if hf.get(src) is not None and dst not in hf:

@@ -129,12 +129,31 @@ def fused_moe(
         topk_group=topk_group,
     )
 
+    return moe_dispatch(
+        x, w1, w2, weights, ids, num_experts=e, scale_input=scale_input
+    )
+
+
+def moe_dispatch(
+    x: jax.Array,  # [T, H]
+    w1: jax.Array,  # [E, H, 2M]
+    w2: jax.Array,  # [E, M, H]
+    weights: jax.Array,  # [T, k] f32
+    ids: jax.Array,  # [T, k] i32
+    num_experts: int,
+    scale_input: bool = False,
+) -> jax.Array:
+    """Sorted ragged_dot expert dispatch for precomputed routing —
+    shared by `fused_moe` and routers with bespoke weight functions
+    (PhiMoE sparsemixer)."""
+    t, h = x.shape
+    top_k = ids.shape[1]
     flat_expert = ids.reshape(-1)  # [T*k]
     # stable sort by expert id -> contiguous per-expert runs
     order = jnp.argsort(flat_expert)  # [T*k]
     token_of_slot = (order // top_k).astype(jnp.int32)
     xs = x[token_of_slot]  # [T*k, H] gathered (duplicated per expert pick)
-    group_sizes = jnp.bincount(flat_expert, length=e)
+    group_sizes = jnp.bincount(flat_expert, length=num_experts)
     w_sorted = weights.reshape(-1)[order]  # [T*k]
     if scale_input:
         xs = (xs.astype(jnp.float32) * w_sorted[:, None]).astype(x.dtype)

@@ -145,6 +145,27 @@ def _populate():
     ):
         register_model(cls)
 
+    # breadth batch 6 (reference srt/models/{opt,gptj,granitemoe,phimoe,
+    # dots1}.py lineage)
+    from sglang_tpu.models.dots1 import Dots1ForCausalLM
+    from sglang_tpu.models.gptj import GPTJForCausalLM
+    from sglang_tpu.models.granite_moe import (
+        GraniteMoeForCausalLM,
+        GraniteMoeSharedForCausalLM,
+    )
+    from sglang_tpu.models.opt import OPTForCausalLM
+    from sglang_tpu.models.phimoe import PhimoeForCausalLM
+
+    for cls in (
+        Dots1ForCausalLM,
+        GPTJForCausalLM,
+        GraniteMoeForCausalLM,
+        GraniteMoeSharedForCausalLM,
+        OPTForCausalLM,
+        PhimoeForCausalLM,
+    ):
+        register_model(cls)
+
     # breadth batch 4 (reference srt/models/{llama4,internvl,idefics3}.py
     # lineage)
     from sglang_tpu.models.idefics3 import (

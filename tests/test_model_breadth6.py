@@ -1,0 +1,120 @@
+"""HF logit-parity tests for the sixth model-breadth batch: OPT
+(learned positions), GPT-J (single-LN parallel residual + interleaved
+partial rotary + biased lm_head), Granite-MoE (+Shared), Phi-3.5-MoE
+(sparsemixer routing + LayerNorm skeleton), dots.llm1 (qwen3 attention
+over the DeepSeek-V3 MoE recipe)."""
+
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from tests.test_model_breadth import _parity, _save
+
+
+def test_opt_parity(tmp_path_factory):
+    from transformers import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        ffn_dim=128, vocab_size=256, max_position_embeddings=256,
+        word_embed_proj_dim=64, do_layer_norm_before=True,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(60)
+    hf = OPTForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_opt"), seed=60)
+
+
+def test_gptj_parity(tmp_path_factory):
+    from transformers import GPTJConfig, GPTJForCausalLM
+
+    cfg = GPTJConfig(
+        n_embd=64, n_layer=2, n_head=4, n_inner=128, vocab_size=256,
+        n_positions=256, rotary_dim=8,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(61)
+    hf = GPTJForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_gptj"), seed=61)
+
+
+def test_granite_moe_parity(tmp_path_factory):
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+    cfg = GraniteMoeConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=48, vocab_size=256,
+        max_position_embeddings=256, num_local_experts=4,
+        num_experts_per_tok=2, embedding_multiplier=2.0,
+        attention_multiplier=0.3, residual_multiplier=0.8,
+        logits_scaling=1.5, tie_word_embeddings=True,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(62)
+    hf = GraniteMoeForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_granitemoe"), seed=62)
+
+
+def test_granite_moe_shared_parity(tmp_path_factory):
+    from transformers import (
+        GraniteMoeSharedConfig,
+        GraniteMoeSharedForCausalLM,
+    )
+
+    cfg = GraniteMoeSharedConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=48,
+        shared_intermediate_size=32, vocab_size=256,
+        max_position_embeddings=256, num_local_experts=4,
+        num_experts_per_tok=2, tie_word_embeddings=True,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(63)
+    hf = GraniteMoeSharedForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_granitemoesh"), seed=63)
+
+
+def test_phimoe_parity(tmp_path_factory):
+    from transformers import PhimoeConfig, PhimoeForCausalLM
+
+    cfg = PhimoeConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=48, vocab_size=256,
+        max_position_embeddings=256, num_local_experts=4,
+        num_experts_per_tok=2, router_jitter_noise=0.05,
+        attention_bias=True, lm_head_bias=True,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0, sliding_window=None,
+    )
+    torch.manual_seed(64)
+    hf = PhimoeForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_phimoe"), seed=64)
+
+
+def test_dots1_parity(tmp_path_factory):
+    from transformers import Dots1Config, Dots1ForCausalLM
+
+    cfg = Dots1Config(
+        hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=96, vocab_size=256,
+        max_position_embeddings=256, moe_intermediate_size=48,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, norm_topk_prob=True,
+        routed_scaling_factor=1.5, n_group=2, topk_group=1,
+        scoring_func="noaux_tc", sliding_window=8,
+        layer_types=["sliding_attention", "full_attention",
+                     "sliding_attention"],
+        attention_bias=False, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(65)
+    hf = Dots1ForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            if hasattr(layer.mlp, "gate"):
+                layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+    _parity(
+        hf, _save(hf, tmp_path_factory, "tiny_dots1"),
+        prompt_len=21, seed=65,
+    )
