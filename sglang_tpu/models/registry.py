@@ -178,6 +178,10 @@ def _populate():
     from sglang_tpu.models.aya_vision import AyaVisionForConditionalGeneration
     from sglang_tpu.models.glm4v import Glm4vForConditionalGeneration
     from sglang_tpu.models.kimi_vl import KimiVLForConditionalGeneration
+    from sglang_tpu.models.qwen3_vl import (
+        Qwen3VLForConditionalGeneration,
+        Qwen3VLMoeForConditionalGeneration,
+    )
     from sglang_tpu.models.minicpmv import MiniCPMVForConditionalGeneration
     from sglang_tpu.models.phi3 import Phi4MultimodalForCausalLM
     from sglang_tpu.models.qwen2_5_vl import Qwen2_5_VLForConditionalGeneration
@@ -192,6 +196,8 @@ def _populate():
     register_model(AyaVisionForConditionalGeneration)
     register_model(Glm4vForConditionalGeneration)
     register_model(KimiVLForConditionalGeneration)
+    register_model(Qwen3VLForConditionalGeneration)
+    register_model(Qwen3VLMoeForConditionalGeneration)
 
     from sglang_tpu.models.bert import BertModel, XLMRobertaModel
     from sglang_tpu.models.classification import (

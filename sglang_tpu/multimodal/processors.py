@@ -241,8 +241,10 @@ register_mm_processor("LlavaNextForConditionalGeneration")(AnyResProcessor)
 register_mm_processor(
     "Qwen2VLForConditionalGeneration",
     "Qwen2_5_VLForConditionalGeneration",
-    # GLM-4V is grid-native too (patch rows + grid_thw + mrope)
+    # GLM-4V and Qwen3-VL are grid-native too (patch rows + grid + mrope)
     "Glm4vForConditionalGeneration",
+    "Qwen3VLForConditionalGeneration",
+    "Qwen3VLMoeForConditionalGeneration",
 )(GridVLProcessor)
 register_mm_processor("KimiVLForConditionalGeneration")(GridImageProcessor)
 
