@@ -199,3 +199,9 @@ def test_int8_kv_cache_accuracy(checkpoint):
     # int8 KV is the v5e serving default (per-(token, head) scales) —
     # gate it like the reference gates fp8 KV
     _kv_dtype_eval(checkpoint, "int8")
+
+
+def test_int4_kv_cache_accuracy(checkpoint):
+    # int4 KV ships as a 2x-capacity option (PERFORMANCE.md); gate its
+    # accuracy with the same Δ bound as the other KV dtypes
+    _kv_dtype_eval(checkpoint, "int4")
