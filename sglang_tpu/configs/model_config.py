@@ -166,6 +166,10 @@ class ModelConfig:
             ("n_inner", "intermediate_size"),
             ("ffn_hidden_size", "intermediate_size"),  # falcon
             ("ffn_dim", "intermediate_size"),  # opt
+            ("d_model", "hidden_size"),  # dbrx
+            ("n_heads", "num_attention_heads"),  # dbrx
+            ("n_layers", "num_hidden_layers"),  # dbrx
+            ("max_seq_len", "max_position_embeddings"),  # dbrx
             ("layer_norm_epsilon", "rms_norm_eps"),
         ):
             if hf.get(src) is not None and dst not in hf:

@@ -73,6 +73,7 @@ class LlamaForCausalLM:
     qkv_bias = False
     o_bias = False
     qk_norm = False
+    qk_norm_after_rope = False  # Hunyuan applies the per-head norm post-rope
     rope_style = "half"  # "half" (rotate-half) | "interleaved" (pairs)
     # standard [P, 2kvh, ps, d] KV + full attention: eligible for
     # chain-tail decode KV batching (ops/chain_tail.py); the runner
@@ -304,7 +305,7 @@ class LlamaForCausalLM:
         v = qkv[:, self.q_size + self.kv_size :].reshape(
             t, self.num_kv_heads, self.head_dim
         )
-        if self.qk_norm:
+        if self.qk_norm and not self.qk_norm_after_rope:
             q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
         if rope_override is not None:
@@ -322,6 +323,9 @@ class LlamaForCausalLM:
         else:
             q = apply_rope(q, fb.positions, self.inv_freq, mscale=self.rope_mscale)
             k = apply_rope(k, fb.positions, self.inv_freq, mscale=self.rope_mscale)
+        if self.qk_norm and self.qk_norm_after_rope:
+            q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
         attn_out, kv_i = attn_backend(
             q,
             k,

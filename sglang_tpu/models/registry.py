@@ -145,6 +145,23 @@ def _populate():
     ):
         register_model(cls)
 
+    # breadth batch 7 (reference srt/models/{dbrx,hunyuan,apertus}.py
+    # lineage)
+    from sglang_tpu.models.apertus import ApertusForCausalLM
+    from sglang_tpu.models.dbrx import DbrxForCausalLM
+    from sglang_tpu.models.hunyuan import (
+        HunYuanDenseV1ForCausalLM,
+        HunYuanMoEV1ForCausalLM,
+    )
+
+    for cls in (
+        ApertusForCausalLM,
+        DbrxForCausalLM,
+        HunYuanDenseV1ForCausalLM,
+        HunYuanMoEV1ForCausalLM,
+    ):
+        register_model(cls)
+
     # breadth batch 6 (reference srt/models/{opt,gptj,granitemoe,phimoe,
     # dots1}.py lineage)
     from sglang_tpu.models.dots1 import Dots1ForCausalLM

@@ -118,3 +118,68 @@ def test_dots1_parity(tmp_path_factory):
         hf, _save(hf, tmp_path_factory, "tiny_dots1"),
         prompt_len=21, seed=65,
     )
+
+
+def test_dbrx_parity(tmp_path_factory):
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    cfg = DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=256, vocab_size=256,
+        attn_config=dict(kv_n_heads=2, clip_qkv=6.0, rope_theta=10000.0),
+        ffn_config=dict(ffn_hidden_size=48, moe_num_experts=4, moe_top_k=2,
+                        moe_normalize_expert_weights=1),
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(66)
+    hf = DbrxForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_dbrx"), seed=66)
+
+
+def test_hunyuan_dense_parity(tmp_path_factory):
+    from transformers import HunYuanDenseV1Config, HunYuanDenseV1ForCausalLM
+
+    cfg = HunYuanDenseV1Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, head_dim=16, attention_bias=False,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(67)
+    hf = HunYuanDenseV1ForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_hunyuan"), seed=67)
+
+
+def test_hunyuan_moe_parity(tmp_path_factory):
+    from transformers import HunYuanMoEV1Config, HunYuanMoEV1ForCausalLM
+
+    cfg = HunYuanMoEV1Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=96, vocab_size=256,
+        max_position_embeddings=256, head_dim=16, num_experts=4,
+        moe_topk=2, attention_bias=False, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(68)
+    hf = HunYuanMoEV1ForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_hunyuanmoe"), seed=68)
+
+
+def test_apertus_parity(tmp_path_factory):
+    from transformers import ApertusConfig, ApertusForCausalLM
+
+    cfg = ApertusConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(69)
+    hf = ApertusForCausalLM(cfg).eval()
+    # give the xIELU scalars non-default values (defaults hide load bugs)
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            layer.mlp.act_fn.alpha_p.fill_(0.3)
+            layer.mlp.act_fn.alpha_n.fill_(0.9)
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_apertus"), seed=69)
