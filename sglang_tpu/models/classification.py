@@ -77,3 +77,76 @@ Qwen2ForSequenceClassification = _make_classification(
 Qwen3ForSequenceClassification = _make_classification(
     Qwen3ForCausalLM, ["Qwen3ForSequenceClassification"]
 )
+
+
+Gemma2ForSequenceClassification = None
+try:
+    from sglang_tpu.models.gemma2 import Gemma2ForCausalLM
+
+    Gemma2ForSequenceClassification = _make_classification(
+        Gemma2ForCausalLM, ["Gemma2ForSequenceClassification"]
+    )
+except ImportError:
+    pass
+
+
+class Qwen2ForRewardModel(Qwen2ForCausalLM):
+    """Reward model: qwen2 backbone + a 2-layer score head
+    (Linear -> ReLU -> Linear[num_labels]) on the LAST-token hidden
+    state (reference `srt/models/qwen2_rm.py:33`; checkpoint keys
+    score.0.* / score.2.*)."""
+
+    architectures = ["Qwen2ForRewardModel"]
+    is_classifier = True
+
+    def __init__(self, config: ModelConfig):
+        config.tie_word_embeddings = True  # no lm_head in the checkpoint
+        super().__init__(config)
+        self.num_labels = int(config.hf_config.get("num_labels") or 1)
+
+    def param_specs(self) -> dict:
+        tree = super().param_specs()
+        dt = self.config.dtype
+        h = self.hidden_size
+        tree["score0"] = {
+            "w": jax.ShapeDtypeStruct((h, h), dt),
+            "b": jax.ShapeDtypeStruct((h,), dt),
+        }
+        tree["score2"] = {
+            "w": jax.ShapeDtypeStruct((h, self.num_labels), dt),
+            "b": jax.ShapeDtypeStruct((self.num_labels,), dt),
+        }
+        return tree
+
+    def param_shardings(self) -> dict:
+        tree = super().param_shardings()
+        tree["score0"] = {"w": P(None, None), "b": P(None)}
+        tree["score2"] = {"w": P(None, None), "b": P(None)}
+        return tree
+
+    def weight_rules(self) -> List[WeightRule]:
+        rules = super().weight_rules()
+        rules += [
+            WeightRule(("score0", "w"), ["score.0.weight"], kind="linear_raw"),
+            WeightRule(("score0", "b"), ["score.0.bias"], kind="norm"),
+            WeightRule(("score2", "w"), ["score.2.weight"], kind="linear_raw"),
+            WeightRule(("score2", "b"), ["score.2.bias"], kind="norm"),
+        ]
+        return rules
+
+    def head(self, params: dict, pooled: jax.Array) -> jax.Array:
+        x = (
+            jnp.dot(
+                pooled, params["score0"]["w"],
+                preferred_element_type=jnp.float32,
+            )
+            + params["score0"]["b"].astype(jnp.float32)
+        )
+        x = jax.nn.relu(x)
+        return (
+            jnp.dot(
+                x.astype(pooled.dtype), params["score2"]["w"],
+                preferred_element_type=jnp.float32,
+            )
+            + params["score2"]["b"].astype(jnp.float32)
+        )

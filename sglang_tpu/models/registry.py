@@ -218,10 +218,16 @@ def _populate():
 
     from sglang_tpu.models.bert import BertModel, XLMRobertaModel
     from sglang_tpu.models.classification import (
+        Gemma2ForSequenceClassification,
         LlamaForSequenceClassification,
+        Qwen2ForRewardModel,
         Qwen2ForSequenceClassification,
         Qwen3ForSequenceClassification,
     )
+
+    register_model(Qwen2ForRewardModel)
+    if Gemma2ForSequenceClassification is not None:
+        register_model(Gemma2ForSequenceClassification)
 
     for cls in (
         CohereForCausalLM,

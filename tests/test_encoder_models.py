@@ -149,3 +149,64 @@ def test_qwen2_reward_head(tmp_path_factory):
     with torch.no_grad():
         want = hf(torch.tensor([ids])).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_gemma2_sequence_classification_parity(tmp_path_factory):
+    from transformers import Gemma2Config, Gemma2ForSequenceClassification
+
+    cfg = Gemma2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=128, head_dim=16, num_labels=3,
+        pad_token_id=0, sliding_window=64,
+    )
+    torch.manual_seed(4)
+    hf = Gemma2ForSequenceClassification(cfg).eval()
+    eng = _engine(_save(hf, tmp_path_factory, "tiny_g2cls"))
+    ids = [4, 5, 6, 7, 8, 9]
+    got = eng.encode(input_ids=[ids], pooling="last")[0]["embedding"]
+    with torch.no_grad():
+        want = hf(torch.tensor([ids])).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_qwen2_reward_model_two_layer_head(tmp_path_factory):
+    """The reference Qwen2ForRewardModel head is Linear->ReLU->Linear
+    over the last-token hidden state (qwen2_rm.py:47, keys score.0/2).
+    No HF class exists, so assemble the checkpoint: a qwen2 backbone
+    plus random score tensors, oracle computed from HF hidden states."""
+    import json as _json
+
+    from safetensors.torch import save_file
+    from transformers import Qwen2Config, Qwen2Model
+
+    cfg = Qwen2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=128, pad_token_id=0,
+    )
+    torch.manual_seed(5)
+    base = Qwen2Model(cfg).eval()
+    s0 = torch.nn.Linear(64, 64)
+    s2 = torch.nn.Linear(64, 1)
+    path = tmp_path_factory.mktemp("tiny_qwen2rm")
+    tensors = {f"model.{k}": v.contiguous() for k, v in base.state_dict().items()}
+    tensors.update({
+        "score.0.weight": s0.weight.contiguous(),
+        "score.0.bias": s0.bias.contiguous(),
+        "score.2.weight": s2.weight.contiguous(),
+        "score.2.bias": s2.bias.contiguous(),
+    })
+    save_file(tensors, str(path / "model.safetensors"))
+    d = _json.loads(cfg.to_json_string())
+    d["architectures"] = ["Qwen2ForRewardModel"]
+    d["num_labels"] = 1
+    (path / "config.json").write_text(_json.dumps(d))
+
+    eng = _engine(str(path))
+    ids = [4, 5, 6, 7, 8]
+    got = eng.encode(input_ids=[ids], pooling="last")[0]["embedding"]
+    with torch.no_grad():
+        hid = base(torch.tensor([ids])).last_hidden_state[0, -1]
+        want = s2(torch.relu(s0(hid))).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
