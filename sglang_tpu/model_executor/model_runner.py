@@ -376,8 +376,10 @@ class ModelRunner:
                 int(np.prod(v.shape)) * jnp.dtype(v.dtype).itemsize
                 for v in sspecs.values()
             )
-            state_bytes = per_layer * (
-                mc.num_hidden_layers - paged_layer_count
+            # count state kinds directly — parallel hybrids (FalconH1)
+            # declare one paged AND one linear kind per decoder layer
+            state_bytes = per_layer * sum(
+                1 for k in self.kv_kinds if k != "paged"
             )
         # NSA models carry a per-layer paged index-key plane alongside the
         # latent pool (reference NSATokenToKVPool, `memory_pool.py:1981`)

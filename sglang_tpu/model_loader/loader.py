@@ -282,7 +282,10 @@ def _execute_rule(model, rule: WeightRule, index: SafetensorsIndex):
     if kind == "lm_head":
         if not index.has(rule.sources[0]):
             return None
-        return np.asarray(index.get(rule.sources[0])).T
+        w = np.asarray(index.get(rule.sources[0])).T
+        if rule.transform is not None:
+            w = rule.transform(w)
+        return w
     if kind == "linear_raw":
         # unquantized [out,in] linears: transpose, concat along out
         ws = [np.asarray(index.get(n), dtype=np.float32).T for n in rule.sources]

@@ -58,7 +58,7 @@ class BambaForCausalLM(Mamba2ForCausalLM):
         )
         self.mixer_eps = config.rms_norm_eps
         attn_idx = set(hf.get("attn_layer_indices") or [])
-        lt = hf.get("layers_block_type")
+        lt = hf.get("layers_block_type") or hf.get("layer_types")
         if lt:
             self.layer_types = list(lt)
         else:

@@ -145,8 +145,15 @@ def _populate():
     ):
         register_model(cls)
 
-    # breadth batch 7 (reference srt/models/{dbrx,hunyuan,apertus}.py
-    # lineage)
+    # breadth batch 7 (reference srt/models/{dbrx,hunyuan,apertus,
+    # granitemoehybrid}.py lineage)
+    from sglang_tpu.models.falcon_h1 import FalconH1ForCausalLM
+    from sglang_tpu.models.granite_moe_hybrid import (
+        GraniteMoeHybridForCausalLM,
+    )
+
+    register_model(FalconH1ForCausalLM)
+    register_model(GraniteMoeHybridForCausalLM)
     from sglang_tpu.models.apertus import ApertusForCausalLM
     from sglang_tpu.models.dbrx import DbrxForCausalLM
     from sglang_tpu.models.hunyuan import (

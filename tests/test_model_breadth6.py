@@ -183,3 +183,53 @@ def test_apertus_parity(tmp_path_factory):
             layer.mlp.act_fn.alpha_p.fill_(0.3)
             layer.mlp.act_fn.alpha_n.fill_(0.9)
     _parity(hf, _save(hf, tmp_path_factory, "tiny_apertus"), seed=69)
+
+
+def test_granite_moe_hybrid_parity(tmp_path_factory):
+    """Granite 4.0 hybrid: mamba + NoPE-attention layers, granite
+    multipliers, shared + routed MoE MLP every layer."""
+    from transformers import (
+        GraniteMoeHybridConfig,
+        GraniteMoeHybridForCausalLM,
+    )
+
+    cfg = GraniteMoeHybridConfig(
+        hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=96,
+        shared_intermediate_size=48, num_local_experts=4,
+        num_experts_per_tok=2, vocab_size=256,
+        mamba_n_heads=8, mamba_d_head=16, mamba_d_state=32,
+        mamba_n_groups=1, mamba_expand=2, mamba_d_conv=4,
+        layer_types=["mamba", "attention", "mamba"],
+        position_embedding_type="nope", embedding_multiplier=2.0,
+        attention_multiplier=0.3, residual_multiplier=0.8,
+        logits_scaling=1.5, tie_word_embeddings=True,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(70)
+    hf = GraniteMoeHybridForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_gmh"), seed=70)
+
+
+def test_falcon_h1_parity(tmp_path_factory):
+    """Falcon-H1: PARALLEL mamba+attention per layer; all MuP
+    multipliers folded into weights at load (set off-default so folding
+    bugs cannot hide)."""
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    cfg = FalconH1Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=96, vocab_size=256,
+        mamba_n_heads=8, mamba_d_head=16, mamba_d_state=32,
+        mamba_n_groups=1, mamba_expand=2, mamba_d_conv=4, head_dim=16,
+        mamba_d_ssm=128, rope_theta=10000.0,
+        embedding_multiplier=1.5, lm_head_multiplier=0.8,
+        attention_in_multiplier=1.2, attention_out_multiplier=0.9,
+        key_multiplier=1.1, ssm_in_multiplier=0.7, ssm_out_multiplier=1.3,
+        mlp_multipliers=[1.4, 0.6], ssm_multipliers=[1.1, 0.9, 1.2, 0.8, 1.05],
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(71)
+    hf = FalconH1ForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_falconh1"), seed=71)
