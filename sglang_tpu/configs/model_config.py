@@ -171,6 +171,7 @@ class ModelConfig:
             ("n_layers", "num_hidden_layers"),  # dbrx
             ("max_seq_len", "max_position_embeddings"),  # dbrx
             ("layer_norm_epsilon", "rms_norm_eps"),
+            ("norm_eps", "rms_norm_eps"),  # lfm2
         ):
             if hf.get(src) is not None and dst not in hf:
                 hf = dict(hf)
@@ -302,7 +303,8 @@ class ModelConfig:
         return (
             "linear_attention" in lt
             or "mamba" in lt
-            or self.model_type in ("mamba2", "falcon_mamba")
+            or "conv" in lt  # LFM2 short-conv layers
+            or self.model_type in ("mamba2", "falcon_mamba", "falcon_h1")
             or bool(self.hf_config.get("attn_layer_indices"))
         )
 

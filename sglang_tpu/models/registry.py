@@ -148,6 +148,9 @@ def _populate():
     # breadth batch 7 (reference srt/models/{dbrx,hunyuan,apertus,
     # granitemoehybrid}.py lineage)
     from sglang_tpu.models.falcon_h1 import FalconH1ForCausalLM
+    from sglang_tpu.models.lfm2 import Lfm2ForCausalLM
+
+    register_model(Lfm2ForCausalLM)
     from sglang_tpu.models.granite_moe_hybrid import (
         GraniteMoeHybridForCausalLM,
     )

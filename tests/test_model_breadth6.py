@@ -233,3 +233,23 @@ def test_falcon_h1_parity(tmp_path_factory):
     torch.manual_seed(71)
     hf = FalconH1ForCausalLM(cfg).eval()
     _parity(hf, _save(hf, tmp_path_factory, "tiny_falconh1"), seed=71)
+
+
+def test_lfm2_parity(tmp_path_factory):
+    """LFM2: gated short-conv layers (per-request conv window in the
+    state pool) interleaved with qk-normed attention."""
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    cfg = Lfm2Config(
+        hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=96, vocab_size=256,
+        max_position_embeddings=256, conv_L_cache=3, conv_bias=False,
+        block_auto_adjust_ff_dim=True, block_multiple_of=16,
+        block_ffn_dim_multiplier=1.0,
+        layer_types=["conv", "full_attention", "conv"],
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(72)
+    hf = Lfm2ForCausalLM(cfg).eval()
+    _parity(hf, _save(hf, tmp_path_factory, "tiny_lfm2"), seed=72)
