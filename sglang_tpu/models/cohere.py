@@ -137,3 +137,63 @@ class CohereForCausalLM(LlamaForCausalLM):
             hidden, params["embed"].T, preferred_element_type=jnp.float32
         )
         return logits * self.logit_scale
+
+
+class Cohere2ForCausalLM(CohereForCausalLM):
+    """Command R7B (reference `srt/models/commandr.py` lineage / HF
+    `modeling_cohere2.py`): the cohere parallel block where sliding-
+    window layers apply rotary and the interleaved full-attention
+    layers are NoPE."""
+
+    architectures = ["Cohere2ForCausalLM"]
+    supports_chain_tail = False
+
+    def __init__(self, config):
+        super().__init__(config)
+        hf = config.hf_config
+        sw = hf.get("sliding_window") or -1
+        lt = hf.get("layer_types")
+        if lt:
+            self.layer_windows = [
+                sw if t == "sliding_attention" else -1 for t in lt
+            ]
+        else:
+            pat = int(hf.get("sliding_window_pattern", 4))
+            self.layer_windows = [
+                sw if (i + 1) % pat != 0 else -1
+                for i in range(self.num_layers)
+            ]
+        self.sliding_window = -1
+
+    def forward(self, params, kv_layers, fb, attn_backend):
+        from sglang_tpu.layers.rotary import apply_rope_interleaved
+
+        t = fb.input_ids.shape[0]
+        h = self.embed_tokens(params, fb)
+        new_kv = []
+        for i in range(self.num_layers):
+            lp = params["layers"][i]
+            normed = _ln_nb(h, lp["input_norm"], self.ln_eps)
+            qkv = self.methods["qkv"].apply(lp["qkv"], normed)
+            q = qkv[:, : self.q_size].reshape(t, self.num_q_heads, self.head_dim)
+            k = qkv[:, self.q_size : self.q_size + self.kv_size].reshape(
+                t, self.num_kv_heads, self.head_dim
+            )
+            v = qkv[:, self.q_size + self.kv_size :].reshape(
+                t, self.num_kv_heads, self.head_dim
+            )
+            if self.layer_windows[i] > 0:  # sliding layers rotate; full NoPE
+                q = apply_rope_interleaved(q, fb.positions, self.inv_freq)
+                k = apply_rope_interleaved(k, fb.positions, self.inv_freq)
+            attn_out, kv_i = attn_backend(
+                q, k, v, kv_layers[i], fb, self.sm_scale,
+                sliding_window=self.layer_windows[i],
+            )
+            new_kv.append(kv_i)
+            o_out = self.methods["o"].apply(
+                lp["o"], attn_out.reshape(t, self.q_size)
+            )
+            mlp_out = self.mlp_forward(lp, normed)
+            h = h + o_out + mlp_out  # parallel block
+        h = _ln_nb(h, params["final_norm"], self.ln_eps)
+        return h, new_kv

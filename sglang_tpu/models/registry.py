@@ -93,7 +93,12 @@ def _populate():
     from sglang_tpu.models.gemma3 import Gemma3TextForCausalLM
 
     register_model(Gemma3TextForCausalLM)
-    from sglang_tpu.models.cohere import CohereForCausalLM
+    from sglang_tpu.models.cohere import (
+        Cohere2ForCausalLM,
+        CohereForCausalLM,
+    )
+
+    register_model(Cohere2ForCausalLM)
     from sglang_tpu.models.gemma import GemmaForCausalLM
     from sglang_tpu.models.gpt2 import GPT2LMHeadModel, GPTBigCodeForCausalLM
     from sglang_tpu.models.granite import GraniteForCausalLM
@@ -210,6 +215,7 @@ def _populate():
         Qwen3VLMoeForConditionalGeneration,
     )
     from sglang_tpu.models.minicpmv import MiniCPMVForConditionalGeneration
+    from sglang_tpu.models.mistral3 import Mistral3ForConditionalGeneration
     from sglang_tpu.models.phi3 import Phi4MultimodalForCausalLM
     from sglang_tpu.models.qwen2_5_vl import Qwen2_5_VLForConditionalGeneration
 
@@ -225,6 +231,7 @@ def _populate():
     register_model(KimiVLForConditionalGeneration)
     register_model(Qwen3VLForConditionalGeneration)
     register_model(Qwen3VLMoeForConditionalGeneration)
+    register_model(Mistral3ForConditionalGeneration)
 
     from sglang_tpu.models.bert import BertModel, XLMRobertaModel
     from sglang_tpu.models.classification import (

@@ -235,6 +235,8 @@ register_mm_processor(
     "Idefics3ForConditionalGeneration", "SmolVLMForConditionalGeneration"
 )(SimpleImageProcessor)
 register_mm_processor("AyaVisionForConditionalGeneration")(SimpleImageProcessor)
+# Mistral3/Pixtral: native-resolution single images (grid from the shape)
+register_mm_processor("Mistral3ForConditionalGeneration")(SimpleImageProcessor)
 # MiniCPM-V: pre-sliced square tiles; each contributes query_num tokens
 register_mm_processor("MiniCPMVForConditionalGeneration")(SimpleImageProcessor)
 register_mm_processor("LlavaNextForConditionalGeneration")(AnyResProcessor)

@@ -253,3 +253,25 @@ def test_lfm2_parity(tmp_path_factory):
     torch.manual_seed(72)
     hf = Lfm2ForCausalLM(cfg).eval()
     _parity(hf, _save(hf, tmp_path_factory, "tiny_lfm2"), seed=72)
+
+
+def test_cohere2_parity(tmp_path_factory):
+    """Command R7B: cohere parallel block, sliding layers rotate
+    (interleaved), full-attention layers are NoPE."""
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+
+    cfg = Cohere2Config(
+        hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=256, logit_scale=0.25, sliding_window=8,
+        layer_types=["sliding_attention", "sliding_attention",
+                     "sliding_attention", "full_attention"],
+        tie_word_embeddings=True, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(73)
+    hf = Cohere2ForCausalLM(cfg).eval()
+    _parity(
+        hf, _save(hf, tmp_path_factory, "tiny_cohere2"),
+        prompt_len=21, seed=73,
+    )
